@@ -1,0 +1,285 @@
+"""Deterministic synthetic corpora (no external data; seed-free — everything
+derives from doc ids and document text via md5).
+
+Three layers:
+
+1. ``fixture_docs()`` — per-fixture documents transposed from the reference's
+   test corpus (FIXTURES.md §3; reference fixtures in
+   /root/reference/src/test/resources/), each with a golden property asserted
+   in tests/test_extract_golden.py.
+
+2. ``oracle_stream(text)`` — the SQL-tractable corpus: mono-width font,
+   fixed grid layout (8 words/line, 40 words/page, 10pt, 72pt margin).
+   Extraction of these docs is exactly reproducible in ANSI SQL (DuckDB
+   oracle), because every box is one word with closed-form geometry.
+
+3. ``rich_stream(doc_id, text)`` — the interleaved text+media corpus used by
+   the flagship query and the benchmark: multiple fonts/sizes/colors, Tw/Tc,
+   TJ kerning, rects, lines, filled polygons, images (with q/cm placement),
+   RTL runs, diacritics, page rotations, and a deterministic skew tail
+   (some docs get many more pages — exercises the salted repartition).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from .schema import DOC_SCHEMA
+
+# ---------------------------------------------------------------------------
+# layout constants shared with the SQL oracles (keep in sync with queries.py)
+# ---------------------------------------------------------------------------
+ORACLE_FONT = "Mono"
+ORACLE_SIZE = 10.0
+ORACLE_MARGIN = 72.0
+ORACLE_WORDS_PER_LINE = 8
+ORACLE_LINES_PER_PAGE = 5
+ORACLE_WORDS_PER_PAGE = ORACLE_WORDS_PER_LINE * ORACLE_LINES_PER_PAGE
+ORACLE_LINE_STEP = 14.0
+ORACLE_Y0 = 720.0
+PAGE_W, PAGE_H = 612.0, 792.0
+
+
+def _h(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+
+
+def _esc(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def text_span(text: str, offset: int) -> dict:
+    return {"kind": "text", "text": text, "media_ref": None, "offset": offset}
+
+
+def image_span(media_ref: str, w: int, h: int, name: str, offset: int) -> dict:
+    return {"kind": "image", "text": f"{w} {h} {name}",
+            "media_ref": media_ref, "offset": offset}
+
+
+def rect_span(frag: str, offset: int) -> dict:
+    return {"kind": "rect", "text": frag, "media_ref": None, "offset": offset}
+
+
+# ---------------------------------------------------------------------------
+# 2. oracle corpus
+# ---------------------------------------------------------------------------
+
+def oracle_stream(text: str) -> list[dict]:
+    """One text span holding the whole mono-grid content stream."""
+    words = text.split(" ") if text else []
+    words = [w for w in words if w]
+    frags: list[str] = []
+    for p in range(0, len(words), ORACLE_WORDS_PER_PAGE):
+        page_words = words[p:p + ORACLE_WORDS_PER_PAGE]
+        frags.append(f"{PAGE_W:g} {PAGE_H:g} 0 PG BT /{ORACLE_FONT} {ORACLE_SIZE:g} Tf")
+        for li in range(0, len(page_words), ORACLE_WORDS_PER_LINE):
+            line = page_words[li:li + ORACLE_WORDS_PER_LINE]
+            y = ORACLE_Y0 - ORACLE_LINE_STEP * (li // ORACLE_WORDS_PER_LINE)
+            frags.append(f"1 0 0 1 {ORACLE_MARGIN:g} {y:g} Tm ({_esc(' '.join(line))}) Tj")
+        frags.append("ET")
+    return [text_span(" ".join(frags), 0)]
+
+
+# ---------------------------------------------------------------------------
+# 3. rich interleaved corpus
+# ---------------------------------------------------------------------------
+
+_RICH_FONTS = ["Mono", "Helvetica", "EKCFJL+Omsym2", "Courier New",
+               "Garamond-Italic", "Verdana-Bold", "Noto-CID"]
+_RICH_SIZES = [8.0, 10.0, 11.0, 12.0, 14.0]
+_RICH_COLORS = ["0 0 0 rg", "0.25 0.25 0.25 rg", "0.5 0 0 rg",
+                "0 0 0.5 rg", "0.1 0.4 0.1 rg"]
+_RTL_WORD = "שלום"       # Hebrew 'shalom'
+
+
+def dia_frag(x: float, y: float) -> str:
+    """Combining acute shown first, base 'e' re-positioned on top of it so the
+    base *contains* the pending diacritic (PDFBoxTree.java:595-605)."""
+    return (f"1 0 0 1 {x:g} {y:g} Tm (́) Tj "
+            f"1 0 0 1 {x:g} {y:g} Tm (e) Tj")
+
+SKEW_MOD = 37          # docs with h % SKEW_MOD == 0 become giants
+SKEW_FACTOR = 12
+
+
+def rich_stream(doc_id: str, text: str) -> list[dict]:
+    """Interleaved text+media spans, deterministic in (doc_id, text)."""
+    h = _h(doc_id)
+    words = [w for w in (text.split(" ") if text else []) if w]
+    if not words:
+        words = ["empty"]
+    reps = SKEW_FACTOR if h % SKEW_MOD == 0 else 1
+    words = words * reps
+
+    spans: list[dict] = []
+    off = 0
+    wpp = 24  # words per rich page
+    n_pages = (len(words) + wpp - 1) // wpp
+    for p in range(n_pages):
+        pw = words[p * wpp:(p + 1) * wpp]
+        rot = (90, 180, 270, 0)[(h >> 3) % 4] if (h + p) % 11 == 0 else 0
+        frags = [f"{PAGE_W:g} {PAGE_H:g} {rot} PG"]
+        font = _RICH_FONTS[(h + p) % len(_RICH_FONTS)]
+        size = _RICH_SIZES[(h + p * 7) % len(_RICH_SIZES)]
+        frags.append(f"BT /{font} {size:g} Tf {_RICH_COLORS[(h + p) % 5]}")
+        for li in range(0, len(pw), 6):
+            line = pw[li:li + 6]
+            y = 720 - 16 * (li // 6)
+            frags.append(f"1 0 0 1 72 {y:g} Tm ({_esc(' '.join(line))}) Tj")
+            sel = (h + p + li) % 23
+            if sel == 0:
+                # mid-line style change -> forced split (PDFBoxTree.java:635-637)
+                frags.append(f"{_RICH_COLORS[(h + li) % 5]} ({_esc(line[0])}) Tj")
+            elif sel == 1:
+                frags.append(f"({_esc(_RTL_WORD)}) Tj")      # RTL reverse
+            elif sel == 2:
+                frags.append(dia_frag(300, y))  # diacritic merge
+            elif sel == 3:
+                frags.append(f"[ ({_esc(line[0])}) -250 ({_esc(line[-1])}) ] TJ")
+            elif sel == 4:
+                frags.append(f"0.5 Tc 1.5 Tw ({_esc(line[0])}) Tj 0 Tc 0 Tw")
+            elif sel == 5:
+                frags.append(f"1 Tr ({_esc(line[0])}) Tj 0 Tr")   # stroke-only run
+        frags.append("ET")
+        spans.append(text_span(" ".join(frags), off)); off += 1
+
+        gsel = (h + p) % 5
+        if gsel == 0:
+            spans.append(rect_span(
+                f"0.8 0.1 0.1 rg {100 + p % 7 * 40} {120:g} {90:g} {18:g} re f", off))
+            off += 1
+        elif gsel == 1:
+            spans.append(text_span(
+                "2 w 0 0 0.9 RG 100 100 m 300 100 l S", off)); off += 1
+        elif gsel == 2:
+            spans.append(text_span(
+                "0.85 0.85 0.85 rg 200 200 m 260 260 l 200 260 l h f", off))
+            off += 1
+        elif gsel == 3:
+            ref = hashlib.md5(f"{doc_id}:img:{p}".encode()).hexdigest()[:16]
+            spans.append(text_span(f"q 120 0 0 90 {150 + p % 5 * 30} 400 cm", off)); off += 1
+            spans.append(image_span("sha:" + ref, 640, 480, "Untitled", off)); off += 1
+            spans.append(text_span("Q", off)); off += 1
+        elif gsel == 4:
+            spans.append(text_span(
+                "1.5 w 0.2 0.2 0.2 RG 150 150 m 250 210 l S", off)); off += 1
+    return spans
+
+
+# ---------------------------------------------------------------------------
+# 1. fixture docs (golden-property corpus; see tests/test_extract_golden.py)
+# ---------------------------------------------------------------------------
+
+def fixture_docs() -> dict[str, list[dict]]:
+    pg = f"{PAGE_W:g} {PAGE_H:g} 0 PG "
+    fx: dict[str, list[dict]] = {}
+
+    # rendering modes (TestPDFDomTree.java:28-74)
+    fx["fx_rendering_mode_neither"] = [text_span(
+        pg + "BT /Helvetica 12 Tf 3 Tr 0.502 0 1 rg 1 0 1 RG "
+             "1 0 0 1 72 700 Tm (Invisible) Tj ET", 0)]
+    fx["fx_rendering_mode_fill"] = [text_span(
+        pg + "BT /Helvetica 12 Tf 0 Tr 0.502 0 1 rg 1 0 1 RG "
+             "1 0 0 1 72 700 Tm (Filled) Tj ET", 0)]
+    fx["fx_rendering_mode_stroke"] = [text_span(
+        pg + "BT /Helvetica 12 Tf 1 Tr 0.502 0 1 rg 1 0 1 RG "
+             "1 0 0 1 72 700 Tm (Stroked) Tj ET", 0)]
+    fx["fx_rendering_mode_stroke_and_fill"] = [text_span(
+        pg + "BT /Helvetica 12 Tf 2 Tr 0.604 0.9412 0.9059 rg 1 0 1 RG "
+             "1 0 0 1 72 700 Tm (Both) Tj ET", 0)]
+
+    # page range (TestPDFDomTree.java:76-86)
+    fx["fx_3_pages"] = [text_span(
+        " ".join(pg + f"BT /Helvetica 12 Tf 1 0 0 1 72 700 Tm (#{k}) Tj ET"
+                 for k in (1, 2, 3)), 0)]
+
+    # split thresholds (PDFBoxTree.java:623-637); widths: 'ab' = 2*500/1000*10 = 10pt
+    fx["fx_split_merge"] = [text_span(
+        pg + "BT /Mono 10 Tf "
+             "1 0 0 1 100 700 Tm (ab) Tj "     # box A at [100,110)
+             "1 0 0 1 110.9 700 Tm (cd) Tj "   # distx 0.9 -> same box
+             "1 0 0 1 122.0 700 Tm (ef) Tj "   # distx 1.1 -> split
+             "1 0 0 1 126.1 700 Tm (gh) Tj "   # distx -5.9 -> same box
+             "1 0 0 1 139.9 700 Tm (ij) Tj "   # distx -6.2 -> split
+             "1 0 0 1 149.9 700.9 Tm (kl) Tj " # disty 0.9 -> same box
+             "1 0 0 1 159.9 702.0 Tm (mn) Tj " # disty 1.1 -> split
+             "0.5 0 0 rg (op) Tj "             # style change -> split
+             f"1 0 0 1 100 650 Tm ({_RTL_WORD}) Tj "  # RTL -> split + reverse
+             + dia_frag(100, 600) + " ET", 0)]
+
+    # duplicate overlapping text: the reference does NOT suppress it —
+    # PDFBoxTree overrides processTextPosition without super, bypassing
+    # PDFTextStripper's suppressDuplicateOverlappingText (PDFBoxTree.java:158,
+    # 592-656). Golden: two boxes at the same position.
+    fx["fx_dup_overlap"] = [text_span(
+        pg + "BT /Helvetica 12 Tf 1 0 0 1 72 700 Tm (H) Tj "
+             "1 0 0 1 72 700 Tm (H) Tj ET", 0)]
+
+    # image filename de-dup under the save-to-dir handler
+    # (TestImages.java:38-75, SaveResourceToDirHandler.java:44-66)
+    fx["fx_images"] = [
+        text_span(pg + "q 200 0 0 150 100 500 cm", 0),
+        image_span("sha:img-a", 640, 480, "Untitled", 1),
+        text_span("Q q 100 0 0 80 350 300 cm", 2),
+        image_span("sha:img-b", 320, 240, "Untitled", 3),
+        text_span("Q", 4),
+    ]
+
+    # page rotation quadrants (TestPageRotation.java:15-97): image near PDF
+    # top-left, filled rect near PDF bottom-right (user space, pre-rotation)
+    for rot in (0, 90, 180, 270):
+        fx[f"fx_rotation_{rot}"] = [
+            text_span(f"{PAGE_W:g} {PAGE_H:g} {rot} PG q 100 0 0 80 40 660 cm", 0),
+            image_span("sha:rot-img", 200, 160, "Untitled", 1),
+            text_span("Q 0.2 0.3 0.4 rg 420 60 120 70 re f", 2),
+        ]
+
+    # rect vs line vs slanted line vs filled polygon vs discarded path
+    # (PDFBoxTree.java:325-348,496-532; HtmlDivLine.java:24-93; TestPaths.java)
+    fx["fx_rect_vs_line_vs_path"] = [text_span(
+        pg + "0.3 0.3 0.3 rg 100 600 80 40 re f "
+             "1 w 0 0 0 RG 100 500 m 300 500 l S "
+             "100 400 m 200 450 l S "
+             "0.851 0.851 0.851 rg 100 300 m 160 360 l 100 360 l h f "
+             "100 200 m 150 250 l n", 0)]
+
+    # fonts: subset name parses to 'EKCFJL Omsym2' (FontTable.java:105-118);
+    # known family 'Arial' is not embedded (PDFBoxTree.java:738-741) but IS
+    # a table entry; Type1 '-T1' fonts are skipped (PDFBoxTree.java:390-391)
+    fx["fx_fonts"] = [text_span(
+        pg + "BT /EKCFJL+Omsym2 10 Tf 1 0 0 1 72 700 Tm (embedded) Tj "
+             "/Arial 10 Tf 1 0 0 1 72 650 Tm (known) Tj "
+             "/OldStyle-T1 10 Tf 1 0 0 1 72 600 Tm (skipped) Tj ET", 0)]
+    return fx
+
+
+# ---------------------------------------------------------------------------
+# Spark-facing builders
+# ---------------------------------------------------------------------------
+
+def build_docs_df(spark, sf_dir: str, mode: str = "rich", replicate: int = 1):
+    """documents.parquet -> DataFrame[DOC_SCHEMA] via a distributed,
+    deterministic generator (mapInPandas; no driver-side loops)."""
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if replicate > 1:
+        from pyspark.sql import functions as F
+        src = src.crossJoin(
+            spark.range(replicate).withColumnRenamed("id", "rep")
+        ).withColumn(
+            "doc_id", F.concat_ws("_", F.col("doc_id").cast("string"), F.col("rep"))
+        ).drop("rep")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = str(doc_id)
+                spans = (oracle_stream(text) if mode == "oracle"
+                         else rich_stream(did, text))
+                rows.append({"doc_id": did, "spans": spans})
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    return src.select("doc_id", "text").mapInPandas(gen, DOC_SCHEMA)

@@ -1,0 +1,585 @@
+"""Content-stream interpreter: ordered tokens -> glyph frame + layout events.
+
+Reimplements the stateful single-pass of the reference
+(``PDFBoxTree.processOperator`` PDFBoxTree.java:410-542 and
+``processTextPosition`` PDFBoxTree.java:592-656 / PDFBox's
+LegacyPDFStreamEngine glyph positioning) as a per-document scan whose
+high-cardinality inner work (per-glyph positions/advances) is numpy-vectorized
+per show-string. No per-row Python at the Spark level: this runs inside
+``mapInPandas`` over Arrow batches.
+
+State tracked (mirrors the reference's mutable fields):
+  - graphics stack for q/Q: CTM, colors, line width, text state
+    (PDFBox PDGraphicsState semantics),
+  - text matrix Tm/Tlm (BT/Td/TD/Tm/T*/TL),
+  - path cursor + current path (PDFBoxTree.java:123-129,144),
+  - the *sticky* Pdf2Dom style word/letter spacing: the reference mutates
+    ``style`` directly on Tw/Tc (PDFBoxTree.java:425-434) and never restores
+    it on Q — mirrored bug-for-bug (separately from PDFBox's true text state
+    which IS restored on Q and drives glyph advances).
+
+Fidelity notes (discoveries made against the reference, cited):
+  - Pdf2Dom overrides ``processTextPosition`` without calling super
+    (PDFBoxTree.java:592-656), so PDFTextStripper's sortByPosition /
+    suppressDuplicateOverlappingText configured in the constructor
+    (PDFBoxTree.java:157-158) never take effect: glyphs arrive in
+    content-stream order and no duplicate suppression happens. We mirror
+    stream order exactly (optional de-dup/sort are exposed as config extras,
+    off by default).
+  - Page gate ``getCurrentPageNo() >= startPage && <= endPage`` is 1-based
+    (PDFBoxTree.java:200-210); gated pages skip font-table updates too.
+  - ``lastText``/``graphicsPath`` persist across pages; the text buffer is
+    flushed at each page end (PDFBoxTree.java:208).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import unicodedata
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import fonts as F
+from .tokenizer import tokenize
+
+# Sub-ordering space per token: event key = token_seq * KEY_STRIDE + sub.
+KEY_STRIDE = 1 << 20
+
+TRANSPARENT = "rgba(0,0,0,0)"  # BoxStyle.transparentColor (BoxStyle.java:32)
+
+# --- affine helpers (row-vector convention: p' = p @ M[:2] + M[2]) ----------
+
+def ident() -> np.ndarray:
+    return np.array([[1.0, 0.0], [0.0, 1.0], [0.0, 0.0]])
+
+
+def mat(a, b, c, d, e, f) -> np.ndarray:
+    return np.array([[a, b], [c, d], [e, f]], dtype=np.float64)
+
+
+def compose(first: np.ndarray, then: np.ndarray) -> np.ndarray:
+    """Apply `first`, then `then`."""
+    out = np.empty((3, 2))
+    out[:2] = first[:2] @ then[:2]
+    out[2] = first[2] @ then[:2] + then[2]
+    return out
+
+
+def apply_pts(m: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    return pts @ m[:2] + m[2]
+
+
+def scale_x(m: np.ndarray) -> float:
+    """Matrix.getScalingFactorX (PDFBox): hypot of the first row."""
+    return math.hypot(m[0, 0], m[0, 1])
+
+
+def scale_y(m: np.ndarray) -> float:
+    return math.hypot(m[1, 0], m[1, 1])
+
+
+def page_transform(w: float, h: float, rot: int) -> np.ndarray:
+    """createCurrentPageTransformation (PDFBoxTree.java:831-855).
+
+    Point application order (reverse of Java concatenation order):
+    translate(-llx,-lly) -> scale(1,-1) -> translate(0,h) -> rotate(rot)
+    -> rotation-dependent translate. Crop-box lower-left is (0,0) in the
+    synthetic corpus.
+    """
+    m = mat(1, 0, 0, -1, 0, 0)            # scale(1,-1)
+    m = compose(m, mat(1, 0, 0, 1, 0, h))  # translate(0, h)
+    r = math.radians(rot)
+    cos, sin = math.cos(r), math.sin(r)
+    m = compose(m, mat(cos, sin, -sin, cos, 0, 0))
+    if rot == 90:
+        m = compose(m, mat(1, 0, 0, 1, h, 0))
+    elif rot == 180:
+        m = compose(m, mat(1, 0, 0, 1, w, h))
+    elif rot == 270:
+        m = compose(m, mat(1, 0, 0, 1, 0, w))
+    return m
+
+
+# --- colors ------------------------------------------------------------------
+
+def color_hex(rgb: tuple[float, float, float]) -> str:
+    """colorString: '#%02x%02x%02x' with (int) truncation of c*255
+    (PDFBoxTree.java:915-930)."""
+    r, g, b = (int(c * 255) for c in rgb)
+    return "#%02x%02x%02x" % (max(0, min(255, r)), max(0, min(255, g)), max(0, min(255, b)))
+
+
+def cmyk_to_rgb(c, m, y, k) -> tuple[float, float, float]:
+    # Reference delegates to PDFBox color management; we use the naive
+    # device-CMYK formula (documented simplification).
+    return ((1 - c) * (1 - k), (1 - m) * (1 - k), (1 - y) * (1 - k))
+
+
+FILL_MODES = {0, 2, 4, 6}    # FILL, FILL_STROKE, FILL_CLIP, FILL_STROKE_CLIP
+STROKE_MODES = {1, 2, 5, 6}  # STROKE, FILL_STROKE, STROKE_CLIP, F_S_CLIP
+
+
+# --- directionality / diacritics ---------------------------------------------
+
+_RTL_BIDI = {"R", "AL", "RLE", "RLO"}  # PDFBoxTree.isReversed (:686-699)
+
+
+def is_rtl_char(ch: str) -> bool:
+    return unicodedata.bidirectional(ch) in _RTL_BIDI
+
+
+def is_diacritic_char(ch: str) -> bool:
+    return unicodedata.combining(ch) != 0
+
+
+# --- interpreter state --------------------------------------------------------
+
+@dataclass
+class _GState:
+    ctm: np.ndarray = field(default_factory=ident)
+    fill_rgb: tuple = (0.0, 0.0, 0.0)
+    stroke_rgb: tuple = (0.0, 0.0, 0.0)
+    line_width: float = 1.0
+    # text state (part of the PDF graphics state, restored by Q)
+    font: str = ""
+    fsize: float = 0.0
+    tc: float = 0.0
+    tw: float = 0.0
+    tl: float = 0.0
+    th: float = 1.0   # horizontal scale (Tz/100)
+    ts: float = 0.0   # rise
+    tr: int = 0       # rendering mode
+
+    def copy(self) -> "_GState":
+        g = _GState(self.ctm.copy(), self.fill_rgb, self.stroke_rgb,
+                    self.line_width, self.font, self.fsize, self.tc, self.tw,
+                    self.tl, self.th, self.ts, self.tr)
+        return g
+
+
+GLYPH_COLS = [
+    "key", "page_no", "x", "y", "width", "height", "xscale", "yscale",
+    "ascent", "descent", "unicode", "font_family", "font_weight",
+    "font_style", "color", "stroke_color", "word_spacing", "letter_spacing",
+    "is_dia", "is_ws", "rtl",
+]
+
+
+class DocInterp:
+    """Interprets one document's token list. Produces:
+
+    - ``glyphs``: dict of columnar arrays (GLYPH_COLS)
+    - ``events``: list of layout-event tuples
+        ('page', key, page_no, w, h, rot)
+        ('rect', key, page_no, left, top, w, h, line_w, stroke, fill, scol, fcol)
+        ('line', key, page_no, x1, y1, x2, y2, line_w, scol)
+        ('pathimg', key, page_no, x, y, w, h, media_ref)
+        ('image', key, page_no, x, y, w, h, media_ref)
+    - ``font_table``: the accumulated FontTable
+    - ``end_key``: ordering key for the final flush / font spans
+    """
+
+    def __init__(self, start_page: int = 0, end_page: int = 2**31 - 1,
+                 disable_graphics: bool = False, disable_images: bool = False,
+                 collect_fonts: bool = True):
+        self.start_page = start_page
+        self.end_page = end_page
+        self.disable_graphics = disable_graphics
+        self.disable_images = disable_images
+        self.collect_fonts = collect_fonts
+        self.font_table = F.FontTable()
+
+    def run(self, tokens: list[tuple[str, list]]):
+        g = _GState()
+        stack: list[_GState] = []
+        tm = ident()
+        tlm = ident()
+        # path state (persists across pages like the reference fields)
+        path: list[tuple] = []
+        px = py = psx = psy = 0.0
+        # sticky Pdf2Dom style spacing (never restored on Q)
+        sticky_tw = 0.0
+        sticky_tc = 0.0
+
+        page_no = 0          # 1-based once first PG seen
+        page_active = False  # inside a non-gated page
+        page_m = page_transform(612.0, 792.0, 0)
+        page_w, page_h, page_rot = 612.0, 792.0, 0
+        # finishBox fires at each page end (PDFBoxTree.java:208): record the
+        # ordering key of each active page's end-of-stream flush point.
+        page_flush: dict[int, int] = {}
+        flush_page: int | None = None
+
+        glyph_chunks: list[dict] = []
+        events: list[tuple] = []
+
+        def tp(x: float, y: float) -> tuple[float, float]:
+            """transformPosition: CTM then page transform (PDFBoxTree.java:822-829)."""
+            p = apply_pts(g.ctm, np.array([[x, y]]))
+            p = apply_pts(page_m, p)
+            return float(p[0, 0]), float(p[0, 1])
+
+        def transform_width(w: float) -> float:
+            """PDFBox PDFStreamEngine.transformWidth."""
+            x = g.ctm[0, 0] + g.ctm[1, 0]
+            y = g.ctm[0, 1] + g.ctm[1, 1]
+            return w * math.sqrt((x * x + y * y) * 0.5)
+
+        def render_path(key: int, stroke: bool, fill: bool) -> None:
+            """PDFDomTree.renderPath dispatch (PDFDomTree.java:234-252)."""
+            rect = _to_rectangle(path)
+            if rect is not None:
+                lw = transform_width(g.line_width)
+                events.append(("rect", key, page_no, rect[0], rect[1],
+                               rect[2] - rect[0], rect[3] - rect[1], lw,
+                               stroke, fill, color_hex(g.stroke_rgb),
+                               color_hex(g.fill_rgb)))
+            elif stroke:
+                lw = transform_width(g.line_width)
+                for i, seg in enumerate(path):
+                    events.append(("line", key + i, page_no, seg[0], seg[1],
+                                   seg[2], seg[3], lw, color_hex(g.stroke_rgb)))
+            elif path:
+                # PathDrawer.drawPath bounds (PathDrawer.java:43-136):
+                # int-truncated min/max over both endpoints; degenerate -> 1x1.
+                xs = [int(v) for s in path for v in (s[0], s[2])]
+                ys = [int(v) for s in path for v in (s[1], s[3])]
+                x0, y0 = min(xs), min(ys)
+                w, h = max(xs) - x0, max(ys) - y0
+                if w <= 0 or h <= 0:
+                    w = h = 1
+                ref = "path:" + hashlib.sha256(
+                    (";".join(f"{int(s[0])},{int(s[1])},{int(s[2])},{int(s[3])}"
+                              for s in path)
+                     + "|" + color_hex(g.fill_rgb)).encode()
+                ).hexdigest()[:16]
+                events.append(("pathimg", key, page_no, float(x0), float(y0),
+                               float(w), float(h), ref))
+
+        def show(key: int, s: str) -> None:
+            nonlocal tm
+            if not s:
+                return
+            codes = np.fromiter((ord(c) for c in s), dtype=np.int64, count=len(s))
+            w0 = F.char_widths(codes, g.font)
+            adv = (w0 / 1000.0 * g.fsize + g.tc
+                   + np.where(codes == 32, g.tw, 0.0)) * g.th
+            cum = np.concatenate(([0.0], np.cumsum(adv)[:-1]))
+            tmctm = compose(tm, g.ctm)
+            pts = apply_pts(tmctm, np.stack([cum, np.full(len(s), g.ts)], axis=1))
+            sx, sy = scale_x(tmctm), scale_y(tmctm)
+            # LegacyPDFStreamEngine-style display coords: y flipped to
+            # top-down (unrotated-page text model; rotation fixtures use
+            # rects/images which go through the exact page transform).
+            dev_x = pts[:, 0]
+            dev_y = page_h - pts[:, 1]
+            widths = adv * sx
+            xscale = g.fsize * g.th * sx
+            yscale = g.fsize * sy
+            n = len(s)
+            fill_on = g.tr in FILL_MODES
+            stroke_on = g.tr in STROKE_MODES
+            fam = F.resolve_family(g.font, self.font_table) if g.font else None
+            weight, fstyle = F.font_weight_style(g.font) if g.font else ("normal", "normal")
+            chars = list(s)
+            glyph_chunks.append({
+                "key": key + np.arange(n, dtype=np.int64),
+                "page_no": np.full(n, page_no, dtype=np.int32),
+                "x": dev_x, "y": dev_y, "width": widths,
+                "height": np.full(n, F.CAP_HEIGHT / 1000.0 * yscale),
+                "xscale": np.full(n, xscale), "yscale": np.full(n, yscale),
+                "ascent": np.full(n, F.ASCENT / 1000.0 * yscale),
+                "descent": np.full(n, F.DESCENT / 1000.0 * yscale),
+                "unicode": chars,
+                "font_family": [fam] * n,
+                "font_weight": [weight] * n,
+                "font_style": [fstyle] * n,
+                # updateStyleForRenderingMode (PDFBoxTree.java:766-779)
+                "color": [color_hex(g.fill_rgb) if fill_on else TRANSPARENT] * n,
+                "stroke_color": [color_hex(g.stroke_rgb) if stroke_on else TRANSPARENT] * n,
+                "word_spacing": np.full(n, sticky_tw),
+                "letter_spacing": np.full(n, sticky_tc),
+                "is_dia": np.fromiter((is_diacritic_char(c) for c in chars),
+                                      dtype=bool, count=n),
+                "is_ws": np.fromiter((not c.strip() for c in chars),
+                                     dtype=bool, count=n),
+                "rtl": np.fromiter((is_rtl_char(c) for c in chars),
+                                   dtype=bool, count=n),
+            })
+            total = float(np.sum(adv))
+            tm = compose(mat(1, 0, 0, 1, total, 0), tm)
+
+        def do_image(key: int, media_ref: str, iw: float, ih: float,
+                     name: str) -> None:
+            """processImageOperation + calculateImagePosition
+            (PDFBoxTree.java:544-590)."""
+            if iw <= 0 or ih <= 0:
+                return
+            m = compose(mat(1, 0, 0, 1, 0, -ih),
+                        compose(mat(1.0 / iw, 0, 0, -1.0 / ih, 0, 0),
+                                compose(g.ctm, page_m)))
+            corners = apply_pts(m, np.array(
+                [[0.0, 0.0], [iw, 0.0], [0.0, ih], [iw, ih]]))
+            x0, y0 = corners.min(axis=0)
+            x1, y1 = corners.max(axis=0)
+            events.append(("image", key, page_no, float(x0), float(y0),
+                           float(x1 - x0), float(y1 - y0), media_ref, name))
+
+        i = 0
+        ntok = len(tokens)
+        while i < ntok:
+            op, args = tokens[i]
+            base = i * KEY_STRIDE
+            i += 1
+            if op == "PG":
+                # page boundary: 1-based gate (PDFBoxTree.java:200-210)
+                if flush_page is not None:
+                    page_flush[flush_page] = base  # sorts before this PG's span
+                page_no += 1
+                page_active = self.start_page <= page_no <= self.end_page
+                flush_page = page_no if page_active else None
+                if not page_active:
+                    # skip the whole page including font updates
+                    while i < ntok and tokens[i][0] != "PG":
+                        i += 1
+                    # note: page_no keeps counting via the next PG
+                    continue
+                page_w = float(args[0]) if len(args) > 0 else 612.0
+                page_h = float(args[1]) if len(args) > 1 else 792.0
+                page_rot = int(args[2]) if len(args) > 2 else 0
+                page_m = page_transform(page_w, page_h, page_rot)
+                # fresh per-page graphics state (PDFBox resets per page);
+                # the *path* and lastText persist (reference fields).
+                g = _GState(font=g.font, fsize=g.fsize)
+                stack = []
+                tm = ident()
+                tlm = ident()
+                if self.collect_fonts:
+                    self._prescan_fonts(tokens, i)
+                events.append(("page", base + 1, page_no, page_w, page_h, page_rot))
+                # page-end flush marker is derived in extract.py from keys
+                continue
+            if not page_active:
+                continue
+
+            # --- text state -------------------------------------------------
+            if op == "BT":
+                tm = ident(); tlm = ident()
+            elif op == "ET":
+                pass
+            elif op == "Tf" and len(args) >= 2:
+                g.font = str(args[0]); g.fsize = float(args[1])
+            elif op == "Tw" and args:
+                g.tw = float(args[0]); sticky_tw = float(args[0])
+            elif op == "Tc" and args:
+                g.tc = float(args[0]); sticky_tc = float(args[0])
+            elif op == "Tz" and args:
+                g.th = float(args[0]) / 100.0
+            elif op == "TL" and args:
+                g.tl = float(args[0])
+            elif op == "Ts" and args:
+                g.ts = float(args[0])
+            elif op == "Tr" and args:
+                g.tr = int(args[0])
+            elif op == "Td" and len(args) >= 2:
+                tlm = compose(mat(1, 0, 0, 1, float(args[0]), float(args[1])), tlm)
+                tm = tlm.copy()
+            elif op == "TD" and len(args) >= 2:
+                g.tl = -float(args[1])
+                tlm = compose(mat(1, 0, 0, 1, float(args[0]), float(args[1])), tlm)
+                tm = tlm.copy()
+            elif op == "Tm" and len(args) >= 6:
+                tlm = mat(*[float(a) for a in args[:6]])
+                tm = tlm.copy()
+            elif op == "T*":
+                tlm = compose(mat(1, 0, 0, 1, 0.0, -g.tl), tlm)
+                tm = tlm.copy()
+            elif op == "Tj" and args:
+                show(base, str(args[-1]))
+            elif op == "'" and args:
+                tlm = compose(mat(1, 0, 0, 1, 0.0, -g.tl), tlm)
+                tm = tlm.copy()
+                show(base, str(args[-1]))
+            elif op == '"' and len(args) >= 3:
+                g.tw = float(args[0]); sticky_tw = g.tw
+                g.tc = float(args[1]); sticky_tc = g.tc
+                tlm = compose(mat(1, 0, 0, 1, 0.0, -g.tl), tlm)
+                tm = tlm.copy()
+                show(base, str(args[2]))
+            elif op == "TJ" and args:
+                arr = args[-1] if isinstance(args[-1], list) else [args[-1]]
+                sub = 0
+                for el in arr:
+                    if isinstance(el, str):
+                        show(base + sub, el)
+                        sub += len(el)
+                    else:
+                        shift = -float(el) / 1000.0 * g.fsize * g.th
+                        tm = compose(mat(1, 0, 0, 1, shift, 0), tm)
+
+            # --- graphics state ----------------------------------------------
+            elif op == "q":
+                stack.append(g.copy())
+            elif op == "Q":
+                if stack:
+                    g = stack.pop()
+            elif op == "cm" and len(args) >= 6:
+                g.ctm = compose(mat(*[float(a) for a in args[:6]]), g.ctm)
+            elif op == "w" and args:
+                g.line_width = float(args[0])
+            elif op == "rg" and len(args) >= 3:
+                g.fill_rgb = (float(args[0]), float(args[1]), float(args[2]))
+            elif op == "RG" and len(args) >= 3:
+                g.stroke_rgb = (float(args[0]), float(args[1]), float(args[2]))
+            elif op == "g" and args:
+                v = float(args[0]); g.fill_rgb = (v, v, v)
+            elif op == "G" and args:
+                v = float(args[0]); g.stroke_rgb = (v, v, v)
+            elif op == "k" and len(args) >= 4:
+                g.fill_rgb = cmyk_to_rgb(*[float(a) for a in args[:4]])
+            elif op == "K" and len(args) >= 4:
+                g.stroke_rgb = cmyk_to_rgb(*[float(a) for a in args[:4]])
+            elif op in ("sc", "scn"):
+                nums = [a for a in args if isinstance(a, float)]
+                if len(nums) == 1:
+                    g.fill_rgb = (nums[0],) * 3
+                elif len(nums) >= 4:
+                    g.fill_rgb = cmyk_to_rgb(*nums[:4])
+                elif len(nums) == 3:
+                    g.fill_rgb = tuple(nums)
+            elif op in ("SC", "SCN"):
+                nums = [a for a in args if isinstance(a, float)]
+                if len(nums) == 1:
+                    g.stroke_rgb = (nums[0],) * 3
+                elif len(nums) >= 4:
+                    g.stroke_rgb = cmyk_to_rgb(*nums[:4])
+                elif len(nums) == 3:
+                    g.stroke_rgb = tuple(nums)
+
+            # --- path construction (PDFBoxTree.java:437-493) ------------------
+            elif op == "m":
+                if not self.disable_graphics and len(args) >= 2:
+                    px, py = tp(float(args[0]), float(args[1]))
+                    psx, psy = px, py
+            elif op == "l":
+                if not self.disable_graphics and len(args) >= 2:
+                    nx, ny = tp(float(args[0]), float(args[1]))
+                    path.append((px, py, nx, ny))
+                    px, py = nx, ny
+            elif op == "h":
+                if not self.disable_graphics:
+                    path.append((px, py, psx, psy))
+            elif op == "re":
+                if not self.disable_graphics and len(args) >= 4:
+                    x, y = float(args[0]), float(args[1])
+                    w_, h_ = float(args[2]), float(args[3])
+                    p1 = tp(x, y)
+                    p2 = tp(x + w_, y + h_)
+                    path.append((p1[0], p1[1], p2[0], p1[1]))
+                    path.append((p2[0], p1[1], p2[0], p2[1]))
+                    path.append((p2[0], p2[1], p1[0], p2[1]))
+                    path.append((p1[0], p2[1], p1[0], p1[1]))
+
+            # --- path painting (PDFBoxTree.java:496-532) ----------------------
+            elif op in ("f", "f*"):
+                render_path(base, stroke=False, fill=True)
+                path = []
+            elif op == "F":
+                render_path(base, stroke=False, fill=True)
+                path = []
+            elif op == "S":
+                render_path(base, stroke=True, fill=False)
+                path = []
+            elif op == "s":
+                path.append((px, py, psx, psy))
+                render_path(base, stroke=True, fill=False)
+                path = []
+            elif op in ("B", "B*"):
+                render_path(base, stroke=True, fill=True)
+                path = []
+            elif op in ("b", "b*"):
+                path.append((px, py, psx, psy))
+                render_path(base, stroke=True, fill=True)
+                path = []
+            elif op == "n":
+                path = []
+
+            # --- images -------------------------------------------------------
+            elif op == "DoMedia" and len(args) >= 3:
+                if not self.disable_images:
+                    do_image(base, str(args[0]), float(args[1]), float(args[2]),
+                             str(args[3]) if len(args) > 3 else "Untitled")
+            # plain named Do without a registry entry: not an image XObject
+            # -> ignored (PDFBoxTree.java:548 instanceof check)
+
+        end_key = ntok * KEY_STRIDE
+        if flush_page is not None:
+            page_flush[flush_page] = end_key
+        glyphs = _concat_glyphs(glyph_chunks)
+        return glyphs, events, self.font_table, end_key, page_flush
+
+    def _prescan_fonts(self, tokens: list, start: int) -> None:
+        """updateFontTable at page start (PDFBoxTree.java:200-210,353-366):
+        the page's font resources are modeled as the fonts referenced by Tf
+        on that page, in first-use order."""
+        j = start
+        while j < len(tokens) and tokens[j][0] != "PG":
+            op, args = tokens[j]
+            if op == "Tf" and args:
+                self.font_table.add_entry(str(args[0]))
+            j += 1
+
+
+def _to_rectangle(path: list[tuple]) -> list[float] | None:
+    """PDFBoxTree.toRectangle (PDFBoxTree.java:325-348): exactly 4 segments
+    with exactly 2 distinct x and 2 distinct y coordinates."""
+    if len(path) != 4:
+        return None
+    xc, yc = set(), set()
+    for s in path:
+        xc.add(s[0]); xc.add(s[2])
+        yc.add(s[1]); yc.add(s[3])
+    if len(xc) == 2 and len(yc) == 2:
+        return [min(xc), min(yc), max(xc), max(yc)]
+    return None
+
+
+def _concat_glyphs(chunks: list[dict]) -> dict:
+    if not chunks:
+        return {c: np.array([]) for c in GLYPH_COLS}
+    out = {}
+    for c in GLYPH_COLS:
+        first = chunks[0][c]
+        if isinstance(first, np.ndarray):
+            out[c] = np.concatenate([ch[c] for ch in chunks])
+        else:
+            vals: list = []
+            for ch in chunks:
+                vals.extend(ch[c])
+            out[c] = np.array(vals, dtype=object)
+    return out
+
+
+def doc_tokens(spans: list[dict]) -> list[tuple[str, list]]:
+    """Splice a document's interleaved spans into one ordered token list.
+
+    - kind='text' / 'rect': content-stream fragments, tokenized;
+    - kind='image': one synthetic ``DoMedia`` op carrying
+      (media_ref, width, height, name) — the reference's ``Do`` of an
+      image XObject (PDFBoxTree.java:535-562) with the payload already
+      resolved (``text`` holds "W H Name").
+    """
+    toks: list[tuple[str, list]] = []
+    for sp in sorted(spans, key=lambda s: s["offset"]):
+        kind = sp["kind"]
+        if kind == "image":
+            meta = (sp.get("text") or "").split()
+            w = float(meta[0]) if len(meta) > 0 else 1.0
+            h = float(meta[1]) if len(meta) > 1 else 1.0
+            name = meta[2] if len(meta) > 2 else "Untitled"
+            toks.append(("DoMedia", [sp.get("media_ref") or "", w, h, name]))
+        else:
+            toks.extend(tokenize(sp.get("text") or ""))
+    return toks

@@ -1,0 +1,130 @@
+"""Spark-level wiring: salted extraction, lineage, checkpoint-resume.
+
+Scale design (the 10^12-doc / 1000-executor story, tested at local[32]):
+
+- **One shuffle, total.** The only exchange in the whole job is the salted
+  ``repartition(P, pmod(xxhash64(doc_id), P))`` that defuses skew from giant
+  multi-page documents (BASELINE.json north_star). Extraction itself is a
+  narrow ``mapInPandas``; the lineage aggregate is a partial-agg over the
+  already-partitioned output, so AQE coalesces it cheaply.
+- **Deterministic partitioning.** ``part_id`` is a *column*
+  (``pmod(xxhash64(doc_id), P)``), not the runtime partition index, so
+  lineage/resume is stable across schedulers, cluster sizes, and retries.
+- **Idempotent writes.** Output is written partitioned by ``part_id`` with
+  dynamic partition overwrite: re-running a failed partition replaces exactly
+  its own files (Iceberg overwrite-by-partition in production; parquet
+  dynamic overwrite in this sandbox).
+- **Resume = anti-join.** Pending work is
+  ``docs.join(completed_lineage, "part_id", "left_anti")`` — a broadcast
+  anti-join (lineage has P rows), no extra shuffle of the fact side beyond
+  the salting exchange it needs anyway.
+- **Bounded Arrow batches.** Set
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` (docs vary wildly in
+  size); the kernel is O(tokens) per batch with numpy-vectorized glyph work.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extract import DEFAULT_CONFIG, ExtractConfig, make_extract_batch
+from .schema import SPAN_FLAT_SCHEMA, SPAN_SCHEMA
+
+
+def with_part_id(docs: DataFrame, num_partitions: int) -> DataFrame:
+    """Deterministic salt: pmod(xxhash64(doc_id), P) (SURVEY.md §4)."""
+    return docs.withColumn(
+        "part_id", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(num_partitions)).cast("int")
+    )
+
+
+def extract_spans(docs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
+                  num_partitions: int | None = None,
+                  nested: bool = True) -> DataFrame:
+    """documents -> ordered spans. The salted repartition is the only
+    shuffle; extraction is narrow from there on."""
+    spark = docs.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    salted = with_part_id(docs, p).repartition(p, F.col("part_id"))
+    schema = SPAN_SCHEMA if nested else SPAN_FLAT_SCHEMA
+    return salted.mapInPandas(make_extract_batch(cfg, nested=nested), schema)
+
+
+def lineage(spans: DataFrame) -> DataFrame:
+    """Per-partition lineage rows (partition id, doc count, span count,
+    order-insensitive checksum). bit_xor keeps the checksum overflow-free
+    and commutative, so it is insensitive to within-partition ordering."""
+    return spans.groupBy("part_id").agg(
+        F.countDistinct("doc_id").alias("doc_count"),
+        F.count(F.lit(1)).alias("span_count"),
+        F.bit_xor(
+            F.xxhash64("doc_id", "order", "kind", "text", "media_ref")
+        ).alias("checksum"),
+    )
+
+
+class FailureInjection(Exception):
+    pass
+
+
+def run_checkpointed(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    num_partitions: int = 32,
+    run_id: str | None = None,
+    fail_parts: set[int] | None = None,
+) -> dict:
+    """One checkpointed run: extract only partitions that have no lineage row
+    yet, write them idempotently, append lineage. Returns run stats.
+
+    ``fail_parts`` injects a failure for those part_ids (the partition's
+    lineage row is withheld and its output discarded) to test resume.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    spans_dir = f"{out_dir}/spans"
+    lineage_dir = f"{out_dir}/lineage"
+
+    salted = with_part_id(docs, num_partitions)
+    try:
+        done = spark.read.parquet(lineage_dir).select("part_id").distinct()
+        pending = salted.join(F.broadcast(done), "part_id", "left_anti")
+    except Exception:  # no lineage yet -> everything pending
+        pending = salted
+
+    pending = pending.repartition(num_partitions, F.col("part_id"))
+    spans = pending.mapInPandas(make_extract_batch(cfg, nested=False),
+                                SPAN_FLAT_SCHEMA)
+    if fail_parts:
+        # simulate a mid-job crash: these partitions produce no output and
+        # no lineage row this run
+        spans = spans.filter(~F.col("part_id").isin(*fail_parts))
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spans.write.mode("overwrite").partitionBy("part_id").parquet(spans_dir)
+
+    written = spark.read.parquet(spans_dir)
+    try:
+        prev_done = spark.read.parquet(lineage_dir).select("part_id").distinct()
+        new_parts = written.select("part_id").distinct().join(
+            F.broadcast(prev_done), "part_id", "left_anti")
+    except Exception:
+        new_parts = written.select("part_id").distinct()
+
+    new_lineage = (
+        lineage(written.join(F.broadcast(new_parts), "part_id"))
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("completed_at", F.current_timestamp())
+    )
+    new_lineage.write.mode("append").parquet(lineage_dir)
+
+    done_now = spark.read.parquet(lineage_dir)
+    return {
+        "run_id": run_id,
+        "parts_done": done_now.select("part_id").distinct().count(),
+        "span_count": written.count(),
+    }
