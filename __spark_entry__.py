@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)`` — flagship: build the deterministic interleaved
+  text+media corpus from /root/testdata/sf0.001 and run the full
+  Pdf2Dom-equivalent extraction (tokenize -> interpret -> chunk -> ordered
+  spans) through the salted mapInPandas pipeline.
+- ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+  (SURVEY.md §2 + training-data ops); oracles run on DuckDB against the same
+  parquet tables.
 """
 
 from __future__ import annotations
@@ -16,23 +18,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pdf2dom_spark.corpus import build_docs_df
+    from pdf2dom_spark.pipeline import extract_spans
+
+    docs = build_docs_df(spark, "/root/testdata/sf0.001", mode="rich")
+    return extract_spans(docs, num_partitions=8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from pdf2dom_spark.queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (omitted entries -> rows-only check)."""
+    from pdf2dom_spark.queries import all_oracles
+
+    return all_oracles()

@@ -1,0 +1,541 @@
+"""Driver-facing query registry: ``queries()`` / ``oracle_sql()``.
+
+Each entry pairs a Spark DataFrame builder ``(spark, sf_dir) -> DataFrame``
+with an equivalent ANSI-SQL string DuckDB runs on the same parquet tables.
+Column names and types are aligned on both sides (the driver's compare sorts
+columns by name and hashes values); floats are rounded explicitly.
+
+Groups:
+  1. extraction semantics — the mono-grid oracle corpus makes the FULL
+     kernel (tokenizer -> interpreter -> chunking -> emission order)
+     reproducible in closed-form SQL; plus the relational re-expression of
+     the T1/T2/T3 chunk-merge as window functions (gaps-and-islands), the
+     page-range gate, scalar op parity (RTL reverse, color hex, font
+     family/weight/style parsing, line classification, page rotation
+     transforms);
+  2. training-data ops (textops.py) and similarity search (simsearch.py);
+  3. relational shapes the pipeline relies on: broadcast dim join,
+     checkpoint-resume anti-join, row_number de-dup naming, lineage
+     aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import simsearch, textops
+from .corpus import build_docs_df
+from .extract import ExtractConfig, make_extract_batch
+from .fonts import CSS_FONT_FAMILY, CSS_FONT_STYLE, CSS_FONT_WEIGHT, PD_FONT_TYPE
+from .schema import SPAN_FLAT_SCHEMA
+
+REGISTRY: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _reg(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return deco
+
+
+def _extract_flat(spark: SparkSession, sf_dir: str,
+                  cfg: ExtractConfig | None = None,
+                  mode: str = "oracle") -> DataFrame:
+    docs = build_docs_df(spark, sf_dir, mode=mode)
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = docs.repartition(p, F.pmod(F.xxhash64("doc_id"), F.lit(p)))
+    return docs.mapInPandas(
+        make_extract_batch(cfg or ExtractConfig(), nested=False),
+        SPAN_FLAT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# 1a. FULL kernel vs closed-form SQL on the mono-grid corpus
+# ---------------------------------------------------------------------------
+
+_ORACLE_SPANS_SQL = """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         unnest(string_split(text,' ')) AS word,
+         generate_subscripts(string_split(text,' '), 1) - 1 AS widx
+  FROM documents WHERE length(text) > 0
+),
+ws AS (
+  SELECT doc_id, word, widx,
+         CAST(widx // 40 + 1 AS INT) AS page_no,
+         CAST((widx % 40) // 8 AS INT) AS line_no,
+         CAST(widx % 8 AS INT) AS pos
+  FROM w
+),
+boxes AS (
+  SELECT doc_id, CAST(widx + page_no AS INT) AS ord, 'text' AS kind,
+         word AS text, CAST(NULL AS VARCHAR) AS media_ref, page_no,
+         ROUND(72 + 5.0 * COALESCE(SUM(LENGTH(word)) OVER
+               (PARTITION BY doc_id, page_no, line_no ORDER BY widx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + 5.0 * pos, 2) AS left_pt,
+         ROUND(64 + 14.0 * line_no, 2) AS top_pt,
+         ROUND(5.0 * LENGTH(word), 2) AS width_pt,
+         CAST(10.0 AS DOUBLE) AS line_height,
+         CAST(10.0 AS DOUBLE) AS font_size,
+         '#000000' AS color, 'Mono' AS font_family
+  FROM ws
+),
+n AS (SELECT doc_id, COUNT(*) AS nw, CAST(CEIL(COUNT(*) / 40.0) AS INT) AS np
+      FROM ws GROUP BY doc_id),
+pages AS (
+  SELECT doc_id, CAST((p - 1) * 41 AS INT) AS ord, 'page' AS kind,
+         CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS media_ref,
+         CAST(p AS INT) AS page_no,
+         CAST(NULL AS DOUBLE) AS left_pt, CAST(NULL AS DOUBLE) AS top_pt,
+         CAST(612.0 AS DOUBLE) AS width_pt, CAST(NULL AS DOUBLE) AS line_height,
+         CAST(NULL AS DOUBLE) AS font_size,
+         CAST(NULL AS VARCHAR) AS color, CAST(NULL AS VARCHAR) AS font_family
+  FROM (SELECT doc_id, unnest(generate_series(1, np)) AS p FROM n)
+),
+fonts AS (
+  SELECT doc_id, CAST(nw + np AS INT) AS ord, 'font' AS kind,
+         'Mono' AS text, 'font:Mono' AS media_ref, CAST(NULL AS INT) AS page_no,
+         CAST(NULL AS DOUBLE) AS left_pt, CAST(NULL AS DOUBLE) AS top_pt,
+         CAST(NULL AS DOUBLE) AS width_pt, CAST(NULL AS DOUBLE) AS line_height,
+         CAST(NULL AS DOUBLE) AS font_size,
+         CAST(NULL AS VARCHAR) AS color, CAST(NULL AS VARCHAR) AS font_family
+  FROM n
+)
+SELECT * FROM boxes UNION ALL SELECT * FROM pages UNION ALL SELECT * FROM fonts
+"""
+
+@_reg("extract_spans_oracle", _ORACLE_SPANS_SQL)
+def extract_spans_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flat = _extract_flat(spark, sf_dir, mode="oracle")
+    return flat.select(
+        "doc_id",
+        F.col("order").cast("int").alias("ord"),
+        "kind", "text", "media_ref",
+        F.col("page_no").cast("int").alias("page_no"),
+        F.round(F.col("style_left").cast("double"), 2).alias("left_pt"),
+        F.round(F.col("style_top").cast("double"), 2).alias("top_pt"),
+        F.round(F.col("style_width").cast("double"), 2).alias("width_pt"),
+        F.round(F.col("style_line_height").cast("double"), 2).alias("line_height"),
+        F.round(F.col("style_font_size").cast("double"), 2).alias("font_size"),
+        F.col("style_color").alias("color"),
+        F.col("style_font_family").alias("font_family"),
+    )
+
+
+# 1b. page-range gate (S2; PDFBoxTree.java:200-210 — 1-based, inclusive)
+@_reg("extract_page_range", """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         generate_subscripts(string_split(text,' '), 1) - 1 AS widx
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN widx < 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+       CAST(1 AS BIGINT) AS n_page
+FROM w GROUP BY doc_id
+""")
+def extract_page_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flat = _extract_flat(spark, sf_dir,
+                         cfg=ExtractConfig(start_page=1, end_page=1),
+                         mode="oracle")
+    return flat.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("kind") == "text", 1).otherwise(0)).alias("n_text"),
+        F.sum(F.when(F.col("kind") == "page", 1).otherwise(0)).alias("n_page"),
+    )
+
+
+# 1c. chunk-merge as pure window SQL (gaps-and-islands; SURVEY.md §2.h):
+# lag-based split predicate -> running-sum box id -> ordered concat + metrics
+@_reg("chunk_islands_sql", """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         unnest(string_split(text,' ')) AS word,
+         generate_subscripts(string_split(text,' '), 1) - 1 AS widx
+  FROM documents WHERE length(text) > 0
+),
+g AS (
+  SELECT doc_id, word, widx,
+         5.0 * LENGTH(word) AS xw,
+         CASE WHEN widx % 5 = 0 THEN 0.5 ELSE 2.0 END AS gap,
+         10.0 + 2.0 * ((widx // 7) % 2) AS fs
+  FROM w
+),
+p AS (
+  SELECT *, 72 + COALESCE(SUM(xw + gap) OVER
+             (PARTITION BY doc_id ORDER BY widx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS x
+  FROM g
+),
+s AS (
+  SELECT *, CASE WHEN LAG(widx) OVER win IS NULL
+                   OR gap > 1.0
+                   OR fs <> LAG(fs) OVER win
+            THEN 1 ELSE 0 END AS split
+  FROM p WINDOW win AS (PARTITION BY doc_id ORDER BY widx)
+),
+i AS (
+  SELECT *, SUM(split) OVER (PARTITION BY doc_id ORDER BY widx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS box_id
+  FROM s
+)
+SELECT doc_id, CAST(box_id AS INT) AS box_id,
+       string_agg(word, '' ORDER BY widx) AS text,
+       ROUND(MIN(x), 2) AS left_pt,
+       ROUND(MAX(x + xw) - MIN(x), 2) AS width_pt,
+       CAST(COUNT(*) AS BIGINT) AS n_glyphs
+FROM i GROUP BY doc_id, box_id
+""")
+def chunk_islands_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.length("text") > 0)
+    w = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.posexplode(F.split("text", " ")).alias("widx", "word"))
+    g = w.select(
+        "doc_id", "word", "widx",
+        (5.0 * F.length("word")).alias("xw"),
+        F.when(F.col("widx") % 5 == 0, 0.5).otherwise(2.0).alias("gap"),
+        (10.0 + 2.0 * ((F.col("widx") / 7).cast("int") % 2)).alias("fs"))
+    win = Window.partitionBy("doc_id").orderBy("widx")
+    run = Window.partitionBy("doc_id").orderBy("widx").rowsBetween(
+        Window.unboundedPreceding, -1)
+    p = g.withColumn(
+        "x", F.lit(72.0) + F.coalesce(
+            F.sum(F.col("xw") + F.col("gap")).over(run), F.lit(0.0)))
+    s = p.withColumn(
+        "split",
+        F.when(F.lag("widx").over(win).isNull()
+               | (F.col("gap") > 1.0)
+               | (F.col("fs") != F.lag("fs").over(win)), 1).otherwise(0))
+    cur = Window.partitionBy("doc_id").orderBy("widx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    i = s.withColumn("box_id", (F.sum("split").over(cur) - 1).cast("int"))
+    return i.groupBy("doc_id", "box_id").agg(
+        F.array_join(F.transform(
+            F.array_sort(F.collect_list(F.struct("widx", "word"))),
+            lambda st: st.word), "").alias("text"),
+        F.round(F.min("x"), 2).alias("left_pt"),
+        F.round(F.max(F.col("x") + F.col("xw")) - F.min("x"), 2).alias("width_pt"),
+        F.count(F.lit(1)).alias("n_glyphs"))
+
+
+# 1d. scalar parity: RTL reverse (P8; PDFBoxTree.java:666-669)
+@_reg("rtl_reverse", """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, reverse(text) AS rev
+FROM documents
+""")
+def rtl_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.reverse("text").alias("rev"))
+
+
+# 1e. color hex formatting (M6; PDFBoxTree.java:915-930 int truncation)
+@_reg("color_hex", """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       printf('#%02x%02x%02x',
+              CAST(doc_id * 37 % 256 AS INT),
+              CAST(doc_id * 59 % 256 AS INT),
+              CAST(doc_id * 83 % 256 AS INT)) AS hex
+FROM documents
+""")
+def color_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.format_string(
+            "#%02x%02x%02x",
+            (F.col("doc_id") * 37 % 256).cast("int"),
+            (F.col("doc_id") * 59 % 256).cast("int"),
+            (F.col("doc_id") * 83 % 256).cast("int")).alias("hex"))
+
+
+# 1f. font family parse (F1; FontTable.java:31,105-118)
+_FAM_RE = "([^+^-]*)[+-]([^+]*)"
+
+@_reg("font_family_parse", f"""
+WITH f AS (SELECT DISTINCT 'ABCDEF+' || source || '-Oblique' AS name
+           FROM documents)
+SELECT name,
+       CASE WHEN regexp_extract(name, '{_FAM_RE}', 1) <> '' OR
+                 regexp_extract(name, '{_FAM_RE}', 2) <> ''
+            THEN replace(regexp_extract(name, '{_FAM_RE}', 1) || ' ' ||
+                         regexp_extract(name, '{_FAM_RE}', 2), '+', ' ')
+            ELSE replace(name, '+', ' ') END AS family
+FROM f
+""")
+def font_family_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(F.lit("ABCDEF+"), F.col("source"), F.lit("-Oblique"))
+        .alias("name")).distinct()
+    g1 = F.regexp_extract("name", _FAM_RE, 1)
+    g2 = F.regexp_extract("name", _FAM_RE, 2)
+    fam = F.when((g1 != "") | (g2 != ""),
+                 F.replace(F.concat(g1, F.lit(" "), g2), F.lit("+"), F.lit(" "))
+                 ).otherwise(F.replace(F.col("name"), F.lit("+"), F.lit(" ")))
+    return d.select("name", fam.alias("family"))
+
+
+# 1g. font weight/style classification (P6; PDFBoxTree.java:719-735)
+def _ws_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN instr(lower(name), '{k}') > 0 THEN '{w}|{s}'"
+        for k, w, s in zip(PD_FONT_TYPE, CSS_FONT_WEIGHT, CSS_FONT_STYLE))
+    return f"CASE {whens} ELSE 'normal|normal' END"
+
+@_reg("font_weight_style", f"""
+WITH f AS (SELECT DISTINCT source || '-BoldItalic' AS name FROM documents
+           UNION ALL SELECT DISTINCT source || '-italic' AS name FROM documents
+           UNION ALL SELECT DISTINCT source AS name FROM documents)
+SELECT name,
+       string_split({_ws_case_sql()}, '|')[1] AS weight,
+       string_split({_ws_case_sql()}, '|')[2] AS style
+FROM f
+""")
+def font_weight_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    names = (d.select(F.concat("source", F.lit("-BoldItalic")).alias("name")).distinct()
+             .unionAll(d.select(F.concat("source", F.lit("-italic")).alias("name")).distinct())
+             .unionAll(d.select(F.col("source").alias("name")).distinct()))
+    expr_w = None
+    expr_s = None
+    for k, w, s in zip(PD_FONT_TYPE, CSS_FONT_WEIGHT, CSS_FONT_STYLE):
+        cond = F.instr(F.lower("name"), k) > 0
+        expr_w = F.when(cond, w) if expr_w is None else expr_w.when(cond, w)
+        expr_s = F.when(cond, s) if expr_s is None else expr_s.when(cond, s)
+    return names.select(
+        "name",
+        expr_w.otherwise("normal").alias("weight"),
+        expr_s.otherwise("normal").alias("style"))
+
+
+# 1h. known-family projection (P5; PDFBoxTree.java:756-764)
+def _known_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN instr(lower(name), '{fam.lower().replace(' ', '')}') > 0 "
+        f"THEN '{fam}'"
+        for fam in CSS_FONT_FAMILY)
+    return f"CASE {whens} ELSE '' END"
+
+@_reg("known_family_map", f"""
+WITH f AS (SELECT DISTINCT 'X' || source || 'ArialMT' AS name FROM documents
+           UNION ALL SELECT DISTINCT source || '-TimesNewRomanPSMT' AS name FROM documents
+           UNION ALL SELECT DISTINCT source AS name FROM documents)
+SELECT name, {_known_case_sql()} AS family FROM f
+""")
+def known_family_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    names = (d.select(F.concat(F.lit("X"), F.col("source"), F.lit("ArialMT")).alias("name")).distinct()
+             .unionAll(d.select(F.concat("source", F.lit("-TimesNewRomanPSMT")).alias("name")).distinct())
+             .unionAll(d.select(F.col("source").alias("name")).distinct()))
+    expr = None
+    for fam in CSS_FONT_FAMILY:
+        cond = F.instr(F.lower("name"), fam.lower().replace(" ", "")) > 0
+        expr = F.when(cond, fam) if expr is None else expr.when(cond, fam)
+    return names.select("name", expr.otherwise("").alias("family"))
+
+
+# 1i. line classification (G10; HtmlDivLine.java:24-93)
+@_reg("line_classify", """
+WITH seg AS (
+  SELECT CAST(event_id AS BIGINT) AS seg_id,
+         CAST(event_id % 300 AS DOUBLE) AS x1,
+         CAST((event_id * 7) % 300 AS DOUBLE) AS y1,
+         CAST(event_id % 300 + (event_id % 3) * 50 AS DOUBLE) AS x2,
+         CAST((event_id * 7) % 300 + (event_id % 5) * 25 AS DOUBLE) AS y2
+  FROM events
+),
+c AS (
+  SELECT *, ABS(x2 - x1) AS w, ABS(y2 - y1) AS h FROM seg
+),
+k AS (
+  SELECT *, (h < 0.5) AS horiz, (w < 0.5) AS vert FROM c
+)
+SELECT seg_id,
+       CASE WHEN vert THEN 'v' WHEN horiz THEN 'h' ELSE 'slant' END AS cls,
+       ROUND(CASE WHEN vert THEN 0 WHEN horiz THEN w
+                  ELSE sqrt((x1-x2)*(x1-x2) + (y1-y2)*(y1-y2)) END, 3) AS width_pt,
+       ROUND(CASE WHEN vert THEN h ELSE 0 END, 3) AS height_pt,
+       ROUND(CASE WHEN horiz OR vert THEN LEAST(x1, x2)
+                  ELSE ABS((x2+x1)/2) - (CASE WHEN vert THEN 0 WHEN horiz THEN w
+                       ELSE sqrt((x1-x2)*(x1-x2) + (y1-y2)*(y1-y2)) END)/2 END, 3) AS left_pt,
+       ROUND(CASE WHEN horiz OR vert THEN 0
+                  ELSE degrees(atan((y2-y1)/(x2-x1))) END, 3) AS angle_deg
+FROM k
+""")
+def line_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    seg = ev.select(
+        F.col("event_id").cast("long").alias("seg_id"),
+        (F.col("event_id") % 300).cast("double").alias("x1"),
+        ((F.col("event_id") * 7) % 300).cast("double").alias("y1"),
+        (F.col("event_id") % 300 + (F.col("event_id") % 3) * 50).cast("double").alias("x2"),
+        ((F.col("event_id") * 7) % 300 + (F.col("event_id") % 5) * 25).cast("double").alias("y2"))
+    w = F.abs(F.col("x2") - F.col("x1"))
+    h = F.abs(F.col("y2") - F.col("y1"))
+    horiz = h < 0.5
+    vert = w < 0.5
+    slant_w = F.sqrt((F.col("x1") - F.col("x2")) ** 2 + (F.col("y1") - F.col("y2")) ** 2)
+    width = F.when(vert, 0.0).when(horiz, w).otherwise(slant_w)
+    return seg.select(
+        "seg_id",
+        F.when(vert, "v").when(horiz, "h").otherwise("slant").alias("cls"),
+        F.round(width, 3).alias("width_pt"),
+        F.round(F.when(vert, h).otherwise(0.0), 3).alias("height_pt"),
+        F.round(F.when(horiz | vert, F.least("x1", "x2"))
+                 .otherwise(F.abs((F.col("x2") + F.col("x1")) / 2) - width / 2),
+                3).alias("left_pt"),
+        F.round(F.when(horiz | vert, 0.0)
+                 .otherwise(F.degrees(F.atan(
+                     (F.col("y2") - F.col("y1")) / (F.col("x2") - F.col("x1"))))),
+                3).alias("angle_deg"))
+
+
+# 1j. page rotation transform (M2; PDFBoxTree.java:831-855). Spark applies the
+# rotate-matrix trig; the oracle uses the closed forms per rotation.
+@_reg("page_transform_quadrants", """
+SELECT CAST(n_nationkey AS INT) AS pt_id,
+       CAST(n_nationkey % 4 * 90 AS INT) AS rot,
+       ROUND(CASE n_nationkey % 4
+             WHEN 0 THEN n_nationkey * 20.0
+             WHEN 1 THEN (n_nationkey % 7) * 100.0
+             WHEN 2 THEN 612.0 - n_nationkey * 20.0
+             ELSE 792.0 - (n_nationkey % 7) * 100.0 END, 2) AS dev_x,
+       ROUND(CASE n_nationkey % 4
+             WHEN 0 THEN 792.0 - (n_nationkey % 7) * 100.0
+             WHEN 1 THEN n_nationkey * 20.0
+             WHEN 2 THEN (n_nationkey % 7) * 100.0
+             ELSE 612.0 - n_nationkey * 20.0 END, 2) AS dev_y
+FROM nation
+""")
+def page_transform_quadrants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("int").alias("pt_id"),
+        (F.col("n_nationkey") * 20.0).alias("x"),
+        ((F.col("n_nationkey") % 7) * 100.0).alias("y"),
+        (F.col("n_nationkey") % 4 * 90).cast("int").alias("rot"))
+    w, h = F.lit(612.0), F.lit(792.0)
+    # flip: (x, h - y); then rotate by rot; then rotation-dependent translate
+    fx, fy = F.col("x"), h - F.col("y")
+    rad = F.radians(F.col("rot").cast("double"))
+    rx = fx * F.cos(rad) - fy * F.sin(rad)
+    ry = fx * F.sin(rad) + fy * F.cos(rad)
+    tx = (F.when(F.col("rot") == 90, h).when(F.col("rot") == 180, w)
+           .otherwise(F.lit(0.0)))
+    ty = (F.when(F.col("rot") == 180, h).when(F.col("rot") == 270, w)
+           .otherwise(F.lit(0.0)))
+    return n.select(
+        "pt_id", "rot",
+        F.round(rx + tx, 2).alias("dev_x"),
+        F.round(ry + ty, 2).alias("dev_y"))
+
+
+# ---------------------------------------------------------------------------
+# 3. relational shapes the pipeline relies on
+# ---------------------------------------------------------------------------
+
+# broadcast dim join (font-table lookup analog; SURVEY.md §2.h "Joins")
+@_reg("broadcast_dim_join", """
+SELECT p.p_brand AS brand,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""")
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return (li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+            .groupBy(F.col("p_brand").alias("brand"))
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2).alias("revenue")))
+
+
+# checkpoint-resume anti-join shape (SURVEY.md §2.h)
+@_reg("anti_join_pending", """
+SELECT o.o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_pending
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+GROUP BY o.o_orderpriority
+""")
+def anti_join_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(F.count(F.lit(1)).alias("n_pending")))
+
+
+# row_number de-dup naming (F1 usedName analog; FontTable.java:77-88)
+@_reg("window_rownum_dedup", """
+WITH r AS (
+  SELECT p_brand, CAST(p_partkey AS BIGINT) AS p_partkey,
+         ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_partkey) AS rn
+  FROM part
+)
+SELECT p_brand AS brand, p_partkey,
+       CASE WHEN rn = 1 THEN p_brand ELSE p_brand || CAST(rn - 1 AS VARCHAR) END AS used_name
+FROM r WHERE rn <= 3
+""")
+def window_rownum_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    win = Window.partitionBy("p_brand").orderBy("p_partkey")
+    r = pt.select("p_brand", F.col("p_partkey").cast("long").alias("p_partkey"),
+                  F.row_number().over(win).alias("rn"))
+    used = F.when(F.col("rn") == 1, F.col("p_brand")).otherwise(
+        F.concat(F.col("p_brand"), (F.col("rn") - 1).cast("string")))
+    return r.where(F.col("rn") <= 3).select(
+        F.col("p_brand").alias("brand"), "p_partkey", used.alias("used_name"))
+
+
+# lineage aggregation shape (per-partition counters + checksums)
+@_reg("lineage_agg", """
+SELECT CAST(doc_id % 16 AS INT) AS part_id,
+       CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(md5(text)) AS checksum_lo, MAX(md5(text)) AS checksum_hi
+FROM documents GROUP BY 1
+""")
+def lineage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (d.groupBy((F.col("doc_id") % 16).cast("int").alias("part_id"))
+            .agg(F.count(F.lit(1)).alias("doc_count"),
+                 F.sum("n_chars").cast("long").alias("total_chars"),
+                 F.min(F.md5("text")).alias("checksum_lo"),
+                 F.max(F.md5("text")).alias("checksum_hi")))
+
+
+# ---------------------------------------------------------------------------
+# rows-only (non-SQL-expressible): full interleaved corpus extraction
+# ---------------------------------------------------------------------------
+
+@_reg("extract_spans_rich", None)
+def extract_spans_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flat = _extract_flat(spark, sf_dir, mode="rich")
+    return flat.select(
+        "doc_id", F.col("order").cast("int").alias("ord"), "kind", "text",
+        "media_ref", F.col("page_no").cast("int").alias("page_no"))
+
+
+def all_queries() -> dict:
+    out: dict = {}
+    out.update(REGISTRY)
+    out.update(textops.REGISTRY)
+    out.update(simsearch.REGISTRY)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    out.update(ORACLES)
+    out.update(textops.ORACLES)
+    out.update(simsearch.ORACLES)
+    return out

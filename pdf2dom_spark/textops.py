@@ -1,0 +1,325 @@
+"""Training-data pipeline operators over the ``documents`` table.
+
+Beyond the reference's own operators (SURVEY.md §2), these are the
+large-scale corpus-preparation ops a 100 TB training-data pipeline needs:
+exact + near deduplication (n-gram Jaccard, MinHash, SimHash), language ID,
+quality scoring, token counting, document fingerprinting.
+
+Every operator is a pure DataFrame builder (JVM-side built-ins only — no
+Python UDFs) paired with an equivalent DuckDB oracle SQL string. Hash
+functions are portable by construction (md5 hex, available and identical in
+Spark and DuckDB); MinHash uses the lexicographic min of md5 hex digests,
+which is a valid uniform min-hash.
+
+Scale notes:
+  - exact dedup: one hash-shuffle on md5(text) — the canonical map-side
+    combinable groupBy; at 10^12 docs this is the cheapest possible shape.
+  - minhash/jaccard: candidate generation is bounded per-key (lang or LSH
+    band) so the pairwise stage never sees the full cross product; at scale
+    the band-bucket join replaces the per-lang join (same code shape).
+  - everything pushes column pruning to the parquet/Iceberg scan: only
+    (doc_id, text, lang) are read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+REGISTRY: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _reg(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup: hash-groupBy (map-side combinable; one shuffle on the hash)
+# ---------------------------------------------------------------------------
+
+@_reg("dedup_exact", """
+SELECT md5(text) AS text_hash,
+       CAST(COUNT(*) AS BIGINT) AS group_size,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper
+FROM documents
+GROUP BY 1
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("group_size"),
+             F.min("doc_id").cast("long").alias("keeper"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup: shingle -> per-lang pairwise (bounded candidates)
+# ---------------------------------------------------------------------------
+
+_SHINGLES_SQL = """
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         list_distinct(list_transform(
+             generate_series(1, GREATEST(len(string_split(text,' ')) - 2, 0)),
+             i -> string_split(text,' ')[i] || ' ' ||
+                  string_split(text,' ')[i+1] || ' ' ||
+                  string_split(text,' ')[i+2])) AS sh
+  FROM documents
+"""
+
+@_reg("dedup_ngram_jaccard", f"""
+WITH s AS ({_SHINGLES_SQL})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 3) AS jaccard
+FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(a.sh) > 0 AND len(b.sh) > 0
+  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+""")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang",
+        F.split("text", " ").alias("ws"))
+    sh = d.select(
+        "doc_id", "lang",
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("ws") - 2, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.element_at("ws", i),
+                                  F.element_at("ws", i + 1),
+                                  F.element_at("ws", i + 2)),
+        )).alias("sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .where((F.size(F.col("a.sh")) > 0) & (F.size(F.col("b.sh")) > 0)
+               & (jac >= 0.5))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.round(jac, 3).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash (8 permutations via salted md5; lexicographic min of hex digests)
+# ---------------------------------------------------------------------------
+
+_MH_KS = list(range(8))
+
+@_reg("dedup_minhash", f"""
+WITH s AS ({_SHINGLES_SQL}),
+e AS (SELECT doc_id, lang, unnest(sh) AS g FROM s),
+sig AS (
+  SELECT doc_id, ANY_VALUE(lang) AS lang,
+         {', '.join(f"MIN(md5('{k}|' || g)) AS m{k}" for k in _MH_KS)}
+  FROM e GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST({' + '.join(f'(a.m{k} = b.m{k})::INT' for k in _MH_KS)} AS INT) AS n_match
+FROM sig a JOIN sig b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE {' + '.join(f'(a.m{k} = b.m{k})::INT' for k in _MH_KS)} >= 4
+""")
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang",
+        F.split("text", " ").alias("ws"))
+    sh = d.select(
+        "doc_id", "lang",
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("ws") - 2, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.element_at("ws", i),
+                                  F.element_at("ws", i + 1),
+                                  F.element_at("ws", i + 2)),
+        )).alias("sh"))
+    e = sh.select("doc_id", "lang", F.explode("sh").alias("g"))
+    sig = e.groupBy("doc_id").agg(
+        F.first("lang").alias("lang"),
+        *[F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("g")))).alias(f"m{k}")
+          for k in _MH_KS])
+    a, b = sig.alias("a"), sig.alias("b")
+    n_match = sum(
+        (F.col(f"a.m{k}") == F.col(f"b.m{k}")).cast("int") for k in _MH_KS)
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .where(n_match >= 4)
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                n_match.cast("int").alias("n_match"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, portable bit extraction from md5 hex nibble parity)
+# ---------------------------------------------------------------------------
+
+_SH_BITS = list(range(16))
+
+def _bit_sql(b: int) -> str:
+    # nibble parity of hex char b+1 of md5(word): 1 bit per word per position
+    return (f"CASE WHEN (instr('0123456789abcdef', substr(md5(g), {b + 1}, 1)) - 1) % 2 = 1 "
+            f"THEN 1 ELSE -1 END")
+
+@_reg("simhash16", f"""
+WITH e AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(string_split(text,' ')) AS g
+  FROM documents
+)
+SELECT doc_id,
+       {" || ".join(f"(CASE WHEN SUM({_bit_sql(b)}) >= 0 THEN '1' ELSE '0' END)" for b in _SH_BITS)} AS simhash
+FROM e GROUP BY doc_id
+""")
+def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.split("text", " ")).alias("g"))
+    bits = []
+    for b in _SH_BITS:
+        nib = (F.instr(F.lit("0123456789abcdef"),
+                       F.substring(F.md5("g"), b + 1, 1)) - 1) % 2
+        bits.append(F.sum(F.when(nib == 1, 1).otherwise(-1)).alias(f"s{b}"))
+    agg = d.groupBy("doc_id").agg(*bits)
+    sim = F.concat(*[
+        F.when(F.col(f"s{b}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in _SH_BITS])
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# language ID (stopword-hit heuristic; argmax with deterministic tie-break)
+# ---------------------------------------------------------------------------
+
+_LANG_STOPS = {
+    "en": ("the", "a", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "les", "et"),
+    "zh": ("de5", "shi4", "le5"),
+}
+
+@_reg("lang_id", f"""
+WITH c AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         {', '.join(
+             "len(list_filter(string_split(text,' '), w -> w IN ({})))"
+             " AS c_{}".format(
+                 ','.join(f"'{s}'" for s in stops), lg)
+             for lg, stops in _LANG_STOPS.items())}
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE GREATEST(c_en, c_es, c_de, c_fr, c_zh)
+            WHEN c_en THEN 'en' WHEN c_es THEN 'es' WHEN c_de THEN 'de'
+            WHEN c_fr THEN 'fr' ELSE 'zh' END AS pred
+FROM c
+""")
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang",
+        F.split("text", " ").alias("ws"))
+    cols = {}
+    for lg, stops in _LANG_STOPS.items():
+        cols[lg] = F.size(F.filter(
+            "ws", lambda w: w.isin(*stops))).alias(f"c_{lg}")
+    c = d.select("doc_id", "lang", *cols.values())
+    best = F.greatest(*[F.col(f"c_{lg}") for lg in _LANG_STOPS])
+    pred = (F.when(F.col("c_en") == best, "en")
+             .when(F.col("c_es") == best, "es")
+             .when(F.col("c_de") == best, "de")
+             .when(F.col("c_fr") == best, "fr")
+             .otherwise("zh"))
+    return c.select("doc_id", "lang", pred.alias("pred"))
+
+
+# ---------------------------------------------------------------------------
+# quality score: length / distinct-ratio / stopword-ratio mix
+# ---------------------------------------------------------------------------
+
+@_reg("quality_score", """
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split(text,' ') AS ws, CAST(n_chars AS DOUBLE) AS n_chars
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(0.4 * LEAST(n_chars / 500.0, 1.0)
+           + 0.3 * (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
+           + 0.3 * (CAST(len(list_filter(ws, x -> x IN ('the','a','of','de','la'))) AS DOUBLE) / len(ws)),
+         4) AS quality
+FROM w WHERE len(ws) > 0
+""")
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split("text", " ").alias("ws"),
+        F.col("n_chars").cast("double").alias("n_chars"))
+    nw = F.size("ws").cast("double")
+    stop_ratio = (F.size(F.filter(
+        "ws", lambda x: x.isin("the", "a", "of", "de", "la"))).cast("double") / nw)
+    distinct_ratio = F.size(F.array_distinct("ws")).cast("double") / nw
+    q = (0.4 * F.least(F.col("n_chars") / 500.0, F.lit(1.0))
+         + 0.3 * distinct_ratio + 0.3 * stop_ratio)
+    return d.where(F.size("ws") > 0).select(
+        "doc_id", F.round(q, 4).alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# token counting: whitespace + BPE-ish (ceil(len/4) per word)
+# ---------------------------------------------------------------------------
+
+@_reg("token_count", """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
+       CAST(list_sum(list_transform(string_split(text,' '),
+            w -> CAST(CEIL(LENGTH(w) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens
+FROM documents
+""")
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split("text", " ").alias("ws"))
+    bpe = F.aggregate(
+        F.transform("ws", lambda w: F.ceil(F.length(w) / 4.0)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return d.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("ws_tokens"),
+        bpe.alias("bpe_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint (order-insensitive min/max hash sketch)
+# ---------------------------------------------------------------------------
+
+@_reg("doc_fingerprint", """
+WITH e AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(string_split(text,' ')) AS w
+  FROM documents
+)
+SELECT doc_id, MIN(md5(w)) AS fp_min, MAX(md5(w)) AS fp_max,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS vocab
+FROM e GROUP BY doc_id
+""")
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.split("text", " ")).alias("w"))
+    return d.groupBy("doc_id").agg(
+        F.min(F.md5("w")).alias("fp_min"),
+        F.max(F.md5("w")).alias("fp_max"),
+        F.countDistinct("w").alias("vocab"))
