@@ -1,0 +1,101 @@
+"""Spark-level pipeline tests: nested schema, deterministic lineage,
+checkpoint-resume idempotence under failure injection, skew handling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf2dom_spark.corpus import build_docs_df
+from pdf2dom_spark.pipeline import (extract_spans, lineage, run_checkpointed,
+                                    with_part_id)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return build_docs_df(spark, SF_SMOKE, mode="rich").cache()
+
+
+def test_nested_schema_and_rows(spark, docs):
+    spans = extract_spans(docs, num_partitions=8)
+    assert spans.schema["style"].dataType.typeName() == "struct"
+    sample = spans.where(F.col("kind") == "text").first()
+    assert sample["style"]["font_size"] is not None
+    kinds = {r["kind"] for r in spans.select("kind").distinct().collect()}
+    assert {"page", "text", "rect", "line", "image", "font"} <= kinds
+
+
+def test_order_is_dense_per_doc(spark, docs):
+    spans = extract_spans(docs, num_partitions=8, nested=False)
+    bad = (spans.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.max("order").alias("mx"), F.min("order").alias("mn"),
+                F.countDistinct("order").alias("d"))
+           .where((F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1)
+                  | (F.col("d") != F.col("n"))))
+    assert bad.count() == 0
+
+
+def test_part_id_deterministic(spark, docs):
+    a = with_part_id(docs, 16).select("doc_id", "part_id")
+    b = with_part_id(docs, 16).select("doc_id", "part_id")
+    assert a.exceptAll(b).count() == 0
+    assert a.select("part_id").distinct().count() > 8  # spread across salts
+
+
+def test_extraction_deterministic(spark, docs):
+    s1 = extract_spans(docs, num_partitions=4, nested=False)
+    s2 = extract_spans(docs, num_partitions=8, nested=False)
+    # identical span sequences regardless of parallelism (drop part_id)
+    cols = [c for c in s1.columns if c != "part_id"]
+    assert s1.select(cols).exceptAll(s2.select(cols)).count() == 0
+    assert s2.select(cols).exceptAll(s1.select(cols)).count() == 0
+
+
+def test_lineage_reconciles(spark, docs):
+    spans = extract_spans(docs, num_partitions=8, nested=False)
+    lin = lineage(spans)
+    tot = lin.agg(F.sum("doc_count"), F.sum("span_count")).first()
+    assert tot[0] == docs.count()
+    assert tot[1] == spans.count()
+
+
+def test_resume_idempotent(spark, docs, tmp_path):
+    out1 = str(tmp_path / "full")
+    out2 = str(tmp_path / "resumed")
+    # clean single run
+    run_checkpointed(spark, docs, out1, num_partitions=8, run_id="full")
+    # failed run (partitions 2,5 crash) then resume
+    run_checkpointed(spark, docs, out2, num_partitions=8, run_id="r1",
+                     fail_parts={2, 5})
+    mid = spark.read.parquet(f"{out2}/lineage")
+    assert mid.select("part_id").distinct().count() == 6
+    stats = run_checkpointed(spark, docs, out2, num_partitions=8, run_id="r2")
+    assert stats["parts_done"] == 8
+
+    a = spark.read.parquet(f"{out1}/spans")
+    b = spark.read.parquet(f"{out2}/spans")
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # resumed partitions were produced by run r2, the rest by r1
+    lin = spark.read.parquet(f"{out2}/lineage")
+    by_run = {r["part_id"]: r["run_id"] for r in lin.collect()}
+    assert by_run[2] == "r2" and by_run[5] == "r2"
+    # lineage checksums identical across the two outcomes
+    la = lineage(a).orderBy("part_id").collect()
+    lb = lineage(b).orderBy("part_id").collect()
+    assert [tuple(r) for r in la] == [tuple(r) for r in lb]
+
+
+def test_skew_docs_exist_and_balanced(spark, docs):
+    # the rich corpus has a deterministic skew tail; salting must keep the
+    # max-partition share bounded
+    spans = extract_spans(docs, num_partitions=8, nested=False)
+    per_doc = spans.groupBy("doc_id").count()
+    mx = per_doc.agg(F.max("count")).first()[0]
+    med = per_doc.approxQuantile("count", [0.5], 0.01)[0]
+    assert mx > 5 * med  # skew is real
+    per_part = spans.groupBy("part_id").count().collect()
+    counts = [r["count"] for r in per_part]
+    assert max(counts) < 3.5 * (sum(counts) / len(counts))
