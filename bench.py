@@ -1,0 +1,189 @@
+#!/usr/bin/env python3
+"""Benchmark harness.
+
+Default run (what the driver records as BENCH_r{N}.json): headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus the two-parallelism scaling evidence required
+by the north rule (same job, same input, N vs 4N local cores — the sandbox
+substitute for N vs 4N executor clusters). Prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "docs_per_sec": ..., "scaling": {"cores_n": 8, "cores_4n": 32,
+   "docs_per_sec_n": ..., "docs_per_sec_4n": ..., "efficiency": ...}}
+
+Also appends the measured table to BENCH/BASELINE.md.
+
+Usage:
+  python bench.py                  # full bench + scaling evidence
+  python bench.py --no-scaling     # headline queries only
+  python bench.py --_extract 8     # internal: one extraction run at local[8]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "extract_spans_rich",     # flagship: full interleaved extraction
+    "extract_spans_oracle",   # mono-grid full kernel
+    "chunk_islands_sql",      # window-function chunk merge
+    "dedup_exact",
+    "simhash16",
+    "token_count",
+    "quality_score",
+    "knn_brute",
+    "broadcast_dim_join",
+    "window_rownum_dedup",
+]
+
+
+def make_spark(cores: int, app: str):
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+        .config("spark.sql.files.maxPartitionBytes", "64m")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def run_extraction_once(cores: int) -> dict:
+    """One timed flagship extraction. The input corpus is materialized
+    (cached) before the clock starts — we time the extraction job itself:
+    salting shuffle + mapInPandas kernel + count."""
+    spark = make_spark(cores, f"bench-extract-{cores}")
+    from pdf2dom_spark.corpus import build_docs_df
+    from pdf2dom_spark.pipeline import extract_spans
+
+    p = cores * 4  # over-partition so the skew tail schedules smoothly
+    docs = build_docs_df(spark, SF_DIR, mode="rich", num_partitions=p).persist()
+    n_docs = docs.count()  # materializes the synthetic corpus pre-timing
+    # warm the JVM + python workers once so we time steady-state throughput
+    extract_spans(docs.limit(64), num_partitions=cores).count()
+    t0 = time.time()
+    spans = extract_spans(docs, num_partitions=p)
+    n_spans = spans.count()
+    dt = time.time() - t0
+    spark.stop()
+    return {"cores": cores, "sec": round(dt, 3), "docs": n_docs,
+            "spans": n_spans, "docs_per_sec": round(n_docs / dt, 2)}
+
+
+def run_headline(spark) -> dict[str, float]:
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        out[name] = round(time.time() - t0, 3)
+        sys.stderr.write(f"  {name}: {out[name]}s ({n} rows)\n")
+    return out
+
+
+def scaling_evidence() -> dict:
+    """Same job, same input, two parallelism levels (subprocess-isolated
+    JVMs so each run gets a clean local[N])."""
+    results = {}
+    for cores in (max(CPUS // 4, 2), CPUS):
+        r = subprocess.run(
+            [sys.executable, __file__, "--_extract", str(cores)],
+            capture_output=True, text=True, cwd=os.path.dirname(__file__) or ".")
+        line = r.stdout.strip().splitlines()[-1]
+        results[cores] = json.loads(line)
+    n, n4 = sorted(results)
+    eff = (results[n4]["docs_per_sec"] / results[n]["docs_per_sec"]) / (n4 / n)
+    return {
+        "cores_n": n, "cores_4n": n4,
+        "docs_per_sec_n": results[n]["docs_per_sec"],
+        "docs_per_sec_4n": results[n4]["docs_per_sec"],
+        "sec_n": results[n]["sec"], "sec_4n": results[n4]["sec"],
+        "docs": results[n4]["docs"], "spans": results[n4]["spans"],
+        "efficiency": round(eff, 3),
+    }
+
+
+def write_baseline_md(queries: dict, scaling: dict | None, total: float):
+    os.makedirs("BENCH", exist_ok=True)
+    path = "BENCH/BASELINE.md"
+    lines = [
+        "# BENCH/BASELINE — measured results",
+        "",
+        f"sf dir: `{SF_DIR}`, cpus: {CPUS}",
+        "",
+        "| query | sec |",
+        "| --- | --- |",
+    ]
+    lines += [f"| {k} | {v} |" for k, v in queries.items()]
+    lines += ["", f"total headline suite: {round(total, 2)}s", ""]
+    if scaling:
+        lines += [
+            "## Scaling evidence (north rule: N vs 4N, sandbox substitute "
+            "local[N] vs local[4N])",
+            "",
+            "| cores | wall sec | docs/sec |",
+            "| --- | --- | --- |",
+            f"| {scaling['cores_n']} | {scaling['sec_n']} | "
+            f"{scaling['docs_per_sec_n']} |",
+            f"| {scaling['cores_4n']} | {scaling['sec_4n']} | "
+            f"{scaling['docs_per_sec_4n']} |",
+            "",
+            f"docs: {scaling['docs']}, spans: {scaling['spans']}",
+            "",
+            f"**scaling efficiency = (tput_4N / tput_N) / (4N/N) = "
+            f"{scaling['efficiency']}** (target >= 0.8)",
+            "",
+        ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--_extract":
+        print(json.dumps(run_extraction_once(int(sys.argv[2]))))
+        return
+
+    do_scaling = "--no-scaling" not in sys.argv
+    t0 = time.time()
+    spark = make_spark(CPUS, "bench")
+    queries = run_headline(spark)
+    spark.stop()
+    scaling = scaling_evidence() if do_scaling else None
+    total = time.time() - t0
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "pdf2dom-spark span extraction + headline ops, wall sec",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if scaling:
+        out["docs_per_sec"] = scaling["docs_per_sec_4n"]
+        out["scaling"] = scaling
+    write_baseline_md(queries, scaling, total)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -260,9 +260,15 @@ def fixture_docs() -> dict[str, list[dict]]:
 # Spark-facing builders
 # ---------------------------------------------------------------------------
 
-def build_docs_df(spark, sf_dir: str, mode: str = "rich", replicate: int = 1):
+def build_docs_df(spark, sf_dir: str, mode: str = "rich", replicate: int = 1,
+                  num_partitions: int | None = None):
     """documents.parquet -> DataFrame[DOC_SCHEMA] via a distributed,
-    deterministic generator (mapInPandas; no driver-side loops)."""
+    deterministic generator (mapInPandas; no driver-side loops).
+
+    ``num_partitions``: repartition the *source rows* before generation —
+    the testdata parquet is a single file, so without this the synthesis
+    stage would run on one task and serialize the front of the job.
+    """
     src = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if replicate > 1:
         from pyspark.sql import functions as F
@@ -271,6 +277,11 @@ def build_docs_df(spark, sf_dir: str, mode: str = "rich", replicate: int = 1):
         ).withColumn(
             "doc_id", F.concat_ws("_", F.col("doc_id").cast("string"), F.col("rep"))
         ).drop("rep")
+
+    if num_partitions:
+        from pyspark.sql import functions as F
+        src = src.repartition(num_partitions,
+                              F.pmod(F.xxhash64("doc_id"), F.lit(num_partitions)))
 
     def gen(batches):
         for pdf in batches:

@@ -1,16 +1,16 @@
 """Per-document extraction driver + the mapInPandas batch kernel.
 
-``extract_doc`` mirrors the reference lifecycle
+``extract_doc_columnar`` mirrors the reference lifecycle
 (``PDFDomTree.writeText``/``createDOM`` -> per-page processing -> endDocument,
 PDFDomTree.java:180-217, PDFBoxTree.java:200-210): splice spans to tokens,
 interpret, chunk text boxes, convert layout events, then materialize DOM
 append order as the ``order`` column (appendChild order = content-stream
-order, PDFDomTree.java:222-258).
+order, PDFDomTree.java:222-258). Assembly is columnar end-to-end: the only
+Python-level loops are per *document* and per *layout event* (tens per doc);
+all glyph/box work is numpy.
 
 ``extract_batch`` is the Spark-facing generator for
-``DataFrame.mapInPandas(extract_batch, SPAN_SCHEMA)`` — columnar all the way;
-the only Python-level loop is per *document*, with all high-cardinality work
-vectorized in numpy/pandas inside.
+``DataFrame.mapInPandas(extract_batch, SPAN_SCHEMA)``.
 """
 
 from __future__ import annotations
@@ -44,11 +44,14 @@ DEFAULT_CONFIG = ExtractConfig()
 
 _FLOAT_STYLE = {"font_size", "word_spacing", "letter_spacing", "line_height",
                 "left", "top", "width", "height"}
+_STYLE_COLS = [f"style_{f}" for f in STYLE_FIELDS]
+_REC_COLS = ["key", "page_no", "kind", "text", "media_ref", *_STYLE_COLS]
+_NUM_REC_COLS = {"page_no"} | {f"style_{f}" for f in _FLOAT_STYLE}
 
 
-def extract_doc(doc_id: str, spans: list[dict],
-                cfg: ExtractConfig = DEFAULT_CONFIG) -> list[dict]:
-    """One document -> ordered span records (flat style_* columns)."""
+def extract_doc_columnar(doc_id: str, spans: list[dict],
+                         cfg: ExtractConfig = DEFAULT_CONFIG) -> dict:
+    """One document -> columnar span arrays (with dense ``order``)."""
     tokens = doc_tokens(spans)
     interp = DocInterp(
         start_page=cfg.start_page, end_page=cfg.end_page,
@@ -82,35 +85,68 @@ def extract_doc(doc_id: str, spans: list[dict],
             out_ref = "" if cfg.disable_image_data else ev[7]
             records.append(graphics.image_record(ev, out_ref))
 
-    records.extend(textpipe.boxes_from_glyphs(glyphs, page_flush))
-
     # endDocument: @font-face per valid table entry (PDFDomTree.java:464-492),
     # skipped entirely under the ignore handler (PDFDomTree.java:456-462)
     if cfg.font_handler != "ignore":
         for i, entry in enumerate(font_table.entries):
-            records.append({
-                "key": end_key + 1 + i, "page_no": None, "kind": "font",
-                "text": entry["used_name"],
-                "media_ref": "font:" + entry["name"],
-                **{f"style_{f}": None for f in STYLE_FIELDS},
-            })
+            rec = {c: None for c in _REC_COLS}
+            rec.update(key=end_key + 1 + i, kind="font",
+                       text=entry["used_name"],
+                       media_ref="font:" + entry["name"])
+            records.append(rec)
 
-    records.sort(key=lambda r: r["key"])
-    out = []
-    for order, r in enumerate(records):
-        row = {"doc_id": doc_id, "order": order, "kind": r["kind"],
-               "text": r.get("text"), "media_ref": r.get("media_ref"),
-               "page_no": r.get("page_no"), "part_id": None}
-        for f in STYLE_FIELDS:
-            row[f"style_{f}"] = r.get(f"style_{f}")
-        out.append(row)
+    boxes = textpipe.boxes_from_glyphs(glyphs, page_flush)
+    nb = len(boxes["key"])
+    ne = len(records)
+    cols: dict[str, np.ndarray] = {}
+    for c in _REC_COLS:
+        if c == "key":
+            continue
+        bx_arr = boxes.get(c)
+        if c in _NUM_REC_COLS:
+            ev_arr = np.array(
+                [np.nan if r.get(c) is None else float(r[c]) for r in records],
+                dtype=np.float64)
+            if bx_arr is None:
+                bx_arr = np.full(nb, np.nan)
+            cols[c] = np.concatenate((ev_arr, np.asarray(bx_arr, dtype=np.float64)))
+        else:
+            ev_arr = np.array([r.get(c) for r in records], dtype=object)
+            if bx_arr is None:
+                bx_arr = np.full(nb, None, dtype=object)
+            cols[c] = np.concatenate((ev_arr, bx_arr))
+
+    ev_keys = np.array([int(r["key"]) for r in records], dtype=np.int64)
+    keys = np.concatenate((ev_keys, np.asarray(boxes["key"], dtype=np.int64)))
+    order = np.argsort(keys, kind="stable")
+    out = {c: cols[c][order] for c in _REC_COLS if c != "key"}
+    out["order"] = np.arange(ne + nb, dtype=np.int32)
     return out
+
+
+def extract_doc(doc_id: str, spans: list[dict],
+                cfg: ExtractConfig = DEFAULT_CONFIG) -> list[dict]:
+    """Test-facing wrapper: ordered span records as a list of dicts."""
+    cols = extract_doc_columnar(doc_id, spans, cfg)
+    n = len(cols["order"])
+    rows = []
+    for i in range(n):
+        row = {"doc_id": doc_id, "part_id": None}
+        for c, arr in cols.items():
+            v = arr[i]
+            if isinstance(v, (np.floating, np.integer)):
+                v = v.item()
+            if isinstance(v, float) and np.isnan(v):
+                v = None
+            row[c] = v
+        rows.append(row)
+    return rows
 
 
 def docs_frame_to_spans(pdf: pd.DataFrame,
                         cfg: ExtractConfig = DEFAULT_CONFIG,
                         part_id: int | None = None) -> pd.DataFrame:
-    """A pandas batch of documents -> one flat span frame.
+    """A pandas batch of documents -> one flat span frame (columnar concat).
 
     A ``part_id`` column on the input (deterministic
     ``pmod(xxhash64(doc_id), P)`` computed by pipeline.py) takes precedence
@@ -118,29 +154,37 @@ def docs_frame_to_spans(pdf: pd.DataFrame,
     be stable across runs/schedulers for checkpoint-resume.
     """
     parts = pdf["part_id"].tolist() if "part_id" in pdf.columns else None
-    all_rows: list[dict] = []
+    per_doc: list[dict] = []
+    doc_ids: list[str] = []
+    doc_parts: list = []
     for i, (doc_id, spans) in enumerate(zip(pdf["doc_id"], pdf["spans"])):
         if isinstance(spans, np.ndarray):
             spans = list(spans)
-        rows = extract_doc(str(doc_id), spans, cfg)
-        if parts is not None:
-            p = int(parts[i])
-            for r in rows:
-                r["part_id"] = p
-        all_rows.extend(rows)
-    out = pd.DataFrame(all_rows, columns=SPAN_FLAT_COLUMNS)
-    if len(out) == 0:
-        out = pd.DataFrame({c: [] for c in SPAN_FLAT_COLUMNS})
-    if part_id is not None:
-        out["part_id"] = part_id
+        cols = extract_doc_columnar(str(doc_id), spans, cfg)
+        per_doc.append(cols)
+        doc_ids.append(str(doc_id))
+        doc_parts.append(int(parts[i]) if parts is not None else part_id)
+
+    if not per_doc:
+        return pd.DataFrame({c: [] for c in SPAN_FLAT_COLUMNS})
+
+    lens = [len(c["order"]) for c in per_doc]
+    data: dict[str, np.ndarray] = {}
+    data["doc_id"] = np.repeat(np.array(doc_ids, dtype=object), lens)
+    pid_arr = np.repeat(np.array(doc_parts, dtype=object), lens)
+    data["part_id"] = pid_arr
+    for c in per_doc[0]:
+        data[c] = np.concatenate([d[c] for d in per_doc])
+
+    out = pd.DataFrame(data, columns=SPAN_FLAT_COLUMNS)
     # float32 style columns (reference float fidelity)
     for f in STYLE_FIELDS:
         col = f"style_{f}"
         if f in _FLOAT_STYLE:
-            out[col] = out[col].astype(np.float32)
+            out[col] = pd.to_numeric(out[col], errors="coerce").astype(np.float32)
     out["order"] = out["order"].astype(np.int32)
-    out["page_no"] = out["page_no"].astype("Int32")
-    out["part_id"] = out["part_id"].astype("Int32")
+    out["page_no"] = pd.to_numeric(out["page_no"], errors="coerce").astype("Int32")
+    out["part_id"] = pd.to_numeric(out["part_id"], errors="coerce").astype("Int32")
     return out
 
 

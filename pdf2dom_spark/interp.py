@@ -258,58 +258,74 @@ class DocInterp:
                 events.append(("pathimg", key, page_no, float(x0), float(y0),
                                float(w), float(h), ref))
 
+        font_cache: dict[tuple, tuple] = {}
+
+        def _font_style(font: str) -> tuple:
+            ck = (font, len(self.font_table.entries))
+            hit = font_cache.get(ck)
+            if hit is None:
+                fam = F.resolve_family(font, self.font_table) if font else None
+                ws = F.font_weight_style(font) if font else ("normal", "normal")
+                hit = (fam, ws[0], ws[1])
+                font_cache[ck] = hit
+            return hit
+
         def show(key: int, s: str) -> None:
             nonlocal tm
             if not s:
                 return
-            codes = np.fromiter((ord(c) for c in s), dtype=np.int64, count=len(s))
+            n = len(s)
+            codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
             w0 = F.char_widths(codes, g.font)
             adv = (w0 / 1000.0 * g.fsize + g.tc
                    + np.where(codes == 32, g.tw, 0.0)) * g.th
-            cum = np.concatenate(([0.0], np.cumsum(adv)[:-1]))
+            cum = np.empty(n)
+            cum[0] = 0.0
+            np.cumsum(adv[:-1], out=cum[1:])
             tmctm = compose(tm, g.ctm)
-            pts = apply_pts(tmctm, np.stack([cum, np.full(len(s), g.ts)], axis=1))
-            sx, sy = scale_x(tmctm), scale_y(tmctm)
+            # origin of glyph i = (cum_i, rise) @ (Tm x CTM)
+            dev_x = cum * tmctm[0, 0] + g.ts * tmctm[1, 0] + tmctm[2, 0]
             # LegacyPDFStreamEngine-style display coords: y flipped to
             # top-down (unrotated-page text model; rotation fixtures use
             # rects/images which go through the exact page transform).
-            dev_x = pts[:, 0]
-            dev_y = page_h - pts[:, 1]
+            dev_y = page_h - (cum * tmctm[0, 1] + g.ts * tmctm[1, 1] + tmctm[2, 1])
+            sx, sy = scale_x(tmctm), scale_y(tmctm)
             widths = adv * sx
             xscale = g.fsize * g.th * sx
             yscale = g.fsize * sy
-            n = len(s)
             fill_on = g.tr in FILL_MODES
             stroke_on = g.tr in STROKE_MODES
-            fam = F.resolve_family(g.font, self.font_table) if g.font else None
-            weight, fstyle = F.font_weight_style(g.font) if g.font else ("normal", "normal")
-            chars = list(s)
+            fam, weight, fstyle = _font_style(g.font)
+            ascii_only = bool(codes.max() < 128)
+            if ascii_only:
+                is_ws = codes <= 32
+            else:
+                is_ws = np.fromiter((not c.strip() for c in s),
+                                    dtype=bool, count=n)
+            # per-chunk scalars expanded once in _concat_glyphs
             glyph_chunks.append({
+                "n": n,
                 "key": key + np.arange(n, dtype=np.int64),
-                "page_no": np.full(n, page_no, dtype=np.int32),
                 "x": dev_x, "y": dev_y, "width": widths,
-                "height": np.full(n, F.CAP_HEIGHT / 1000.0 * yscale),
-                "xscale": np.full(n, xscale), "yscale": np.full(n, yscale),
-                "ascent": np.full(n, F.ASCENT / 1000.0 * yscale),
-                "descent": np.full(n, F.DESCENT / 1000.0 * yscale),
-                "unicode": chars,
-                "font_family": [fam] * n,
-                "font_weight": [weight] * n,
-                "font_style": [fstyle] * n,
+                "is_ws": is_ws,
+                "chars": s,
+                "ascii": ascii_only,
+                "page_no": page_no,
+                "height": F.CAP_HEIGHT / 1000.0 * yscale,
+                "xscale": xscale, "yscale": yscale,
+                "ascent": F.ASCENT / 1000.0 * yscale,
+                "descent": F.DESCENT / 1000.0 * yscale,
+                "font_family": fam, "font_weight": weight, "font_style": fstyle,
                 # updateStyleForRenderingMode (PDFBoxTree.java:766-779)
-                "color": [color_hex(g.fill_rgb) if fill_on else TRANSPARENT] * n,
-                "stroke_color": [color_hex(g.stroke_rgb) if stroke_on else TRANSPARENT] * n,
-                "word_spacing": np.full(n, sticky_tw),
-                "letter_spacing": np.full(n, sticky_tc),
-                "is_dia": np.fromiter((is_diacritic_char(c) for c in chars),
-                                      dtype=bool, count=n),
-                "is_ws": np.fromiter((not c.strip() for c in chars),
-                                     dtype=bool, count=n),
-                "rtl": np.fromiter((is_rtl_char(c) for c in chars),
-                                   dtype=bool, count=n),
+                "color": color_hex(g.fill_rgb) if fill_on else TRANSPARENT,
+                "stroke_color": color_hex(g.stroke_rgb) if stroke_on else TRANSPARENT,
+                "word_spacing": sticky_tw, "letter_spacing": sticky_tc,
             })
-            total = float(np.sum(adv))
-            tm = compose(mat(1, 0, 0, 1, total, 0), tm)
+            total = float(adv[-1] + cum[-1])
+            t = tm.copy()
+            t[2, 0] += total * tm[0, 0]
+            t[2, 1] += total * tm[0, 1]
+            tm = t
 
         def do_image(key: int, media_ref: str, iw: float, ih: float,
                      name: str) -> None:
@@ -546,19 +562,41 @@ def _to_rectangle(path: list[tuple]) -> list[float] | None:
     return None
 
 
+_SCALAR_F64 = ["height", "xscale", "yscale", "ascent", "descent",
+               "word_spacing", "letter_spacing"]
+_SCALAR_OBJ = ["font_family", "font_weight", "font_style", "color",
+               "stroke_color"]
+
+
 def _concat_glyphs(chunks: list[dict]) -> dict:
+    """Expand per-show scalars via np.repeat and concatenate vector columns
+    — one allocation per column per document."""
     if not chunks:
         return {c: np.array([]) for c in GLYPH_COLS}
-    out = {}
-    for c in GLYPH_COLS:
-        first = chunks[0][c]
-        if isinstance(first, np.ndarray):
-            out[c] = np.concatenate([ch[c] for ch in chunks])
-        else:
-            vals: list = []
-            for ch in chunks:
-                vals.extend(ch[c])
-            out[c] = np.array(vals, dtype=object)
+    lens = np.array([ch["n"] for ch in chunks])
+    out: dict = {}
+    for c in ("key", "x", "y", "width", "is_ws"):
+        out[c] = np.concatenate([ch[c] for ch in chunks])
+    out["page_no"] = np.repeat(
+        np.array([ch["page_no"] for ch in chunks], dtype=np.int32), lens)
+    for c in _SCALAR_F64:
+        out[c] = np.repeat(np.array([ch[c] for ch in chunks]), lens)
+    for c in _SCALAR_OBJ:
+        out[c] = np.repeat(np.array([ch[c] for ch in chunks], dtype=object),
+                           lens)
+    all_text = "".join(ch["chars"] for ch in chunks)
+    out["unicode"] = np.array(list(all_text), dtype=object)
+    if all(ch["ascii"] for ch in chunks):
+        n = len(all_text)
+        out["is_dia"] = np.zeros(n, dtype=bool)
+        out["rtl"] = np.zeros(n, dtype=bool)
+    else:
+        out["is_dia"] = np.fromiter(
+            (is_diacritic_char(c) for c in all_text), dtype=bool,
+            count=len(all_text))
+        out["rtl"] = np.fromiter(
+            (is_rtl_char(c) for c in all_text), dtype=bool,
+            count=len(all_text))
     return out
 
 

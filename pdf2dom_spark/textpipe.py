@@ -1,13 +1,14 @@
-"""Vectorized text-box pipeline: glyph frame -> text-box spans.
+"""Vectorized text-box pipeline: glyph frame -> text-box spans (pure numpy).
 
 Reimplements the reference's mutable-accumulator chunking
 (``processTextPosition`` PDFBoxTree.java:592-656, ``finishBox``
 PDFBoxTree.java:661-679, ``TextMetrics`` TextMetrics.java:15-55) as the
 gaps-and-islands pattern over a columnar glyph frame: lagged comparisons
-produce a boolean ``split`` flag, its cumulative sum is the box id, and box
-finalization is a segmented groupby-aggregate — exactly the shape Spark's
-window + hash-agg would give, executed here in pandas/numpy inside the
-Arrow UDF.
+produce a boolean ``split`` flag, box starts become index arrays, and box
+finalization is segmented reduction (``np.maximum.reduceat`` et al.) — the
+same partial-aggregate shape Spark's window + hash-agg would give, executed
+in numpy inside the Arrow UDF (no per-row Python, no pandas groupby
+overhead).
 
 Rules, with the reference's exact constants:
   - whitespace glyphs are dropped entirely (PDFBoxTree.java:599) — they never
@@ -34,54 +35,77 @@ Rules, with the reference's exact constants:
 
 from __future__ import annotations
 
+import unicodedata
+
 import numpy as np
-import pandas as pd
 
 from . import fonts as fontmod
 
-# BoxStyle identity fields (BoxStyle.java:366-405); font_size == getXScale
-# (PDFBoxTree.java:713).
+_RTL = {"R", "AL", "RLE", "RLO"}
+
+# style-identity columns: numeric + string (BoxStyle.java:366-405)
 STYLE_ID_NUM = ["xscale", "word_spacing", "letter_spacing"]
 STYLE_ID_STR = ["color", "stroke_color", "font_family", "font_weight", "font_style"]
 
+# box output columns (style_* naming matches SPAN_FLAT_SCHEMA)
+BOX_STYLE_MAP = {
+    "style_font_family": "font_family",
+    "style_font_weight": "font_weight",
+    "style_font_style": "font_style",
+    "style_font_size": "xscale",
+    "style_word_spacing": "word_spacing",
+    "style_letter_spacing": "letter_spacing",
+    "style_color": "color",
+    "style_stroke_color": "stroke_color",
+}
 
-def merge_diacritics(gl: pd.DataFrame) -> pd.DataFrame:
-    """Pending-diacritic merge (PDFBoxTree.java:595-605).
 
-    The diacritic precedes its base glyph in the stream; it merges into the
-    next non-whitespace glyph when horizontally contained in it. Whitespace
-    glyphs in between keep the diacritic pending; a second diacritic
-    replaces the first.
-    """
-    if not gl["is_dia"].any():
-        return gl[~gl["is_ws"]].reset_index(drop=True)
-    sub = gl[gl["is_dia"] | ~gl["is_ws"]].reset_index(drop=True)
-    prev_dia = sub["is_dia"].shift(fill_value=False)
-    # containment: diacritic x-center within [x, x+width] of the base
-    dia_center = (sub["x"] + sub["width"] / 2).shift()
-    contains = (dia_center >= sub["x"]) & (dia_center <= sub["x"] + sub["width"])
-    merge = prev_dia & ~sub["is_dia"] & contains
+def merge_diacritics(gl: dict) -> dict:
+    """Pending-diacritic merge (PDFBoxTree.java:595-605) + whitespace drop
+    (PDFBoxTree.java:599), columnar."""
+    is_dia = gl["is_dia"]
+    is_ws = gl["is_ws"]
+    if not is_dia.any():
+        keep = ~is_ws
+        if keep.all():
+            return gl
+        return {k: v[keep] for k, v in gl.items()}
+    # restrict to diacritics + non-whitespace glyphs (ws rows are inert:
+    # they neither merge nor clear the pending diacritic)
+    sel = is_dia | ~is_ws
+    sub = {k: v[sel] for k, v in gl.items()}
+    d = sub["is_dia"]
+    prev_dia = np.roll(d, 1).copy()
+    prev_dia[0] = False
+    x, w = sub["x"], sub["width"]
+    dia_center = np.roll(x + w / 2, 1)
+    contains = (dia_center >= x) & (dia_center <= x + w)
+    merge = prev_dia & ~d & contains
     if merge.any():
-        dia_char = sub["unicode"].shift()
-        sub.loc[merge, "unicode"] = sub.loc[merge, "unicode"] + dia_char[merge]
-    return sub[~sub["is_dia"]].reset_index(drop=True)
+        uni = sub["unicode"]
+        prev_uni = np.roll(uni, 1)
+        idx = np.nonzero(merge)[0]
+        for i in idx:
+            uni[i] = uni[i] + prev_uni[i]
+    keep = ~d
+    return {k: v[keep] for k, v in sub.items()}
 
 
-def boxes_from_glyphs(glyphs: dict, page_flush: dict[int, int]) -> list[dict]:
-    """Glyph frame -> list of text-box records
-    ``{key, page_no, text, style fields...}``."""
-    if len(glyphs["key"]) == 0:
-        return []
-    gl = pd.DataFrame(glyphs)
-    gl = merge_diacritics(gl)
-    if len(gl) == 0:
-        return []
+def boxes_from_glyphs(glyphs: dict, page_flush: dict[int, int]) -> dict:
+    """Glyph frame -> columnar text-box records (dict of arrays)."""
+    n_in = len(glyphs["key"])
+    if n_in == 0:
+        return _empty_boxes()
+    gl = merge_diacritics(glyphs)
+    n = len(gl["key"])
+    if n == 0:
+        return _empty_boxes()
 
-    x = gl["x"].to_numpy(dtype=np.float64)
-    y = gl["y"].to_numpy(dtype=np.float64)
-    w = gl["width"].to_numpy(dtype=np.float64)
-    rtl = gl["rtl"].to_numpy(dtype=bool)
-    page = gl["page_no"].to_numpy()
+    x = gl["x"]
+    y = gl["y"]
+    w = gl["width"]
+    rtl = gl["rtl"]
+    page = gl["page_no"]
 
     # T1: geometric split (float32 arithmetic like the reference)
     distx = (x - np.roll(x + w, 1)).astype(np.float32)
@@ -90,10 +114,10 @@ def boxes_from_glyphs(glyphs: dict, page_flush: dict[int, int]) -> list[dict]:
     split |= rtl != np.roll(rtl, 1)
     # T2: style-identity split
     for c in STYLE_ID_NUM:
-        v = gl[c].to_numpy(dtype=np.float32)
+        v = gl[c].astype(np.float32)
         split |= v != np.roll(v, 1)
     for c in STYLE_ID_STR:
-        v = gl[c].to_numpy(dtype=object)
+        v = gl[c]
         split |= v != np.roll(v, 1)
     split[0] = True  # lastText == null
 
@@ -102,87 +126,73 @@ def boxes_from_glyphs(glyphs: dict, page_flush: dict[int, int]) -> list[dict]:
     start = split | page_changed
     inherit = page_changed & ~split  # stale-curstyle case
 
-    box_id = np.cumsum(start) - 1
-    gl["box_id"] = box_id
-    gl["_inherit"] = inherit
+    starts = np.nonzero(start)[0]
+    nb = len(starts)
+    lasts = np.concatenate((starts[1:] - 1, [n - 1]))
 
-    firsts = gl.groupby("box_id", sort=True).first()
-    lasts = gl.groupby("box_id", sort=True).last()
-    agg = gl.groupby("box_id", sort=True).agg(
-        ascent=("ascent", "max"),
-        descent=("descent", "min"),
-        text=("unicode", lambda s: "".join(s)),
-    )
-
-    # emission key: the next box's start glyph if it is on the same page,
-    # else this page's end-of-stream flush (PDFBoxTree.java:639-644,208)
-    start_keys = firsts["key"].to_numpy()
-    pages = firsts["page_no"].to_numpy()
-    next_key = np.roll(start_keys, -1)
-    next_page = np.roll(pages, -1)
-    flush_keys = np.array([page_flush.get(int(p), 2**62) for p in pages])
-    emit = np.where(
-        (np.arange(len(pages)) < len(pages) - 1) & (next_page == pages),
-        next_key, flush_keys,
-    )
-
-    # finishBox geometry (TextMetrics.java:28-55)
-    bx = firsts["x"].to_numpy(dtype=np.float64)
-    baseline = firsts["y"].to_numpy(dtype=np.float64)
-    bwidth = lasts["x"].to_numpy() + lasts["width"].to_numpy() - bx
-    ascent = agg["ascent"].to_numpy(dtype=np.float64)
-    descent = agg["descent"].to_numpy(dtype=np.float64)
-    # bbox fallback when ascent/descent == 0 (TextMetrics.java:41-55);
-    # synthetic fonts always have nonzero metrics but mirror the branch
-    ys_first = firsts["yscale"].to_numpy(dtype=np.float64)
+    # segmented aggregates (TextMetrics.java:28-55)
+    ascent = np.maximum.reduceat(gl["ascent"], starts)
+    descent = np.minimum.reduceat(gl["descent"], starts)
+    bx = x[starts]
+    baseline = y[starts]
+    bwidth = x[lasts] + w[lasts] - bx
+    ys_first = gl["yscale"][starts]
     bbox_asc = fontmod.BBOX_ASCENT / 1000.0 * ys_first
     bbox_desc = fontmod.BBOX_DESCENT / 1000.0 * ys_first
     top = np.where(ascent != 0, baseline - ascent, baseline - bbox_asc)
     bottom = np.where(descent != 0, baseline - descent, baseline - bbox_desc)
     line_height = bottom - top
 
-    # RTL reverse by the first buffered char (PDFBoxTree.java:666-669)
-    texts = agg["text"].to_numpy(dtype=object)
-    out_texts = [
-        t[::-1] if t and _is_rtl_first(t) else t for t in texts
-    ]
+    # ordered concat + RTL reverse by first buffered char
+    uni = gl["unicode"]
+    texts = np.empty(nb, dtype=object)
+    bounds = np.append(starts, n)
+    for i in range(nb):
+        t = "".join(uni[bounds[i]:bounds[i + 1]])
+        if t and unicodedata.bidirectional(t[0]) in _RTL:
+            t = t[::-1]
+        texts[i] = t
 
-    # style columns from the first glyph; stale-style inheritance via ffill
-    style = firsts[["font_family", "font_weight", "font_style", "xscale",
-                    "word_spacing", "letter_spacing", "color",
-                    "stroke_color", "_inherit"]].copy()
-    if style["_inherit"].any():
-        mask = style["_inherit"].to_numpy(dtype=bool)
-        cols = ["font_family", "font_weight", "font_style", "xscale",
-                "word_spacing", "letter_spacing", "color", "stroke_color"]
-        style.loc[mask, cols] = np.nan
-        style[cols] = style[cols].ffill()
+    # emission key: next box's start glyph if on the same page, else this
+    # page's end-of-stream flush (PDFBoxTree.java:639-644,208)
+    start_keys = gl["key"][starts]
+    pages = page[starts].astype(np.int64)
+    next_key = np.roll(start_keys, -1)
+    next_page = np.roll(pages, -1)
+    flush_keys = np.array([page_flush.get(int(p), 2**62) for p in pages],
+                          dtype=np.int64)
+    same_page = np.zeros(nb, dtype=bool)
+    if nb > 1:
+        same_page[:-1] = next_page[:-1] == pages[:-1]
+    emit = np.where(same_page, next_key, flush_keys)
 
-    records = []
-    for i in range(len(firsts)):
-        records.append({
-            "key": int(emit[i]),
-            "page_no": int(pages[i]),
-            "kind": "text",
-            "text": out_texts[i],
-            "media_ref": None,
-            "style_font_family": style["font_family"].iloc[i],
-            "style_font_size": float(style["xscale"].iloc[i]),
-            "style_font_weight": style["font_weight"].iloc[i],
-            "style_font_style": style["font_style"].iloc[i],
-            "style_word_spacing": float(style["word_spacing"].iloc[i]),
-            "style_letter_spacing": float(style["letter_spacing"].iloc[i]),
-            "style_color": style["color"].iloc[i],
-            "style_stroke_color": style["stroke_color"].iloc[i],
-            "style_line_height": float(line_height[i]),
-            "style_left": float(bx[i]),
-            "style_top": float(top[i]),
-            "style_width": float(bwidth[i]),
-            "style_height": None,
-        })
-    return records
+    out = {
+        "key": emit.astype(np.int64),
+        "page_no": pages,
+        "kind": np.full(nb, "text", dtype=object),
+        "text": texts,
+        "media_ref": np.full(nb, None, dtype=object),
+        "style_line_height": line_height.astype(np.float64),
+        "style_left": bx.astype(np.float64),
+        "style_top": top.astype(np.float64),
+        "style_width": bwidth.astype(np.float64),
+        "style_height": np.full(nb, np.nan),
+    }
+    for out_col, src in BOX_STYLE_MAP.items():
+        out[out_col] = gl[src][starts].copy()
+    # stale-style inheritance: rare; patch forward from the previous box
+    if inherit.any():
+        inh_mask = inherit[starts]
+        for i in np.nonzero(inh_mask)[0]:
+            if i == 0:
+                continue
+            for out_col in BOX_STYLE_MAP:
+                out[out_col][i] = out[out_col][i - 1]
+    return out
 
 
-def _is_rtl_first(t: str) -> bool:
-    import unicodedata
-    return unicodedata.bidirectional(t[0]) in {"R", "AL", "RLE", "RLO"}
+def _empty_boxes() -> dict:
+    cols = ["key", "page_no", "kind", "text", "media_ref",
+            "style_line_height", "style_left", "style_top", "style_width",
+            "style_height", *BOX_STYLE_MAP.keys()]
+    return {c: np.array([], dtype=object) for c in cols}
