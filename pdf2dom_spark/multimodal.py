@@ -1,0 +1,202 @@
+"""Multimodal column operations: opaque binary media + typed metadata.
+
+A 100 TB training-data pipeline carries images/audio/video as opaque
+``binary`` columns with typed metadata beside them. This module implements
+the Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
+signatures — for decode / feature-extract / resize / frame-sample. The
+actual codec work is STUBBED deterministically (this container has no
+image/audio libraries): ``_stub_decode`` derives metadata from the payload
+bytes' digest, so every stage is fully testable and reproducible, and the
+real decoder drops in behind the same signature.
+
+Ops:
+  - ``media_table``     — synthesize the binary media table (payload +
+                          media_ref) from documents (deterministic).
+  - ``decode_meta``     — mapInPandas decode stub: payload -> (format, width,
+                          height, n_frames); Arrow-batched, no per-row Python
+                          at the Spark level.
+  - ``resize_plan``     — pure-DataFrame resize planning (target box fit,
+                          scale factor, output dims) — JVM-side arithmetic.
+  - ``frame_sample``    — every-k-th-frame sampling plan for video-like
+                          payloads: posexplode of a sequence, one row per
+                          sampled frame.
+  - ``mm_decode_meta`` / ``mm_resize_plan`` / ``mm_frame_sample`` are
+    registered as driver queries; the metadata derivation is reproduced in
+    DuckDB oracle SQL (hex-nibble parsing of md5 digests is portable).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+REGISTRY: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _reg(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return deco
+
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("payload", T.BinaryType(), False),
+])
+
+META_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("format", T.StringType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("n_frames", T.IntegerType(), False),
+])
+
+_FORMATS = ["png", "jpeg", "webm", "wav"]
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic binary media rows derived from documents: payload =
+    utf-8 text bytes, media_ref = md5 digest. (Stands in for an Iceberg
+    side table of blobs; keeps span rows narrow — SURVEY.md §1.1.)"""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        F.md5("text").alias("media_ref"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+def _stub_decode(payload: bytes) -> tuple[str, int, int, int]:
+    """Deterministic fake decoder: metadata from the payload digest.
+    Replace with PIL/ffmpeg probing in production — same signature.
+
+    width  = 256 + first digest byte * 4
+    height = 256 + second digest byte * 2
+    format = digest byte 3 % 4 -> png/jpeg/webm/wav
+    n_frames = 1 for images, 24 + byte4 % 100 for webm, 1 for wav
+    """
+    h = hashlib.md5(payload).digest()
+    fmt = _FORMATS[h[2] % 4]
+    width = 256 + h[0] * 4
+    height = 256 + h[1] * 2
+    n_frames = (24 + h[3] % 100) if fmt == "webm" else 1
+    return fmt, width, height, n_frames
+
+
+def decode_meta(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode stub over the binary column."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [_stub_decode(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(metas,
+                               columns=["format", "width", "height", "n_frames"])
+            out.insert(0, "media_ref", pdf["media_ref"].values)
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            out["n_frames"] = out["n_frames"].astype("int32")
+            yield out
+
+    return media.mapInPandas(kernel, META_SCHEMA)
+
+
+def resize_plan(meta: DataFrame, box: int = 512) -> DataFrame:
+    """Fit-into-box resize planning, JVM-side (no UDF): scale =
+    min(box/w, box/h, 1), output dims floor(dim*scale)."""
+    scale = F.least(F.lit(float(box)) / F.col("width"),
+                    F.lit(float(box)) / F.col("height"), F.lit(1.0))
+    return meta.select(
+        "media_ref", "format", "width", "height",
+        F.round(scale, 6).alias("scale"),
+        F.floor(F.col("width") * scale).cast("int").alias("out_w"),
+        F.floor(F.col("height") * scale).cast("int").alias("out_h"),
+    )
+
+
+def frame_sample(meta: DataFrame, every: int = 10) -> DataFrame:
+    """One row per sampled frame (videos only): frames 0, k, 2k, ..."""
+    v = meta.where(F.col("n_frames") > 1)
+    return v.select(
+        "media_ref",
+        F.posexplode(F.sequence(
+            F.lit(0), F.col("n_frames") - 1, F.lit(every))).alias("k", "frame_no"),
+    ).select(
+        "media_ref", F.col("k").cast("int").alias("k"),
+        F.col("frame_no").cast("int").alias("frame_no"),
+        F.concat(F.col("media_ref"), F.lit("#"),
+                 F.col("frame_no").cast("string")).alias("frame_ref"),
+    )
+
+
+# --- portable hex parsing for the oracle ------------------------------------
+
+def _hexbyte_sql(expr: str, i: int) -> str:
+    """Parse hex byte i (0-based) of an md5 hex string — portable."""
+    c1 = f"(instr('0123456789abcdef', substr({expr}, {2*i+1}, 1)) - 1)"
+    c2 = f"(instr('0123456789abcdef', substr({expr}, {2*i+2}, 1)) - 1)"
+    return f"({c1} * 16 + {c2})"
+
+
+_H = "md5(text)"
+_FMT_SQL = (f"CASE {_hexbyte_sql(_H, 2)} % 4 WHEN 0 THEN 'png' WHEN 1 THEN "
+            f"'jpeg' WHEN 2 THEN 'webm' ELSE 'wav' END")
+_W_SQL = f"(256 + {_hexbyte_sql(_H, 0)} * 4)"
+_HT_SQL = f"(256 + {_hexbyte_sql(_H, 1)} * 2)"
+_NF_SQL = (f"CASE WHEN {_FMT_SQL} = 'webm' THEN 24 + {_hexbyte_sql(_H, 3)} % 100 "
+           f"ELSE 1 END")
+
+
+@_reg("mm_decode_meta", f"""
+SELECT md5(text) AS media_ref, {_FMT_SQL} AS format,
+       CAST({_W_SQL} AS INT) AS width, CAST({_HT_SQL} AS INT) AS height,
+       CAST({_NF_SQL} AS INT) AS n_frames
+FROM documents
+""")
+def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_meta(media_table(spark, sf_dir))
+
+
+@_reg("mm_resize_plan", f"""
+WITH m AS (
+  SELECT md5(text) AS media_ref, {_FMT_SQL} AS format,
+         {_W_SQL} AS width, {_HT_SQL} AS height
+  FROM documents
+)
+SELECT media_ref, format, CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height,
+       ROUND(LEAST(512.0 / width, 512.0 / height, 1.0), 6) AS scale,
+       CAST(FLOOR(width * LEAST(512.0 / width, 512.0 / height, 1.0)) AS INT) AS out_w,
+       CAST(FLOOR(height * LEAST(512.0 / width, 512.0 / height, 1.0)) AS INT) AS out_h
+FROM m
+""")
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_plan(decode_meta(media_table(spark, sf_dir)))
+
+
+@_reg("mm_frame_sample", f"""
+WITH m AS (
+  SELECT md5(text) AS media_ref, CAST({_NF_SQL} AS INT) AS n_frames
+  FROM documents
+),
+v AS (SELECT * FROM m WHERE n_frames > 1),
+x AS (SELECT media_ref,
+             unnest(generate_series(0, n_frames - 1, 10)) AS frame_no
+      FROM v)
+SELECT media_ref, CAST(frame_no / 10 AS INT) AS k,
+       CAST(frame_no AS INT) AS frame_no,
+       media_ref || '#' || CAST(frame_no AS VARCHAR) AS frame_ref
+FROM x
+""")
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frame_sample(decode_meta(media_table(spark, sf_dir)))

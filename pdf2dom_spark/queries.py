@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from . import simsearch, textops
+from . import multimodal, simsearch, textops
 from .corpus import build_docs_df
 from .extract import ExtractConfig, make_extract_batch
 from .fonts import CSS_FONT_FAMILY, CSS_FONT_STYLE, CSS_FONT_WEIGHT, PD_FONT_TYPE
@@ -496,6 +496,51 @@ def window_rownum_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_brand").alias("brand"), "p_partkey", used.alias("used_name"))
 
 
+# sessionization over the events stream table: the same gaps-and-islands
+# shape as the T1 chunk merge, keyed by time gap instead of x-distance
+# (SURVEY.md §2.h notes T1 is semantically a session window). In Structured
+# Streaming this is session_window(); here it is the batch-backfill form.
+@_reg("sessionize_events", """
+WITH g AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, ts, value, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR FLOOR(epoch(ts)) - FLOOR(epoch(LAG(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, CAST(session_id AS INT) AS session_id,
+       CAST(MIN(FLOOR(epoch(ts))) AS BIGINT) AS start_epoch,
+       CAST(MAX(FLOOR(epoch(ts))) AS BIGINT) AS end_epoch,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 3) AS total_value
+FROM s GROUP BY user_id, session_id
+""")
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("long").alias("user_id"), "ts", "value",
+        "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull()
+               | ((F.unix_timestamp("ts")
+                   - F.unix_timestamp(F.lag("ts").over(w))) > 1800),
+               1).otherwise(0))
+    cur = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    s = g.withColumn("session_id", F.sum("new_session").over(cur).cast("int"))
+    return s.groupBy("user_id", "session_id").agg(
+        F.min(F.unix_timestamp("ts")).alias("start_epoch"),
+        F.max(F.unix_timestamp("ts")).alias("end_epoch"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 3).alias("total_value"))
+
+
 # lineage aggregation shape (per-partition counters + checksums)
 @_reg("lineage_agg", """
 SELECT CAST(doc_id % 16 AS INT) AS part_id,
@@ -530,6 +575,7 @@ def all_queries() -> dict:
     out.update(REGISTRY)
     out.update(textops.REGISTRY)
     out.update(simsearch.REGISTRY)
+    out.update(multimodal.REGISTRY)
     return out
 
 
@@ -538,4 +584,5 @@ def all_oracles() -> dict[str, str]:
     out.update(ORACLES)
     out.update(textops.ORACLES)
     out.update(simsearch.ORACLES)
+    out.update(multimodal.ORACLES)
     return out

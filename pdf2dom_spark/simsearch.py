@@ -80,6 +80,36 @@ def knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), F.asc("vec_id")).limit(10))
 
 
+@_reg("dedup_embedding_cosine", f"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, label, embedding,
+         {_SQL_NORM.format(a='embedding')} AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+             / (a.nrm * b.nrm), 3) AS cos
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_SQL_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) >= 0.9
+""")
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs. Candidates are bounded per
+    label group (at 100 TB scale the label becomes an LSH bucket — same
+    join shape, bounded fan-out)."""
+    e = _emb(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("vec_id"), "label", "embedding",
+        _norm(F.col("embedding")).alias("nrm"))
+    a, b = e.alias("a"), e.alias("b")
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm"))
+    return (a.join(b, (F.col("a.label") == F.col("b.label"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .where(cos >= 0.9)
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    F.round(cos, 3).alias("cos")))
+
+
 @_reg("knn_lsh", f"""
 WITH planes AS (
   SELECT vec_id AS plane_id, embedding AS pv FROM embeddings

@@ -1,0 +1,74 @@
+"""Structured Streaming surface.
+
+The reference is strictly batch (one document per JVM invocation,
+PDFToHTML.java:73-77), and the north rule's checkpoint-resume is batch too —
+but a 100 TB ingest pipeline usually *arrives* as a stream. This module runs
+the identical extraction kernel over ``readStream`` so the same code serves
+both modes:
+
+  - ``extract_spans_stream`` — file-source stream of DOC_SCHEMA parquet ->
+    the same ``mapInPandas`` extraction (stateless, so it composes with any
+    trigger) -> parquet sink with checkpointLocation. ``availableNow`` gives
+    exactly-once batch-backfill semantics; the same query with a continuous
+    trigger is the live-ingest path.
+  - ``windowed_event_counts`` — watermarked tumbling-window aggregation over
+    the ``events`` table shape (late data dropped after the watermark), the
+    canonical streaming-agg smoke.
+
+Scale notes: the streaming extraction keeps the salting property by
+``repartition(P, pmod(xxhash64(doc_id), P))`` inside each micro-batch; state
+stores are only needed for the windowed agg (RocksDB state store in
+production)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extract import DEFAULT_CONFIG, ExtractConfig, make_extract_batch
+from .schema import DOC_SCHEMA, SPAN_FLAT_SCHEMA
+
+
+def extract_spans_stream(spark: SparkSession, docs_dir: str,
+                         out_dir: str, checkpoint_dir: str,
+                         cfg: ExtractConfig = DEFAULT_CONFIG,
+                         num_partitions: int = 8):
+    """Start an availableNow streaming extraction; returns the query."""
+    stream = (spark.readStream.schema(DOC_SCHEMA)
+              .option("maxFilesPerTrigger", 4)
+              .parquet(docs_dir))
+    salted = stream.repartition(
+        num_partitions,
+        F.pmod(F.xxhash64("doc_id"), F.lit(num_partitions)))
+    spans = salted.mapInPandas(make_extract_batch(cfg, nested=False),
+                               SPAN_FLAT_SCHEMA)
+    return (spans.writeStream
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def windowed_event_counts(spark: SparkSession, events_dir: str,
+                          out_dir: str, checkpoint_dir: str):
+    """Watermarked 10-minute tumbling-window counts per event_type."""
+    ev_schema = spark.read.parquet(events_dir).schema
+    stream = (spark.readStream.schema(ev_schema).parquet(events_dir)
+              # event-time watermarks need TIMESTAMP (parquet stores NTZ)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    agg = (stream
+           .withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 3).alias("total_value"))
+           .select(F.col("win.start").alias("win_start"),
+                   F.col("win.end").alias("win_end"), "event_type", "n",
+                   "total_value"))
+    return (agg.writeStream
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())

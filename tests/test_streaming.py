@@ -1,0 +1,46 @@
+"""Structured Streaming: the same extraction kernel over readStream must
+produce exactly the batch result; watermarked windowed agg smoke."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf2dom_spark.corpus import build_docs_df
+from pdf2dom_spark.pipeline import extract_spans
+from pdf2dom_spark.streaming import extract_spans_stream, windowed_event_counts
+from tests.conftest import SF_SMOKE
+
+
+def test_stream_extraction_matches_batch(spark, tmp_path):
+    docs = build_docs_df(spark, SF_SMOKE, mode="rich").limit(120).cache()
+    docs_dir = str(tmp_path / "docs")
+    docs.write.parquet(docs_dir)
+
+    q = extract_spans_stream(spark, docs_dir, str(tmp_path / "out"),
+                             str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(str(tmp_path / "out"))
+    batch = extract_spans(docs, num_partitions=8, nested=False)
+    cols = [c for c in batch.columns if c != "part_id"]
+    assert streamed.count() == batch.count()
+    assert streamed.select(cols).exceptAll(batch.select(cols)).count() == 0
+
+
+def test_windowed_event_counts(spark, tmp_path):
+    # the file stream source needs a directory, not a single parquet file
+    ev_dir = str(tmp_path / "events")
+    spark.read.parquet(f"{SF_SMOKE}/events.parquet").write.parquet(ev_dir)
+    q = windowed_event_counts(spark, ev_dir,
+                              str(tmp_path / "agg"), str(tmp_path / "ckpt2"))
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "agg"))
+    # availableNow + append emits only watermark-closed windows; compare
+    # emitted windows against the batch ground truth
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    truth = (ev.groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .select(F.col("win.start").alias("win_start"), "event_type", "n"))
+    joined = out.join(truth, ["win_start", "event_type"], "inner")
+    assert joined.where(out["n"] != truth["n"]).count() == 0
+    assert out.count() > 0
