@@ -1,0 +1,93 @@
+"""Physical-plan quality gates: pushdown, pruning, broadcast, codegen.
+
+The 100 TB contract is about plan shape, not just answers: filters must reach
+the parquet scan, projections must prune columns, small dims must broadcast,
+and scalar pipelines must stay inside WholeStageCodegen."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _fmt(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_to_parquet(spark):
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    q = d.where(F.col("lang") == "en").select("doc_id")
+    plan = _fmt(q)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    from pdf2dom_spark.queries import all_queries
+    q = all_queries()["token_count"](spark, SF_SMOKE)
+    plan = _fmt(q)
+    # only doc_id and text are read, not lang/source/n_chars
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" in scan and "lang" not in scan and "n_chars" not in scan
+
+
+def test_corpus_builder_prunes_columns(spark):
+    from pdf2dom_spark.corpus import build_docs_df
+    docs = build_docs_df(spark, SF_SMOKE, mode="oracle")
+    plan = _fmt(docs)
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "lang" not in scan and "source" not in scan
+
+
+def test_broadcast_join_used_for_dim(spark):
+    from pdf2dom_spark.queries import all_queries
+    q = all_queries()["broadcast_dim_join"](spark, SF_SMOKE)
+    assert "BroadcastHashJoin" in _plan(q)
+
+
+def test_resume_anti_join_is_broadcast(spark, tmp_path):
+    from pdf2dom_spark.corpus import build_docs_df
+    from pdf2dom_spark.pipeline import with_part_id
+    docs = build_docs_df(spark, SF_SMOKE, mode="oracle")
+    done = spark.createDataFrame([(1,), (2,)], ["part_id"])
+    pending = with_part_id(docs, 16).join(
+        F.broadcast(done), "part_id", "left_anti")
+    plan = _plan(pending)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_extraction_has_single_exchange(spark):
+    """The extraction job's only shuffle is the salting repartition."""
+    from pdf2dom_spark.corpus import build_docs_df
+    from pdf2dom_spark.pipeline import extract_spans
+    docs = build_docs_df(spark, SF_SMOKE, mode="oracle")
+    spans = extract_spans(docs, num_partitions=8, nested=False)
+    plan = _plan(spans)
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_scalar_query_stays_in_codegen(spark):
+    from pdf2dom_spark.queries import all_queries
+    q = all_queries()["color_hex"](spark, SF_SMOKE)
+    s = spark._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "codegen")
+    assert "Found 1 WholeStageCodegen subtrees" in s
+    # higher-order-function query: not codegen-able, but still pure JVM
+    q2 = all_queries()["quality_score"](spark, SF_SMOKE)
+    plan2 = _plan(q2)
+    assert "ArrowEvalPython" not in plan2 and "BatchEvalPython" not in plan2
+
+
+def test_no_python_udf_outside_extraction(spark):
+    """Every non-extraction query is built from JVM expressions only."""
+    from pdf2dom_spark.queries import all_queries
+    for name, fn in all_queries().items():
+        if name.startswith(("extract_", "mm_")):
+            continue  # mapInPandas kernels (the designated Arrow UDFs)
+        plan = _plan(fn(spark, SF_SMOKE))
+        assert "EvalPython" not in plan, f"{name} uses a Python UDF"
