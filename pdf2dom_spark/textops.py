@@ -257,10 +257,10 @@ WITH w AS (
   FROM documents
 )
 SELECT doc_id,
-       ROUND(0.4 * LEAST(n_chars / 500.0, 1.0)
+       CAST(FLOOR((0.4 * LEAST(n_chars / 500.0, 1.0)
            + 0.3 * (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
-           + 0.3 * (CAST(len(list_filter(ws, x -> x IN ('the','a','of','de','la'))) AS DOUBLE) / len(ws)),
-         4) AS quality
+           + 0.3 * (CAST(len(list_filter(ws, x -> x IN ('the','a','of','de','la'))) AS DOUBLE) / len(ws))
+           ) * 10000 + 0.5) AS BIGINT) AS quality_x10k
 FROM w WHERE len(ws) > 0
 """)
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,8 +274,11 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct_ratio = F.size(F.array_distinct("ws")).cast("double") / nw
     q = (0.4 * F.least(F.col("n_chars") / 500.0, F.lit(1.0))
          + 0.3 * distinct_ratio + 0.3 * stop_ratio)
+    # floor-based fixed-point keeps cross-engine parity exact (both sides
+    # compute the identical double, then the identical integer)
     return d.where(F.size("ws") > 0).select(
-        "doc_id", F.round(q, 4).alias("quality"))
+        "doc_id",
+        F.floor(q * 10000 + 0.5).cast("long").alias("quality_x10k"))
 
 
 # ---------------------------------------------------------------------------
