@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""spark-submit entry point — the reference's CLI driver re-expressed
+(PDFToHTML.main, PDFToHTML.java:41-136: file in/out + handler-mode flags ->
+here: table in/out + the same extraction config + cluster knobs).
+
+Usage (cluster):
+  spark-submit --py-files pdf2dom_spark.zip job.py \\
+      --input  <iceberg-or-parquet documents table/dir> \\
+      --output <output dir (spans/ + lineage/)> \\
+      --partitions 4096 --resume \\
+      [--start-page N] [--end-page N] [--disable-graphics]
+      [--disable-images] [--disable-image-data]
+      [--image-handler embed|dir|ignore] [--font-handler embed|dir|ignore]
+      [--render-html]
+
+Local smoke:
+  python job.py --synth /root/testdata/sf0.001 --output /tmp/out
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", help="documents table (DOC_SCHEMA parquet dir)")
+    p.add_argument("--synth", help="synthesize corpus from this sf dir instead")
+    p.add_argument("--output", required=True)
+    p.add_argument("--partitions", type=int, default=0,
+                   help="salt partition count (default: shuffle partitions)")
+    p.add_argument("--resume", action="store_true",
+                   help="skip partitions already in the lineage table")
+    p.add_argument("--run-id", default=None)
+    # PDFToHTML.java:100-136 flag surface
+    p.add_argument("--start-page", type=int, default=0)
+    p.add_argument("--end-page", type=int, default=2**31 - 1)
+    p.add_argument("--disable-graphics", action="store_true")  # -gx analog
+    p.add_argument("--disable-images", action="store_true")    # -ix analog
+    p.add_argument("--disable-image-data", action="store_true")
+    p.add_argument("--image-handler", default="embed",
+                   choices=["embed", "dir", "ignore"])        # -im/-idir
+    p.add_argument("--font-handler", default="embed",
+                   choices=["embed", "dir", "ignore"])        # -fm/-fdir
+    p.add_argument("--render-html", action="store_true",
+                   help="also write per-doc HTML next to spans")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv or sys.argv[1:])
+    from pyspark.sql import SparkSession
+
+    from pdf2dom_spark.extract import ExtractConfig
+    from pdf2dom_spark.pipeline import run_checkpointed
+
+    pre_existing = SparkSession.getActiveSession() is not None
+    spark = (SparkSession.builder.appName("pdf2dom-spark")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+             .getOrCreate())
+
+    cfg = ExtractConfig(
+        start_page=args.start_page, end_page=args.end_page,
+        disable_graphics=args.disable_graphics,
+        disable_images=args.disable_images,
+        disable_image_data=args.disable_image_data,
+        image_handler=args.image_handler, font_handler=args.font_handler,
+    )
+    p = args.partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+    if args.synth:
+        from pdf2dom_spark.corpus import build_docs_df
+        docs = build_docs_df(spark, args.synth, mode="rich", num_partitions=p)
+    else:
+        docs = spark.read.parquet(args.input)
+
+    if not args.resume:
+        # fresh run: any prior lineage is ignored by using a new output dir
+        pass
+    stats = run_checkpointed(spark, docs, args.output, cfg=cfg,
+                             num_partitions=p, run_id=args.run_id)
+    print(stats)
+
+    if args.render_html:
+        from pdf2dom_spark.render_html import render_html_df
+        spans = spark.read.parquet(f"{args.output}/spans")
+        render_html_df(spans).write.mode("overwrite").parquet(
+            f"{args.output}/html")
+
+    if not pre_existing:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

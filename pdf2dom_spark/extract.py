@@ -43,7 +43,7 @@ class ExtractConfig:
 DEFAULT_CONFIG = ExtractConfig()
 
 _FLOAT_STYLE = {"font_size", "word_spacing", "letter_spacing", "line_height",
-                "left", "top", "width", "height"}
+                "left", "top", "width", "height", "angle", "stroke_width"}
 _STYLE_COLS = [f"style_{f}" for f in STYLE_FIELDS]
 _REC_COLS = ["key", "page_no", "kind", "text", "media_ref", *_STYLE_COLS]
 _NUM_REC_COLS = {"page_no"} | {f"style_{f}" for f in _FLOAT_STYLE}

@@ -34,6 +34,8 @@ def rect_record(ev: tuple) -> dict:
         "style_width": w, "style_height": h,
         "style_stroke_color": scol if stroke else None,
         "style_color": fcol if fill else None,
+        "style_stroke_width": lw if stroke else None,
+        "style_angle": None,
         "style_line_height": None, "style_font_family": None,
         "style_font_size": None, "style_font_weight": None,
         "style_font_style": None, "style_word_spacing": None,
@@ -55,19 +57,22 @@ def line_record(ev: tuple) -> dict:
         out_w = width
     else:
         out_w = math.sqrt((x1 - x2) ** 2 + (y1 - y2) ** 2)
+    stroke_w = max(lw, 0.5)  # HtmlDivLine.getLineStrokeWidth (:77-83)
     if horizontal or vertical:
         left = min(x1, x2)
         top = min(y1, y2)
+        angle = 0.0
     else:
-        stroke_w = max(lw, 0.5)
         left = abs((x2 + x1) / 2) - out_w / 2
         top = abs((y2 + y1) / 2) - (stroke_w + out_h) / 2
+        angle = math.degrees(math.atan((y2 - y1) / (x2 - x1)))
     return {
         "key": key, "page_no": page, "kind": "line", "text": None,
         "media_ref": None,
         "style_left": left, "style_top": top,
         "style_width": out_w, "style_height": out_h,
         "style_stroke_color": scol, "style_color": None,
+        "style_stroke_width": stroke_w, "style_angle": angle,
         "style_line_height": None, "style_font_family": None,
         "style_font_size": None, "style_font_weight": None,
         "style_font_style": None, "style_word_spacing": None,
@@ -85,6 +90,7 @@ def image_record(ev: tuple, media_ref_out: str | None) -> dict:
         "style_left": x, "style_top": y,
         "style_width": w, "style_height": h,
         "style_stroke_color": None, "style_color": None,
+        "style_stroke_width": None, "style_angle": None,
         "style_line_height": None, "style_font_family": None,
         "style_font_size": None, "style_font_weight": None,
         "style_font_style": None, "style_word_spacing": None,
@@ -104,6 +110,7 @@ def page_record(ev: tuple) -> dict:
         "style_left": None, "style_top": None,
         "style_width": w, "style_height": h,
         "style_stroke_color": None, "style_color": None,
+        "style_stroke_width": None, "style_angle": None,
         "style_line_height": None, "style_font_family": None,
         "style_font_size": None, "style_font_weight": None,
         "style_font_style": None, "style_word_spacing": None,

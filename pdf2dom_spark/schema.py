@@ -58,6 +58,10 @@ STYLE_STRUCT = T.StructType(
         T.StructField("top", T.FloatType(), True),
         T.StructField("width", T.FloatType(), True),
         T.StructField("height", T.FloatType(), True),
+        # line/rect presentation extras (HtmlDivLine.java:69-83,
+        # PDFDomTree.java:337-397)
+        T.StructField("angle", T.FloatType(), True),
+        T.StructField("stroke_width", T.FloatType(), True),
     ]
 )
 

@@ -177,6 +177,8 @@ def boxes_from_glyphs(glyphs: dict, page_flush: dict[int, int]) -> dict:
         "style_top": top.astype(np.float64),
         "style_width": bwidth.astype(np.float64),
         "style_height": np.full(nb, np.nan),
+        "style_angle": np.full(nb, np.nan),
+        "style_stroke_width": np.full(nb, np.nan),
     }
     for out_col, src in BOX_STYLE_MAP.items():
         out[out_col] = gl[src][starts].copy()
@@ -194,5 +196,6 @@ def boxes_from_glyphs(glyphs: dict, page_flush: dict[int, int]) -> dict:
 def _empty_boxes() -> dict:
     cols = ["key", "page_no", "kind", "text", "media_ref",
             "style_line_height", "style_left", "style_top", "style_width",
-            "style_height", *BOX_STYLE_MAP.keys()]
+            "style_height", "style_angle", "style_stroke_width",
+            *BOX_STYLE_MAP.keys()]
     return {c: np.array([], dtype=object) for c in cols}
