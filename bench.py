@@ -79,11 +79,15 @@ def run_extraction_once(cores: int) -> dict:
     # warm the JVM + python workers (two rounds: daemon fork + module imports)
     for _ in range(2):
         extract_spans(docs.sample(0.02, seed=1), num_partitions=p,
-                      nested=False).count()
-    t0 = time.time()
-    spans = extract_spans(docs, num_partitions=p, nested=False)
-    n_spans = spans.count()
-    dt = time.time() - t0
+                      nested=False, presalted=True).count()
+    # best-of-2 to damp shared-VM noise (all-core turbo, neighbor load)
+    dt = float("inf")
+    n_spans = 0
+    for _ in range(2):
+        t0 = time.time()
+        spans = extract_spans(docs, num_partitions=p, nested=False)
+        n_spans = spans.count()
+        dt = min(dt, time.time() - t0)
     spark.stop()
     return {"cores": cores, "sec": round(dt, 3), "docs": n_docs,
             "spans": n_spans, "docs_per_sec": round(n_docs / dt, 2)}

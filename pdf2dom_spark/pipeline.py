@@ -43,12 +43,22 @@ def with_part_id(docs: DataFrame, num_partitions: int) -> DataFrame:
 
 def extract_spans(docs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
                   num_partitions: int | None = None,
-                  nested: bool = True) -> DataFrame:
+                  nested: bool = True,
+                  presalted: bool = False) -> DataFrame:
     """documents -> ordered spans. The salted repartition is the only
-    shuffle; extraction is narrow from there on."""
+    shuffle; extraction is narrow from there on.
+
+    ``presalted=True``: the input is already hash-balanced on doc_id (e.g.
+    the corpus builder repartitioned before synthesis) — extraction is
+    per-document independent, so no second shuffle is needed; ``part_id``
+    stays the deterministic column either way. This shuffles the small
+    (doc_id, payload) rows once instead of re-shuffling them post-synthesis.
+    """
     spark = docs.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    salted = with_part_id(docs, p).repartition(p, F.col("part_id"))
+    salted = with_part_id(docs, p)
+    if not presalted:
+        salted = salted.repartition(p, F.col("part_id"))
     schema = SPAN_SCHEMA if nested else SPAN_FLAT_SCHEMA
     return salted.mapInPandas(make_extract_batch(cfg, nested=nested), schema)
 

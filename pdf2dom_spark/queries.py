@@ -445,7 +445,8 @@ def page_transform_quadrants(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_reg("broadcast_dim_join", """
 SELECT p.p_brand AS brand,
        CAST(COUNT(*) AS BIGINT) AS n_items,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p.p_brand
 """)
@@ -455,8 +456,9 @@ def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
             .groupBy(F.col("p_brand").alias("brand"))
             .agg(F.count(F.lit(1)).alias("n_items"),
-                 F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 2).alias("revenue")))
+                 F.sum(F.floor(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount")) * 100 + 0.5)
+                       .cast("long")).cast("long").alias("revenue_cents")))
 
 
 # checkpoint-resume anti-join shape (SURVEY.md §2.h)
@@ -517,7 +519,7 @@ SELECT user_id, CAST(session_id AS INT) AS session_id,
        CAST(MIN(FLOOR(epoch(ts))) AS BIGINT) AS start_epoch,
        CAST(MAX(FLOOR(epoch(ts))) AS BIGINT) AS end_epoch,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(SUM(value), 3) AS total_value
+       CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_milli
 FROM s GROUP BY user_id, session_id
 """)
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -538,7 +540,8 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_timestamp("ts")).alias("start_epoch"),
         F.max(F.unix_timestamp("ts")).alias("end_epoch"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 3).alias("total_value"))
+        F.sum(F.floor(F.col("value") * 1000 + 0.5).cast("long"))
+        .cast("long").alias("total_value_milli"))
 
 
 # lineage aggregation shape (per-partition counters + checksums)

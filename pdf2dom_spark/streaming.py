@@ -50,6 +50,50 @@ def extract_spans_stream(spark: SparkSession, docs_dir: str,
             .start())
 
 
+def running_user_totals(spark: SparkSession, events_dir: str,
+                        out_dir: str, checkpoint_dir: str):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running event count + value total carried across micro-batches
+    (GroupState, processing-time timeout disabled). This is the extension
+    point for stateful ops Spark lacks natively — the state schema and
+    update function are user-defined, Arrow-batched."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+    import pandas as pd
+
+    ev_schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(ev_schema).parquet(events_dir)
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_milli", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("tot", T.LongType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        n, tot = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            tot += int((pdf["value"] * 1000 + 0.5).astype("int64").sum())
+        state.update((n, tot))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_milli": [tot]})
+
+    result = (stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout))
+    return (result.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())
+
+
 def windowed_event_counts(spark: SparkSession, events_dir: str,
                           out_dir: str, checkpoint_dir: str):
     """Watermarked 10-minute tumbling-window counts per event_type."""

@@ -27,6 +27,23 @@ def test_stream_extraction_matches_batch(spark, tmp_path):
     assert streamed.select(cols).exceptAll(batch.select(cols)).count() == 0
 
 
+def test_stateful_running_totals(spark, tmp_path):
+    from pdf2dom_spark.streaming import running_user_totals
+    ev_dir = str(tmp_path / "events_s")
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    ev.write.parquet(ev_dir)
+    q = running_user_totals(spark, ev_dir, str(tmp_path / "totals"),
+                            str(tmp_path / "ckpt3"))
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "totals"))
+    # the last emission per user carries the full running state
+    final = out.groupBy("user_id").agg(F.max("n_events").alias("n"))
+    truth = ev.groupBy("user_id").count().withColumnRenamed("count", "n")
+    assert final.join(truth, "user_id").where(
+        final["n"] != truth["n"]).count() == 0
+    assert final.count() == truth.count()
+
+
 def test_windowed_event_counts(spark, tmp_path):
     # the file stream source needs a directory, not a single parquet file
     ev_dir = str(tmp_path / "events")
