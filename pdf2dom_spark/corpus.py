@@ -67,20 +67,41 @@ def rect_span(frag: str, offset: int) -> dict:
 # 2. oracle corpus
 # ---------------------------------------------------------------------------
 
-def oracle_stream(text: str) -> list[dict]:
-    """One text span holding the whole mono-grid content stream."""
+def oracle_stream(doc_id: str, text: str) -> list[dict]:
+    """Interleaved spans whose extraction is exactly reproducible in SQL:
+    per page, mono-grid text lines, one filled rect, one placed image — all
+    geometry closed-form in (doc_id, page_no, word lengths).
+
+    Per-page emission order (derivable in SQL): page span, word boxes
+    0..m-2 (each flushed when the next starts), rect, image, then the LAST
+    word box (flushed only at the page's end-of-stream —
+    PDFBoxTree.java:208,639-644). Stride per full page = 43 spans."""
     words = text.split(" ") if text else []
     words = [w for w in words if w]
-    frags: list[str] = []
-    for p in range(0, len(words), ORACLE_WORDS_PER_PAGE):
-        page_words = words[p:p + ORACLE_WORDS_PER_PAGE]
-        frags.append(f"{PAGE_W:g} {PAGE_H:g} 0 PG BT /{ORACLE_FONT} {ORACLE_SIZE:g} Tf")
+    spans: list[dict] = []
+    off = 0
+    n_pages = (len(words) + ORACLE_WORDS_PER_PAGE - 1) // ORACLE_WORDS_PER_PAGE
+    for pi in range(n_pages):
+        p = pi + 1
+        page_words = words[pi * ORACLE_WORDS_PER_PAGE:(pi + 1) * ORACLE_WORDS_PER_PAGE]
+        frags = [f"{PAGE_W:g} {PAGE_H:g} 0 PG BT /{ORACLE_FONT} {ORACLE_SIZE:g} Tf"]
         for li in range(0, len(page_words), ORACLE_WORDS_PER_LINE):
             line = page_words[li:li + ORACLE_WORDS_PER_LINE]
             y = ORACLE_Y0 - ORACLE_LINE_STEP * (li // ORACLE_WORDS_PER_LINE)
             frags.append(f"1 0 0 1 {ORACLE_MARGIN:g} {y:g} Tm ({_esc(' '.join(line))}) Tj")
         frags.append("ET")
-    return [text_span(" ".join(frags), 0)]
+        # closed-form rect: fill #3f7fbf (int truncation of .25/.5/.75*255)
+        rx = 100 + 10 * (pi % 5)
+        rw = 80 + 5 * (p % 3)
+        frags.append(f"0.25 0.5 0.75 rg {rx} 50 {rw} 20 re f")
+        # closed-form image placement via q/cm ... Q around the media span
+        ix = 200 + 10 * (p % 4)
+        frags.append(f"q 120 0 0 90 {ix} 300 cm")
+        spans.append(text_span(" ".join(frags), off)); off += 1
+        ref = "sha:" + hashlib.md5(f"{doc_id}:{p}".encode()).hexdigest()
+        spans.append(image_span(ref, 640, 480, f"Img{p}", off)); off += 1
+        spans.append(text_span("Q", off)); off += 1
+    return spans
 
 
 # ---------------------------------------------------------------------------
@@ -288,7 +309,7 @@ def build_docs_df(spark, sf_dir: str, mode: str = "rich", replicate: int = 1,
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 did = str(doc_id)
-                spans = (oracle_stream(text) if mode == "oracle"
+                spans = (oracle_stream(did, text) if mode == "oracle"
                          else rich_stream(did, text))
                 rows.append({"doc_id": did, "spans": spans})
             yield pd.DataFrame(rows, columns=["doc_id", "spans"])

@@ -59,6 +59,10 @@ def _extract_flat(spark: SparkSession, sf_dir: str,
 # 1a. FULL kernel vs closed-form SQL on the mono-grid corpus
 # ---------------------------------------------------------------------------
 
+# Per-page emission order (PDFBoxTree.java:208,639-644 — the last box of a
+# page flushes only at the page's end-of-stream, AFTER that page's graphics):
+# page span, word boxes 0..m-2, rect, image, last word box. Stride per full
+# page (m=40) is 43 spans; the trailing font span sits at nw + 3*np.
 _ORACLE_SPANS_SQL = """
 WITH w AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -66,49 +70,86 @@ WITH w AS (
          generate_subscripts(string_split(text,' '), 1) - 1 AS widx
   FROM documents WHERE length(text) > 0
 ),
+n AS (SELECT doc_id, COUNT(*) AS nw,
+             CAST(CEIL(COUNT(*) / 40.0) AS INT) AS np
+      FROM w GROUP BY doc_id),
 ws AS (
-  SELECT doc_id, word, widx,
+  SELECT w.doc_id, word, widx,
          CAST(widx // 40 + 1 AS INT) AS page_no,
          CAST((widx % 40) // 8 AS INT) AS line_no,
-         CAST(widx % 8 AS INT) AS pos
-  FROM w
+         CAST(widx % 8 AS INT) AS pos,
+         CAST(widx % 40 AS INT) AS i,
+         CAST(LEAST(n.nw - 40 * (widx // 40), 40) AS INT) AS m
+  FROM w JOIN n ON w.doc_id = n.doc_id
 ),
 boxes AS (
-  SELECT doc_id, CAST(widx + page_no AS INT) AS ord, 'text' AS kind,
-         word AS text, CAST(NULL AS VARCHAR) AS media_ref, page_no,
+  SELECT doc_id,
+         CAST((page_no - 1) * 43
+              + CASE WHEN i < m - 1 THEN 1 + i ELSE m + 2 END AS INT) AS ord,
+         'text' AS kind, word AS text, CAST(NULL AS VARCHAR) AS media_ref,
+         page_no,
          ROUND(72 + 5.0 * COALESCE(SUM(LENGTH(word)) OVER
                (PARTITION BY doc_id, page_no, line_no ORDER BY widx
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              + 5.0 * pos, 2) AS left_pt,
          ROUND(64 + 14.0 * line_no, 2) AS top_pt,
          ROUND(5.0 * LENGTH(word), 2) AS width_pt,
+         CAST(NULL AS DOUBLE) AS height_pt,
          CAST(10.0 AS DOUBLE) AS line_height,
          CAST(10.0 AS DOUBLE) AS font_size,
          '#000000' AS color, 'Mono' AS font_family
   FROM ws
 ),
-n AS (SELECT doc_id, COUNT(*) AS nw, CAST(CEIL(COUNT(*) / 40.0) AS INT) AS np
-      FROM ws GROUP BY doc_id),
+pg AS (
+  SELECT doc_id, CAST(p AS INT) AS p,
+         CAST(LEAST(nw - 40 * (p - 1), 40) AS INT) AS m
+  FROM (SELECT doc_id, nw, unnest(generate_series(1, np)) AS p FROM n)
+),
 pages AS (
-  SELECT doc_id, CAST((p - 1) * 41 AS INT) AS ord, 'page' AS kind,
+  SELECT doc_id, CAST((p - 1) * 43 AS INT) AS ord, 'page' AS kind,
          CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS media_ref,
-         CAST(p AS INT) AS page_no,
+         p AS page_no,
          CAST(NULL AS DOUBLE) AS left_pt, CAST(NULL AS DOUBLE) AS top_pt,
-         CAST(612.0 AS DOUBLE) AS width_pt, CAST(NULL AS DOUBLE) AS line_height,
-         CAST(NULL AS DOUBLE) AS font_size,
+         CAST(612.0 AS DOUBLE) AS width_pt, CAST(792.0 AS DOUBLE) AS height_pt,
+         CAST(NULL AS DOUBLE) AS line_height, CAST(NULL AS DOUBLE) AS font_size,
          CAST(NULL AS VARCHAR) AS color, CAST(NULL AS VARCHAR) AS font_family
-  FROM (SELECT doc_id, unnest(generate_series(1, np)) AS p FROM n)
+  FROM pg
+),
+rects AS (
+  SELECT doc_id, CAST((p - 1) * 43 + m AS INT) AS ord, 'rect' AS kind,
+         CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS media_ref,
+         p AS page_no,
+         CAST(100 + 10 * ((p - 1) % 5) AS DOUBLE) AS left_pt,
+         CAST(722.0 AS DOUBLE) AS top_pt,
+         CAST(80 + 5 * (p % 3) AS DOUBLE) AS width_pt,
+         CAST(20.0 AS DOUBLE) AS height_pt,
+         CAST(NULL AS DOUBLE) AS line_height, CAST(NULL AS DOUBLE) AS font_size,
+         '#3f7fbf' AS color, CAST(NULL AS VARCHAR) AS font_family
+  FROM pg
+),
+imgs AS (
+  SELECT doc_id, CAST((p - 1) * 43 + m + 1 AS INT) AS ord, 'image' AS kind,
+         CAST(NULL AS VARCHAR) AS text,
+         'sha:' || md5(doc_id || ':' || CAST(p AS VARCHAR)) AS media_ref,
+         p AS page_no,
+         CAST(200 + 10 * (p % 4) AS DOUBLE) AS left_pt,
+         CAST(402.0 AS DOUBLE) AS top_pt,
+         CAST(120.0 AS DOUBLE) AS width_pt, CAST(90.0 AS DOUBLE) AS height_pt,
+         CAST(NULL AS DOUBLE) AS line_height, CAST(NULL AS DOUBLE) AS font_size,
+         CAST(NULL AS VARCHAR) AS color, CAST(NULL AS VARCHAR) AS font_family
+  FROM pg
 ),
 fonts AS (
-  SELECT doc_id, CAST(nw + np AS INT) AS ord, 'font' AS kind,
+  SELECT doc_id, CAST(nw + 3 * np AS INT) AS ord, 'font' AS kind,
          'Mono' AS text, 'font:Mono' AS media_ref, CAST(NULL AS INT) AS page_no,
          CAST(NULL AS DOUBLE) AS left_pt, CAST(NULL AS DOUBLE) AS top_pt,
-         CAST(NULL AS DOUBLE) AS width_pt, CAST(NULL AS DOUBLE) AS line_height,
-         CAST(NULL AS DOUBLE) AS font_size,
+         CAST(NULL AS DOUBLE) AS width_pt, CAST(NULL AS DOUBLE) AS height_pt,
+         CAST(NULL AS DOUBLE) AS line_height, CAST(NULL AS DOUBLE) AS font_size,
          CAST(NULL AS VARCHAR) AS color, CAST(NULL AS VARCHAR) AS font_family
   FROM n
 )
-SELECT * FROM boxes UNION ALL SELECT * FROM pages UNION ALL SELECT * FROM fonts
+SELECT * FROM boxes UNION ALL SELECT * FROM pages UNION ALL
+SELECT * FROM rects UNION ALL SELECT * FROM imgs UNION ALL SELECT * FROM fonts
 """
 
 @_reg("extract_spans_oracle", _ORACLE_SPANS_SQL)
@@ -122,6 +163,7 @@ def extract_spans_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("style_left").cast("double"), 2).alias("left_pt"),
         F.round(F.col("style_top").cast("double"), 2).alias("top_pt"),
         F.round(F.col("style_width").cast("double"), 2).alias("width_pt"),
+        F.round(F.col("style_height").cast("double"), 2).alias("height_pt"),
         F.round(F.col("style_line_height").cast("double"), 2).alias("line_height"),
         F.round(F.col("style_font_size").cast("double"), 2).alias("font_size"),
         F.col("style_color").alias("color"),
