@@ -67,6 +67,14 @@ def compose(first: np.ndarray, then: np.ndarray) -> np.ndarray:
     return out
 
 
+def translate_pre(tx: float, ty: float, m: np.ndarray) -> np.ndarray:
+    """compose(mat(1,0,0,1,tx,ty), m) — translation fast path."""
+    out = m.copy()
+    out[2, 0] += tx * m[0, 0] + ty * m[1, 0]
+    out[2, 1] += tx * m[0, 1] + ty * m[1, 1]
+    return out
+
+
 def apply_pts(m: np.ndarray, pts: np.ndarray) -> np.ndarray:
     return pts @ m[:2] + m[2]
 
@@ -104,11 +112,20 @@ def page_transform(w: float, h: float, rot: int) -> np.ndarray:
 
 # --- colors ------------------------------------------------------------------
 
+_HEX_CACHE: dict[tuple, str] = {}
+
+
 def color_hex(rgb: tuple[float, float, float]) -> str:
     """colorString: '#%02x%02x%02x' with (int) truncation of c*255
     (PDFBoxTree.java:915-930)."""
-    r, g, b = (int(c * 255) for c in rgb)
-    return "#%02x%02x%02x" % (max(0, min(255, r)), max(0, min(255, g)), max(0, min(255, b)))
+    hit = _HEX_CACHE.get(rgb)
+    if hit is None:
+        r, g, b = (int(c * 255) for c in rgb)
+        hit = "#%02x%02x%02x" % (max(0, min(255, r)), max(0, min(255, g)),
+                                 max(0, min(255, b)))
+        if len(_HEX_CACHE) < 65536:
+            _HEX_CACHE[rgb] = hit
+    return hit
 
 
 def cmyk_to_rgb(c, m, y, k) -> tuple[float, float, float]:
@@ -400,28 +417,28 @@ class DocInterp:
             elif op == "Tr" and args:
                 g.tr = int(args[0])
             elif op == "Td" and len(args) >= 2:
-                tlm = compose(mat(1, 0, 0, 1, float(args[0]), float(args[1])), tlm)
+                tlm = translate_pre(float(args[0]), float(args[1]), tlm)
                 tm = tlm.copy()
             elif op == "TD" and len(args) >= 2:
                 g.tl = -float(args[1])
-                tlm = compose(mat(1, 0, 0, 1, float(args[0]), float(args[1])), tlm)
+                tlm = translate_pre(float(args[0]), float(args[1]), tlm)
                 tm = tlm.copy()
             elif op == "Tm" and len(args) >= 6:
                 tlm = mat(*[float(a) for a in args[:6]])
                 tm = tlm.copy()
             elif op == "T*":
-                tlm = compose(mat(1, 0, 0, 1, 0.0, -g.tl), tlm)
+                tlm = translate_pre(0.0, -g.tl, tlm)
                 tm = tlm.copy()
             elif op == "Tj" and args:
                 show(base, str(args[-1]))
             elif op == "'" and args:
-                tlm = compose(mat(1, 0, 0, 1, 0.0, -g.tl), tlm)
+                tlm = translate_pre(0.0, -g.tl, tlm)
                 tm = tlm.copy()
                 show(base, str(args[-1]))
             elif op == '"' and len(args) >= 3:
                 g.tw = float(args[0]); sticky_tw = g.tw
                 g.tc = float(args[1]); sticky_tc = g.tc
-                tlm = compose(mat(1, 0, 0, 1, 0.0, -g.tl), tlm)
+                tlm = translate_pre(0.0, -g.tl, tlm)
                 tm = tlm.copy()
                 show(base, str(args[2]))
             elif op == "TJ" and args:
@@ -433,7 +450,7 @@ class DocInterp:
                         sub += len(el)
                     else:
                         shift = -float(el) / 1000.0 * g.fsize * g.th
-                        tm = compose(mat(1, 0, 0, 1, shift, 0), tm)
+                        tm = translate_pre(shift, 0.0, tm)
 
             # --- graphics state ----------------------------------------------
             elif op == "q":
@@ -585,18 +602,24 @@ def _concat_glyphs(chunks: list[dict]) -> dict:
         out[c] = np.repeat(np.array([ch[c] for ch in chunks], dtype=object),
                            lens)
     all_text = "".join(ch["chars"] for ch in chunks)
+    n = len(all_text)
     out["unicode"] = np.array(list(all_text), dtype=object)
-    if all(ch["ascii"] for ch in chunks):
-        n = len(all_text)
-        out["is_dia"] = np.zeros(n, dtype=bool)
-        out["rtl"] = np.zeros(n, dtype=bool)
-    else:
-        out["is_dia"] = np.fromiter(
-            (is_diacritic_char(c) for c in all_text), dtype=bool,
-            count=len(all_text))
-        out["rtl"] = np.fromiter(
-            (is_rtl_char(c) for c in all_text), dtype=bool,
-            count=len(all_text))
+    is_dia = np.zeros(n, dtype=bool)
+    rtl = np.zeros(n, dtype=bool)
+    if not all(ch["ascii"] for ch in chunks):
+        # per-char unicodedata only for the non-ASCII chunks
+        pos = 0
+        for ch in chunks:
+            m = ch["n"]
+            if not ch["ascii"]:
+                s_ = ch["chars"]
+                is_dia[pos:pos + m] = np.fromiter(
+                    (is_diacritic_char(c) for c in s_), dtype=bool, count=m)
+                rtl[pos:pos + m] = np.fromiter(
+                    (is_rtl_char(c) for c in s_), dtype=bool, count=m)
+            pos += m
+    out["is_dia"] = is_dia
+    out["rtl"] = rtl
     return out
 
 

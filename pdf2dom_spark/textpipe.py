@@ -108,21 +108,22 @@ def boxes_from_glyphs(glyphs: dict, page_flush: dict[int, int]) -> dict:
     page = gl["page_no"]
 
     # T1: geometric split (float32 arithmetic like the reference)
-    distx = (x - np.roll(x + w, 1)).astype(np.float32)
-    disty = (y - np.roll(y, 1)).astype(np.float32)
-    split = (distx > 1.0) | (distx < -6.0) | (np.abs(disty) > 1.0)
-    split |= rtl != np.roll(rtl, 1)
+    split = np.empty(n, dtype=bool)
+    split[0] = True  # lastText == null
+    distx = (x[1:] - (x[:-1] + w[:-1])).astype(np.float32)
+    disty = (y[1:] - y[:-1]).astype(np.float32)
+    split[1:] = (distx > 1.0) | (distx < -6.0) | (np.abs(disty) > 1.0)
+    split[1:] |= rtl[1:] != rtl[:-1]
     # T2: style-identity split
     for c in STYLE_ID_NUM:
         v = gl[c].astype(np.float32)
-        split |= v != np.roll(v, 1)
+        split[1:] |= v[1:] != v[:-1]
     for c in STYLE_ID_STR:
         v = gl[c]
-        split |= v != np.roll(v, 1)
-    split[0] = True  # lastText == null
+        split[1:] |= v[1:] != v[:-1]
 
-    page_changed = page != np.roll(page, 1)
-    page_changed[0] = False
+    page_changed = np.zeros(n, dtype=bool)
+    page_changed[1:] = page[1:] != page[:-1]
     start = split | page_changed
     inherit = page_changed & ~split  # stale-curstyle case
 
