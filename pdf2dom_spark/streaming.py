@@ -50,6 +50,29 @@ def extract_spans_stream(spark: SparkSession, docs_dir: str,
             .start())
 
 
+def session_window_counts(spark: SparkSession, events_dir: str,
+                          out_dir: str, checkpoint_dir: str,
+                          gap: str = "30 minutes"):
+    """Native ``session_window`` aggregation (the built-in counterpart of the
+    batch gaps-and-islands ``sessionize_events`` query; SURVEY.md §2.h notes
+    the T1 chunk merge is semantically a session window over x-distance)."""
+    ev_schema = spark.read.parquet(events_dir).schema
+    stream = (spark.readStream.schema(ev_schema).parquet(events_dir)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    agg = (stream
+           .withWatermark("ts", "1 hour")
+           .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"))
+           .select(F.col("win.start").alias("win_start"),
+                   F.col("win.end").alias("win_end"), "user_id", "n_events"))
+    return (agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())
+
+
 def running_user_totals(spark: SparkSession, events_dir: str,
                         out_dir: str, checkpoint_dir: str):
     """Custom stateful streaming operator via ``applyInPandasWithState``:

@@ -83,6 +83,25 @@ def test_scalar_query_stays_in_codegen(spark):
     assert "ArrowEvalPython" not in plan2 and "BatchEvalPython" not in plan2
 
 
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Co-located join via bucketing (SURVEY.md §4 'bucketing for co-located
+    joins'): two tables bucketed on the same key join with zero Exchange."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite").saveAsTable("orders_b")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite").saveAsTable("lineitem_b")
+    j = spark.table("orders_b").join(
+        spark.table("lineitem_b"),
+        F.col("o_orderkey") == F.col("l_orderkey"))
+    plan = _plan(j)
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan
+
+
 def test_no_python_udf_outside_extraction(spark):
     """Every non-extraction query is built from JVM expressions only."""
     from pdf2dom_spark.queries import all_queries

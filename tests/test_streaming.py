@@ -44,6 +44,46 @@ def test_stateful_running_totals(spark, tmp_path):
     assert final.count() == truth.count()
 
 
+def test_session_window_counts(spark, tmp_path):
+    """Native session_window result must agree with the batch
+    gaps-and-islands sessionization (same 30-min gap)."""
+    from pdf2dom_spark.queries import all_queries
+    from pdf2dom_spark.streaming import session_window_counts
+    ev_dir = str(tmp_path / "events_w")
+    spark.read.parquet(f"{SF_SMOKE}/events.parquet").write.parquet(ev_dir)
+    q = session_window_counts(spark, ev_dir, str(tmp_path / "sess"),
+                              str(tmp_path / "ckpt4"))
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "sess"))
+    # batch ground truth with native session_window semantics: a new session
+    # starts when the exact (sub-second) gap is >= 30 min (window end is
+    # exclusive) — unlike the SQL-oracle query which floors to seconds
+    from pyspark.sql.window import Window
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tsd = F.col("ts").cast("double")
+    g = ev.withColumn(
+        "new_s", F.when(F.lag("ts").over(w).isNull()
+                        | ((tsd - F.lag(tsd).over(w)) >= 1800), 1).otherwise(0))
+    cur = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = (g.withColumn("sid", F.sum("new_s").over(cur))
+                .groupBy("user_id", "sid")
+                .agg(F.count(F.lit(1)).alias("count"),
+                     F.max(tsd).alias("last_ts")))
+    # append mode emits only watermark-closed windows: win_end (= last event
+    # + gap) must be <= max(ts) - 1h
+    max_ts = ev.agg(F.max(tsd)).first()[0]
+    batch = sessions.where(F.col("last_ts") + 1800 <= max_ts - 3600)
+    a = out.groupBy("user_id").agg(
+        F.sum("n_events").alias("tot"), F.count(F.lit(1)).alias("ns"))
+    b = batch.groupBy("user_id").agg(
+        F.sum("count").alias("tot"), F.count(F.lit(1)).alias("ns"))
+    joined = a.join(b, "user_id", "inner")
+    assert joined.where(a["tot"] != b["tot"]).count() == 0
+    assert joined.where(a["ns"] != b["ns"]).count() == 0
+
+
 def test_windowed_event_counts(spark, tmp_path):
     # the file stream source needs a directory, not a single parquet file
     ev_dir = str(tmp_path / "events")
