@@ -86,20 +86,31 @@ def test_scalar_query_stays_in_codegen(spark):
 def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     """Co-located join via bucketing (SURVEY.md §4 'bucketing for co-located
     joins'): two tables bucketed on the same key join with zero Exchange."""
+    import shutil
+
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
-    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
-    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
-        "overwrite").saveAsTable("orders_b")
-    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
-        "overwrite").saveAsTable("lineitem_b")
-    j = spark.table("orders_b").join(
-        spark.table("lineitem_b"),
-        F.col("o_orderkey") == F.col("l_orderkey"))
-    plan = _plan(j)
-    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-    assert "Exchange" not in plan, plan
-    assert "SortMergeJoin" in plan
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    try:
+        o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite").saveAsTable("orders_b")
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite").saveAsTable("lineitem_b")
+        j = spark.table("orders_b").join(
+            spark.table("lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"))
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for t in ("orders_b", "lineitem_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
 
 
 def test_no_python_udf_outside_extraction(spark):
