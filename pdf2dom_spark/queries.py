@@ -586,6 +586,113 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("total_value_milli"))
 
 
+# top-k per group (rank window; §2.h sort/limit/top-k beyond global knn)
+@_reg("topk_per_group", """
+WITH r AS (
+  SELECT o_custkey, CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+SELECT CAST(o_custkey AS BIGINT) AS custkey, o_orderkey,
+       ROUND(o_totalprice, 2) AS price, CAST(rn AS INT) AS rn
+FROM r WHERE rn <= 2
+""")
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    win = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (o.withColumn("rn", F.row_number().over(win))
+            .where(F.col("rn") <= 2)
+            .select(F.col("o_custkey").cast("long").alias("custkey"),
+                    F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                    F.round("o_totalprice", 2).alias("price"),
+                    F.col("rn").cast("int").alias("rn")))
+
+
+# set operations (§2.h): intersect/except over key sets
+@_reg("set_ops_customers", """
+SELECT CAST(c AS BIGINT) AS custkey, tag FROM (
+  SELECT o_custkey AS c, 'both' AS tag FROM orders
+  INTERSECT
+  SELECT c_custkey AS c, 'both' AS tag FROM customer
+  UNION ALL
+  SELECT * FROM (
+    SELECT c_custkey AS c, 'no_orders' AS tag FROM customer
+    EXCEPT
+    SELECT o_custkey AS c, 'no_orders' AS tag FROM orders)
+)
+""")
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("c"))
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("c"))
+    both = o.intersect(c).withColumn("tag", F.lit("both"))
+    none = c.exceptAll(o).distinct().withColumn("tag", F.lit("no_orders"))
+    return both.unionByName(none).select(
+        F.col("c").cast("long").alias("custkey"), "tag")
+
+
+# rect recognition as a relational op (G9; PDFBoxTree.java:325-348):
+# synthesize 4-segment paths from events, test 2-distinct-x / 2-distinct-y
+@_reg("rect_detect", """
+WITH seg AS (
+  SELECT CAST(event_id // 4 AS BIGINT) AS path_id,
+         CAST(event_id % 4 AS INT) AS seg_no,
+         -- even paths form axis-aligned rects, odd paths get a slanted edge
+         CAST(CASE event_id % 4 WHEN 0 THEN 10 WHEN 1 THEN 60
+              WHEN 2 THEN 60 ELSE 10 END
+              + CASE WHEN event_id % 8 >= 4 AND event_id % 4 = 1
+                     THEN 5 ELSE 0 END AS DOUBLE) AS x1,
+         CAST(CASE event_id % 4 WHEN 0 THEN 20 WHEN 1 THEN 20
+              WHEN 2 THEN 90 ELSE 90 END AS DOUBLE) AS y1
+  FROM events
+),
+p AS (
+  SELECT path_id,
+         COUNT(DISTINCT x1) AS nx, COUNT(DISTINCT y1) AS ny,
+         MIN(x1) AS minx, MIN(y1) AS miny, MAX(x1) AS maxx, MAX(y1) AS maxy,
+         COUNT(*) AS nseg
+  FROM seg GROUP BY path_id
+)
+SELECT path_id,
+       (nseg = 4 AND nx = 2 AND ny = 2) AS is_rect,
+       CASE WHEN nseg = 4 AND nx = 2 AND ny = 2 THEN minx END AS rx,
+       CASE WHEN nseg = 4 AND nx = 2 AND ny = 2 THEN miny END AS ry,
+       CASE WHEN nseg = 4 AND nx = 2 AND ny = 2 THEN maxx - minx END AS rw,
+       CASE WHEN nseg = 4 AND nx = 2 AND ny = 2 THEN maxy - miny END AS rh
+FROM p
+""")
+def rect_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    x_base = (F.when(F.col("event_id") % 4 == 0, 10)
+               .when(F.col("event_id") % 4 == 1, 60)
+               .when(F.col("event_id") % 4 == 2, 60).otherwise(10))
+    x_skew = F.when((F.col("event_id") % 8 >= 4)
+                    & (F.col("event_id") % 4 == 1), 5).otherwise(0)
+    y_base = (F.when(F.col("event_id") % 4 == 0, 20)
+               .when(F.col("event_id") % 4 == 1, 20)
+               .when(F.col("event_id") % 4 == 2, 90).otherwise(90))
+    seg = ev.select(
+        (F.col("event_id") / 4).cast("long").alias("path_id"),
+        (F.col("event_id") % 4).cast("int").alias("seg_no"),
+        (x_base + x_skew).cast("double").alias("x1"),
+        y_base.cast("double").alias("y1"))
+    p = seg.groupBy("path_id").agg(
+        F.countDistinct("x1").alias("nx"), F.countDistinct("y1").alias("ny"),
+        F.min("x1").alias("minx"), F.min("y1").alias("miny"),
+        F.max("x1").alias("maxx"), F.max("y1").alias("maxy"),
+        F.count(F.lit(1)).alias("nseg"))
+    is_rect = (F.col("nseg") == 4) & (F.col("nx") == 2) & (F.col("ny") == 2)
+    return p.select(
+        "path_id", is_rect.alias("is_rect"),
+        F.when(is_rect, F.col("minx")).alias("rx"),
+        F.when(is_rect, F.col("miny")).alias("ry"),
+        F.when(is_rect, F.col("maxx") - F.col("minx")).alias("rw"),
+        F.when(is_rect, F.col("maxy") - F.col("miny")).alias("rh"))
+
+
 # lineage aggregation shape (per-partition counters + checksums)
 @_reg("lineage_agg", """
 SELECT CAST(doc_id % 16 AS INT) AS part_id,
