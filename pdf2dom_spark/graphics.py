@@ -81,16 +81,21 @@ def line_record(ev: tuple) -> dict:
 
 
 def image_record(ev: tuple, media_ref_out: str | None) -> dict:
-    """('image', key, page, x, y, w, h, media_ref, name) or
-    ('pathimg', key, page, x, y, w, h, media_ref)."""
+    """('image', key, page, x, y, w, h, media_ref, name, angle) or
+    ('pathimg', key, page, x, y, w, h, media_ref). ``angle`` is the
+    rotation-only CTM component minus the page rotation
+    (rotateImage, PDFBoxTree.java:564-575)."""
     key, page, x, y, w, h = ev[1], ev[2], ev[3], ev[4], ev[5], ev[6]
+    angle = ev[9] if len(ev) > 9 else None
+    if angle is not None and abs(angle) < 1e-9:
+        angle = 0.0
     return {
         "key": key, "page_no": page, "kind": "image", "text": None,
         "media_ref": media_ref_out,
         "style_left": x, "style_top": y,
         "style_width": w, "style_height": h,
         "style_stroke_color": None, "style_color": None,
-        "style_stroke_width": None, "style_angle": None,
+        "style_stroke_width": None, "style_angle": angle,
         "style_line_height": None, "style_font_family": None,
         "style_font_size": None, "style_font_weight": None,
         "style_font_style": None, "style_word_spacing": None,

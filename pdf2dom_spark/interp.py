@@ -357,8 +357,15 @@ class DocInterp:
                 [[0.0, 0.0], [iw, 0.0], [0.0, ih], [iw, ih]]))
             x0, y0 = corners.min(axis=0)
             x1, y1 = corners.max(axis=0)
+            # rotateImage: rotation-only component of the CTM minus the page
+            # rotation (PDFBoxTree.java:564-575: atan2(shearY, scaleY));
+            # the reference applies it to the raster pixels — we record the
+            # angle on the span (the payload ref stays content-stable)
+            angle = math.degrees(
+                math.atan2(g.ctm[0, 1], g.ctm[1, 1])) - page_rot
             events.append(("image", key, page_no, float(x0), float(y0),
-                           float(x1 - x0), float(y1 - y0), media_ref, name))
+                           float(x1 - x0), float(y1 - y0), media_ref, name,
+                           angle))
 
         i = 0
         ntok = len(tokens)
