@@ -108,7 +108,9 @@ def oracle_stream(doc_id: str, text: str) -> list[dict]:
 # 3. rich interleaved corpus
 # ---------------------------------------------------------------------------
 
-_RICH_FONTS = ["Mono", "Helvetica", "EKCFJL+Omsym2", "Courier New",
+# PDF name tokens cannot contain raw spaces — "CourierNew" still resolves to
+# the known CSS family "Courier New" (PDFBoxTree.java:756-764 strips spaces)
+_RICH_FONTS = ["Mono", "Helvetica", "EKCFJL+Omsym2", "CourierNew",
                "Garamond-Italic", "Verdana-Bold", "Noto-CID"]
 _RICH_SIZES = [8.0, 10.0, 11.0, 12.0, 14.0]
 _RICH_COLORS = ["0 0 0 rg", "0.25 0.25 0.25 rg", "0.5 0 0 rg",

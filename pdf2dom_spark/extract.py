@@ -50,14 +50,23 @@ _NUM_REC_COLS = {"page_no"} | {f"style_{f}" for f in _FLOAT_STYLE}
 
 
 def extract_doc_columnar(doc_id: str, spans: list[dict],
-                         cfg: ExtractConfig = DEFAULT_CONFIG) -> dict:
-    """One document -> columnar span arrays (with dense ``order``)."""
+                         cfg: ExtractConfig = DEFAULT_CONFIG,
+                         page_offset: int = 0,
+                         font_seed: list[str] | None = None,
+                         emit_fonts: bool = True) -> dict:
+    """One document -> columnar span arrays (with dense ``order``).
+
+    ``page_offset``/``font_seed``/``emit_fonts`` serve the page-split path
+    (pagesplit.py): a page-group numbers its pages from the offset, seeds the
+    font table with earlier groups' fonts, and only the last group emits the
+    document's font spans."""
     tokens = doc_tokens(spans)
     interp = DocInterp(
         start_page=cfg.start_page, end_page=cfg.end_page,
         disable_graphics=cfg.disable_graphics,
         disable_images=cfg.disable_images,
         collect_fonts=cfg.font_handler != "ignore",  # PDFDomTree.java:456-462
+        page_offset=page_offset, font_seed=font_seed,
     )
     glyphs, events, font_table, end_key, page_flush = interp.run(tokens)
 
@@ -87,7 +96,7 @@ def extract_doc_columnar(doc_id: str, spans: list[dict],
 
     # endDocument: @font-face per valid table entry (PDFDomTree.java:464-492),
     # skipped entirely under the ignore handler (PDFDomTree.java:456-462)
-    if cfg.font_handler != "ignore":
+    if cfg.font_handler != "ignore" and emit_fonts:
         for i, entry in enumerate(font_table.entries):
             rec = {c: None for c in _REC_COLS}
             rec.update(key=end_key + 1 + i, kind="font",
@@ -145,7 +154,10 @@ def extract_doc(doc_id: str, spans: list[dict],
 
 def docs_frame_to_spans(pdf: pd.DataFrame,
                         cfg: ExtractConfig = DEFAULT_CONFIG,
-                        part_id: int | None = None) -> pd.DataFrame:
+                        part_id: int | None = None,
+                        page_offset: int = 0,
+                        font_seed: list[str] | None = None,
+                        emit_fonts: bool = True) -> pd.DataFrame:
     """A pandas batch of documents -> one flat span frame (columnar concat).
 
     A ``part_id`` column on the input (deterministic
@@ -160,7 +172,10 @@ def docs_frame_to_spans(pdf: pd.DataFrame,
     for i, (doc_id, spans) in enumerate(zip(pdf["doc_id"], pdf["spans"])):
         if isinstance(spans, np.ndarray):
             spans = list(spans)
-        cols = extract_doc_columnar(str(doc_id), spans, cfg)
+        cols = extract_doc_columnar(str(doc_id), spans, cfg,
+                                    page_offset=page_offset,
+                                    font_seed=font_seed,
+                                    emit_fonts=emit_fonts)
         per_doc.append(cols)
         doc_ids.append(str(doc_id))
         doc_parts.append(int(parts[i]) if parts is not None else part_id)

@@ -200,13 +200,20 @@ class DocInterp:
 
     def __init__(self, start_page: int = 0, end_page: int = 2**31 - 1,
                  disable_graphics: bool = False, disable_images: bool = False,
-                 collect_fonts: bool = True):
+                 collect_fonts: bool = True, page_offset: int = 0,
+                 font_seed: list[str] | None = None):
         self.start_page = start_page
         self.end_page = end_page
         self.disable_graphics = disable_graphics
         self.disable_images = disable_images
         self.collect_fonts = collect_fonts
+        self.page_offset = page_offset
         self.font_table = F.FontTable()
+        # page-split seeding: fonts from earlier page-groups, in first-use
+        # order, so used-name de-dup stays globally consistent (pagesplit.py)
+        for name in (font_seed or []):
+            self.font_table.add_entry(name)
+        self.n_seed = len(self.font_table.entries)
 
     def run(self, tokens: list[tuple[str, list]]):
         g = _GState()
@@ -220,7 +227,7 @@ class DocInterp:
         sticky_tw = 0.0
         sticky_tc = 0.0
 
-        page_no = 0          # 1-based once first PG seen
+        page_no = self.page_offset  # 1-based once first PG seen
         page_active = False  # inside a non-gated page
         page_m = page_transform(612.0, 792.0, 0)
         page_w, page_h, page_rot = 612.0, 792.0, 0
@@ -390,9 +397,11 @@ class DocInterp:
                 page_h = float(args[1]) if len(args) > 1 else 792.0
                 page_rot = int(args[2]) if len(args) > 2 else 0
                 page_m = page_transform(page_w, page_h, page_rot)
-                # fresh per-page graphics state (PDFBox resets per page);
-                # the *path* and lastText persist (reference fields).
-                g = _GState(font=g.font, fsize=g.fsize)
+                # fresh per-page graphics state including text state —
+                # PDFBox builds a new PDGraphicsState per page, so the font
+                # does NOT carry across pages; the *path* and lastText
+                # persist (reference fields).
+                g = _GState()
                 stack = []
                 tm = ident()
                 tlm = ident()

@@ -1,0 +1,196 @@
+"""Giant-document page-splitting (SURVEY.md §7 Phase 5, SCALE.md "skew"
+layer 3): one 10k-page document would otherwise be a single Arrow row and a
+single task's working set. This module splits oversized documents at page
+boundaries into independent page-groups, extracts groups in parallel, and
+reassembles the global ``order`` with one window renumber.
+
+Exactness: PDF resets the graphics state at each page (the interpreter does
+too), so page-groups are independent except for
+  - the cumulative font table (affects used-name de-dup + family
+    resolution): solved by prescanning fonts per group and seeding each
+    group with every earlier group's fonts, in order — deterministic;
+  - font spans: only the last group emits them (it holds the full table);
+  - ``lastText``/``graphicsPath`` carrying across a group boundary: only
+    observable in the stale-curstyle inherit edge / an unfinished path
+    crossing a page break. Both require the next page's first glyph to NOT
+    split or a path painted across pages — the split path is therefore
+    opt-in via a size threshold (the mainstream path stays bit-exact), and
+    the equality test in tests/test_pagesplit.py pins the corpus classes
+    where the split is exact.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from .extract import DEFAULT_CONFIG, ExtractConfig, docs_frame_to_spans
+from .fonts import FontTable
+from .schema import IN_SPAN_STRUCT, SPAN_FLAT_SCHEMA
+
+# a page boundary is the PG pseudo-op with its three operands
+_PG_RE = re.compile(r"(?:[-+]?[\d.]+\s+){3}PG\b")
+_TF_RE = re.compile(r"/(\S+)\s+[-+]?[\d.]+\s+Tf\b")
+
+GROUP_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("grp", T.IntegerType(), False),
+    T.StructField("page_offset", T.IntegerType(), False),
+    T.StructField("emit_fonts", T.BooleanType(), False),
+    T.StructField("font_seed", T.ArrayType(T.StringType()), False),
+    T.StructField("spans", T.ArrayType(IN_SPAN_STRUCT), False),
+])
+
+
+def split_doc(doc_id: str, spans: list[dict], pages_per_group: int,
+              min_bytes: int) -> list[dict]:
+    """One document -> page-group rows (or a single passthrough row)."""
+    spans = sorted(spans, key=lambda s: s["offset"])
+    size = sum(len(s.get("text") or "") for s in spans)
+    if size < min_bytes:
+        return [{"doc_id": doc_id, "grp": 0, "page_offset": 0,
+                 "emit_fonts": True, "font_seed": [], "spans": spans}]
+
+    # flatten to (kind, frag) pieces split at page boundaries
+    pieces: list[tuple[str, dict | str]] = []
+    n_pages = 0
+    for sp in spans:
+        if sp["kind"] == "image":
+            pieces.append(("image", sp))
+            continue
+        text = sp.get("text") or ""
+        bounds = [m.start() for m in _PG_RE.finditer(text)]
+        if not bounds:
+            pieces.append(("frag", text))
+            continue
+        if bounds[0] > 0:
+            pieces.append(("frag", text[:bounds[0]]))
+        for i, b in enumerate(bounds):
+            end = bounds[i + 1] if i + 1 < len(bounds) else len(text)
+            pieces.append(("page", text[b:end]))
+            n_pages += 1
+
+    groups: list[list] = []
+    cur: list = []
+    pages_in_cur = 0
+    started = False
+    for kind, piece in pieces:
+        if kind == "page":
+            if started and pages_in_cur == pages_per_group:
+                groups.append(cur)
+                cur = []
+                pages_in_cur = 0
+            started = True
+            pages_in_cur += 1
+        cur.append((kind, piece))
+    if cur:
+        groups.append(cur)
+
+    # per-group font first-use order (regex prescan mirrors
+    # DocInterp._prescan_fonts granularity: names referenced by Tf)
+    group_fonts: list[list[str]] = []
+    for grp in groups:
+        seen: list[str] = []
+        for kind, piece in grp:
+            if kind == "image":
+                continue
+            for m in _TF_RE.finditer(piece):
+                if m.group(1) not in seen:
+                    seen.append(m.group(1))
+        group_fonts.append(seen)
+
+    out: list[dict] = []
+    page_offset = 0
+    seed: list[str] = []
+    for gi, grp in enumerate(groups):
+        g_spans: list[dict] = []
+        off = 0
+        n_pg = 0
+        for kind, piece in grp:
+            if kind == "image":
+                sp = dict(piece)
+                sp["offset"] = off
+                g_spans.append(sp)
+            else:
+                g_spans.append({"kind": "text", "text": piece,
+                                "media_ref": None, "offset": off})
+                if kind == "page":
+                    n_pg += 1
+        # re-number offsets densely
+        for i, sp in enumerate(g_spans):
+            sp["offset"] = i
+        out.append({
+            "doc_id": doc_id, "grp": gi, "page_offset": page_offset,
+            "emit_fonts": gi == len(groups) - 1,
+            "font_seed": list(seed), "spans": g_spans,
+        })
+        page_offset += n_pg
+        for f in group_fonts[gi]:
+            if f not in seed:
+                seed.append(f)
+    return out
+
+
+def extract_spans_paged(docs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
+                        num_partitions: int | None = None,
+                        pages_per_group: int = 8,
+                        min_bytes: int = 64 * 1024) -> DataFrame:
+    """Skew-proof extraction: giant docs fan out per page-group; global
+    ``order`` is restored with a per-document window renumber (the second,
+    monster-only shuffle this path deliberately pays)."""
+    spark = docs.sparkSession
+    p = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def split_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                if isinstance(spans, np.ndarray):
+                    spans = list(spans)
+                rows.extend(split_doc(str(doc_id), spans,
+                                      pages_per_group, min_bytes))
+            yield pd.DataFrame(rows, columns=[f.name for f in GROUP_SCHEMA])
+
+    groups = docs.mapInPandas(split_kernel, GROUP_SCHEMA)
+    salted = groups.withColumn(
+        "part_id",
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(p)).cast("int"),
+    ).repartition(p, F.xxhash64("doc_id", "grp"))
+
+    out_schema = T.StructType(
+        SPAN_FLAT_SCHEMA.fields + [T.StructField("grp", T.IntegerType())])
+
+    def extract_group(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for i in range(len(pdf)):
+                row = pdf.iloc[i]
+                sub_cfg = ExtractConfig(**{**cfg.__dict__})
+                one = pd.DataFrame({
+                    "doc_id": [row["doc_id"]],
+                    "spans": [list(row["spans"])],
+                    "part_id": [row["part_id"]],
+                })
+                flat = docs_frame_to_spans(
+                    one, sub_cfg, part_id=None,
+                    page_offset=int(row["page_offset"]),
+                    font_seed=list(row["font_seed"]),
+                    emit_fonts=bool(row["emit_fonts"]))
+                flat["grp"] = np.int32(row["grp"])
+                outs.append(flat)
+            yield (pd.concat(outs) if outs
+                   else pd.DataFrame({f.name: [] for f in out_schema.fields}))
+
+    spans = salted.mapInPandas(extract_group, out_schema)
+    win = Window.partitionBy("doc_id").orderBy("grp", "order")
+    return (spans.withColumn("order", (F.row_number().over(win) - 1)
+                             .cast("int"))
+            .drop("grp"))
