@@ -1,0 +1,131 @@
+"""Extended kernel tests: the less-travelled operators (Tz, Ts, ', ",
+TJ kerning splits, gray/CMYK/scn colors, fill+stroke paints, TL/TD/T*,
+q/Q nesting, page-state reset)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf2dom_spark.extract import extract_doc
+
+PG = "612 792 0 PG "
+
+
+def rows(stream: str):
+    return extract_doc("t", [{"kind": "text", "text": stream,
+                              "media_ref": None, "offset": 0}])
+
+
+def boxes(stream: str):
+    return [r for r in rows(stream) if r["kind"] == "text"]
+
+
+def test_tz_horizontal_scaling():
+    # Tz 200 doubles advances and getXScale (PDF 32000 9.3.4)
+    b = boxes(PG + "BT /Mono 10 Tf 200 Tz 1 0 0 1 100 700 Tm (ab) Tj ET")
+    assert b[0]["style_width"] == pytest.approx(20.0)
+    assert b[0]["style_font_size"] == pytest.approx(20.0)  # getXScale
+
+
+def test_ts_rise_moves_baseline():
+    b = boxes(PG + "BT /Mono 10 Tf 5 Ts 1 0 0 1 100 700 Tm (ab) Tj ET")
+    # rise lifts the baseline by 5 in user space -> device y drops by 5
+    assert b[0]["style_top"] == pytest.approx(792 - 705 - 8)
+
+
+def test_quote_operators_advance_leading():
+    b = boxes(PG + "BT /Mono 10 Tf 14 TL 1 0 0 1 100 700 Tm "
+              "(one) Tj (two) ' ET")
+    # ' = T* then Tj: second box one leading (14pt) below
+    assert [x["text"] for x in b] == ["one", "two"]
+    assert b[1]["style_top"] - b[0]["style_top"] == pytest.approx(14.0)
+    assert b[1]["style_left"] == pytest.approx(100.0)
+
+
+def test_doublequote_sets_spacing():
+    b = boxes(PG + "BT /Mono 10 Tf 14 TL 1 0 0 1 100 700 Tm "
+              '(x) Tj 2 0.5 (y) " ET')
+    # " aw ac s: sets word/letter spacing (sticky style fields) then shows
+    assert b[-1]["style_word_spacing"] == pytest.approx(2.0)
+    assert b[-1]["style_letter_spacing"] == pytest.approx(0.5)
+
+
+def test_tj_positive_kern_splits():
+    # positive TJ displacement -> -(n)/1000*fs = gap; -300 -> +3pt gap > 1
+    b = boxes(PG + "BT /Mono 10 Tf 1 0 0 1 100 700 Tm [ (ab) -300 (cd) ] TJ ET")
+    assert [x["text"] for x in b] == ["ab", "cd"]
+    assert b[1]["style_left"] == pytest.approx(113.0)
+
+
+def test_td_td_tstar_leading():
+    b = boxes(PG + "BT /Mono 10 Tf 1 0 0 1 100 700 Tm (a) Tj "
+              "0 -20 TD (b) Tj T* (c) Tj ET")
+    # TD sets leading=20 and moves; T* repeats the move
+    tops = [x["style_top"] for x in b]
+    assert tops[1] - tops[0] == pytest.approx(20.0)
+    assert tops[2] - tops[1] == pytest.approx(20.0)
+
+
+def test_gray_and_cmyk_colors():
+    b = boxes(PG + "BT /Mono 10 Tf 0.5 g 1 0 0 1 100 700 Tm (a) Tj ET")
+    assert b[0]["style_color"] == "#7f7f7f"
+    b = boxes(PG + "BT /Mono 10 Tf 0 1 1 0 k 1 0 0 1 100 700 Tm (a) Tj ET")
+    assert b[0]["style_color"] == "#ff0000"  # naive (1-c)(1-k)
+    b = boxes(PG + "BT /Mono 10 Tf 0.2 0.4 0.6 sc 1 0 0 1 100 700 Tm (a) Tj ET")
+    assert b[0]["style_color"] == "#336699"
+
+
+def test_fill_and_stroke_rect_has_both_colors():
+    r = [x for x in rows(PG + "2 w 0.5 0 0 rg 0 0 1 RG "
+                         "100 100 50 20 re B") if x["kind"] == "rect"]
+    assert r[0]["style_color"] == "#7f0000"
+    assert r[0]["style_stroke_color"] == "#0000ff"
+    # stroke-width compensation (PDFDomTree.java:337-368): lw=2 -> offset 1
+    assert r[0]["style_left"] == pytest.approx(99.0)
+    assert r[0]["style_width"] == pytest.approx(48.0)
+
+
+def test_close_and_paint_ops():
+    # s closes the subpath before stroking -> triangle = 3 lines
+    out = rows(PG + "1 w 0 0 0 RG 100 100 m 200 100 l 150 180 l s")
+    lines = [x for x in out if x["kind"] == "line"]
+    assert len(lines) == 3
+    # b closes + fills + strokes: 4 segments from a rect-shaped path -> rect
+    out = rows(PG + "0.5 0 0 rg 0 0 1 RG 1 w "
+               "100 100 m 200 100 l 200 150 l 100 150 l b")
+    rects = [x for x in out if x["kind"] == "rect"]
+    assert len(rects) == 1
+    assert rects[0]["style_color"] == "#7f0000"
+    assert rects[0]["style_stroke_color"] == "#0000ff"
+
+
+def test_q_nesting_restores_ctm_and_colors():
+    b = boxes(PG + "BT /Mono 10 Tf q 2 0 0 2 0 0 cm q 0.5 0 0 rg "
+              "1 0 0 1 50 350 Tm (a) Tj Q 1 0 0 1 50 340 Tm (b) Tj Q "
+              "1 0 0 1 100 600 Tm (c) Tj ET")
+    assert [x["text"] for x in b] == ["a", "b", "c"]
+    assert b[0]["style_color"] == "#7f0000"
+    assert b[1]["style_color"] == "#000000"     # inner Q restored color
+    assert b[1]["style_font_size"] == pytest.approx(20.0)  # ctm still 2x
+    assert b[2]["style_font_size"] == pytest.approx(10.0)  # outer Q restored
+
+
+def test_page_reset_clears_text_state():
+    # PDFBox builds a fresh PDGraphicsState per page: font does not carry
+    out = rows(PG + "BT /Mono 10 Tf 1 0 0 1 100 700 Tm (a) Tj ET "
+               + PG + "BT 1 0 0 1 100 700 Tm (b) Tj ET")
+    b = [x for x in out if x["kind"] == "text"]
+    # page 2 has no Tf: fsize 0 -> zero-width box, family falls back
+    assert b[1]["style_font_size"] == 0.0
+    assert b[1]["style_width"] == 0.0
+
+
+def test_n_discards_and_empty_paint_noop():
+    out = rows(PG + "100 100 m 200 200 l n 0.5 0 0 rg f")
+    assert [x["kind"] for x in out] == ["page"]
+
+
+def test_unknown_ops_ignored():
+    b = boxes(PG + "BT /Mono 10 Tf 1 0 0 1 100 700 Tm "
+              "3 Tr 0 Tr /GS1 gs (ok) Tj BX weird EX ET")
+    assert [x["text"] for x in b] == ["ok"]
