@@ -203,6 +203,82 @@ def docs_frame_to_spans(pdf: pd.DataFrame,
     return out
 
 
+def docs_to_arrow_spans(doc_ids, spans_col, parts, cfg: ExtractConfig):
+    """Columnar core for the mapInArrow path: python lists in ->
+    pyarrow arrays out (skips pandas block consolidation entirely)."""
+    import pyarrow as pa
+
+    per_doc: list[dict] = []
+    lens: list[int] = []
+    for doc_id, spans in zip(doc_ids, spans_col):
+        cols = extract_doc_columnar(str(doc_id), spans, cfg)
+        per_doc.append(cols)
+        lens.append(len(cols["order"]))
+
+    n = sum(lens)
+    if n == 0:
+        schema = _arrow_schema()
+        return pa.RecordBatch.from_arrays(
+            [pa.array([], type=f.type) for f in schema], schema=schema)
+
+    did = np.repeat(np.array([str(d) for d in doc_ids], dtype=object), lens)
+    pid = np.repeat(np.asarray(parts, dtype=np.int64), lens)
+    arrays = {
+        "doc_id": pa.array(did, type=pa.string()),
+        "order": pa.array(np.concatenate([d["order"] for d in per_doc]),
+                          type=pa.int32()),
+        "part_id": pa.array(pid, type=pa.int32()),
+    }
+    for c in _REC_COLS:
+        if c == "key":
+            continue
+        merged = np.concatenate([d[c] for d in per_doc])
+        if c in _NUM_REC_COLS:
+            if c == "page_no":
+                arrays[c] = pa.array(merged, type=pa.int32(), from_pandas=True)
+            else:
+                arrays[c] = pa.array(merged.astype(np.float32),
+                                     type=pa.float32(), from_pandas=True)
+        else:
+            arrays[c] = pa.array(merged, type=pa.string(), from_pandas=True)
+    schema = _arrow_schema()
+    return pa.RecordBatch.from_arrays(
+        [arrays[f.name] for f in schema], schema=schema)
+
+
+def _arrow_schema():
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(
+        __import__("pdf2dom_spark.schema", fromlist=["SPAN_FLAT_SCHEMA"])
+        .SPAN_FLAT_SCHEMA)
+
+
+def make_extract_arrow(cfg: ExtractConfig = DEFAULT_CONFIG):
+    """mapInArrow kernel: pyarrow batches in/out, flat schema."""
+
+    def extract_arrow(batches):
+        import pyarrow as pa  # noqa: F401
+        try:
+            from pyspark import TaskContext
+            tc = TaskContext.get()
+            pid = tc.partitionId() if tc is not None else -1
+        except Exception:  # pragma: no cover
+            pid = -1
+        for b in batches:
+            names = b.schema.names
+            doc_ids = b.column(names.index("doc_id")).to_pylist()
+            spans_col = b.column(names.index("spans")).to_pylist()
+            if "part_id" in names:
+                parts = b.column(names.index("part_id")).to_pylist()
+            else:
+                parts = [pid] * len(doc_ids)
+            yield docs_to_arrow_spans(doc_ids, spans_col, parts, cfg)
+
+    return extract_arrow
+
+
 def make_extract_batch(cfg: ExtractConfig = DEFAULT_CONFIG, nested: bool = True):
     """Build the mapInPandas kernel. ``nested=True`` emits the ``style``
     struct column (SPAN_SCHEMA); ``nested=False`` keeps flat style_* columns

@@ -64,8 +64,13 @@ def extract_spans(docs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
         # hash balances by law of large numbers; part_id stays a
         # deterministic *column* for lineage/resume either way.
         salted = salted.repartition(p, F.xxhash64(F.col("doc_id")))
-    schema = SPAN_SCHEMA if nested else SPAN_FLAT_SCHEMA
-    return salted.mapInPandas(make_extract_batch(cfg, nested=nested), schema)
+    if nested:
+        return salted.mapInPandas(make_extract_batch(cfg, nested=True),
+                                  SPAN_SCHEMA)
+    # flat path goes through mapInArrow: pyarrow batches in/out skip pandas
+    # block consolidation on the (large) output side
+    from .extract import make_extract_arrow
+    return salted.mapInArrow(make_extract_arrow(cfg), SPAN_FLAT_SCHEMA)
 
 
 def lineage(spans: DataFrame) -> DataFrame:
