@@ -155,7 +155,7 @@ def write_baseline_md(queries: dict, scaling: dict | None, total: float):
         "| --- | --- |",
     ]
     lines += [f"| {k} | {v} |" for k, v in queries.items()]
-    lines += ["", f"total headline suite: {round(total, 2)}s", ""]
+    lines += ["", f"total bench wall (incl. scaling runs): {round(total, 2)}s", ""]
     if scaling:
         lines += [
             "## Scaling evidence (north rule: N vs 4N, sandbox substitute "
