@@ -3,10 +3,12 @@
 Scale design (the 10^12-doc / 1000-executor story, tested at local[32]):
 
 - **One shuffle, total.** The only exchange in the whole job is the salted
-  ``repartition(P, pmod(xxhash64(doc_id), P))`` that defuses skew from giant
+  ``repartition(P, xxhash64(doc_id))`` that defuses skew from giant
   multi-page documents (BASELINE.json north_star). Extraction itself is a
-  narrow ``mapInPandas``; the lineage aggregate is a partial-agg over the
-  already-partitioned output, so AQE coalesces it cheaply.
+  narrow ``mapInArrow``/``mapInPandas``; the lineage aggregate is a
+  partial-agg over the already-partitioned output, so AQE coalesces it
+  cheaply. (Monster documents optionally fan out per page-group first —
+  pagesplit.py.)
 - **Deterministic partitioning.** ``part_id`` is a *column*
   (``pmod(xxhash64(doc_id), P)``), not the runtime partition index, so
   lineage/resume is stable across schedulers, cluster sizes, and retries.
