@@ -83,7 +83,7 @@ def run_extraction_once(cores: int) -> dict:
     # best-of-N to damp shared-VM noise (neighbor load / steal spikes were
     # measured to slow identical runs up to 2x); the slow low-core level
     # gets 2 reps (its draws are stable), higher levels 3
-    reps = 2 if cores <= 2 else 3
+    reps = 2 if cores <= 2 else 4
     dt = float("inf")
     n_spans = 0
     for _ in range(reps):
