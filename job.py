@@ -78,8 +78,18 @@ def main(argv=None):
         docs = spark.read.parquet(args.input)
 
     if not args.resume:
-        # fresh run: any prior lineage is ignored by using a new output dir
-        pass
+        # fresh-run semantics: run_checkpointed always skips partitions with
+        # existing lineage, so silently reusing a previous output dir would
+        # skip work instead of recomputing — refuse loudly.
+        try:
+            spark.read.parquet(f"{args.output}/lineage").limit(1).collect()
+            has_lineage = True
+        except Exception:
+            has_lineage = False
+        if has_lineage:
+            raise SystemExit(
+                f"error: {args.output}/lineage already exists; pass --resume "
+                "to continue that run, or point --output at a fresh dir")
     stats = run_checkpointed(spark, docs, args.output, cfg=cfg,
                              num_partitions=p, run_id=args.run_id)
     print(stats)

@@ -303,8 +303,7 @@ def build_docs_df(spark, sf_dir: str, mode: str = "rich", replicate: int = 1,
 
     if num_partitions:
         from pyspark.sql import functions as F
-        src = src.repartition(num_partitions,
-                              F.pmod(F.xxhash64("doc_id"), F.lit(num_partitions)))
+        src = src.repartition(num_partitions, F.xxhash64("doc_id"))
 
     def gen(batches):
         for pdf in batches:

@@ -38,6 +38,27 @@ from .schema import IN_SPAN_STRUCT, SPAN_FLAT_SCHEMA
 # a page boundary is the PG pseudo-op with its three operands
 _PG_RE = re.compile(r"(?:[-+]?[\d.]+\s+){3}PG\b")
 _TF_RE = re.compile(r"/(\S+)\s+[-+]?[\d.]+\s+Tf\b")
+# (string) literals, same grammar as the tokenizer's str group — a
+# "N N N PG" sequence INSIDE a literal is document text, not a boundary
+_STR_RE = re.compile(r"\((?:\\.|[^\\()])*\)")
+
+
+def _page_bounds(text: str) -> list[int]:
+    """Start offsets of true PG boundaries: regex hits whose position does
+    not fall inside a (string) literal."""
+    lits = [(m.start(), m.end()) for m in _STR_RE.finditer(text)]
+    if not lits:
+        return [m.start() for m in _PG_RE.finditer(text)]
+    import bisect
+    starts = [s for s, _ in lits]
+    out = []
+    for m in _PG_RE.finditer(text):
+        pos = m.start()
+        i = bisect.bisect_right(starts, pos) - 1
+        if i >= 0 and lits[i][0] <= pos < lits[i][1]:
+            continue
+        out.append(pos)
+    return out
 
 GROUP_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType(), False),
@@ -66,7 +87,7 @@ def split_doc(doc_id: str, spans: list[dict], pages_per_group: int,
             pieces.append(("image", sp))
             continue
         text = sp.get("text") or ""
-        bounds = [m.start() for m in _PG_RE.finditer(text)]
+        bounds = _page_bounds(text)
         if not bounds:
             pieces.append(("frag", text))
             continue
@@ -101,7 +122,10 @@ def split_doc(doc_id: str, spans: list[dict], pages_per_group: int,
         for kind, piece in grp:
             if kind == "image":
                 continue
-            for m in _TF_RE.finditer(piece):
+            # mask literals so a "/Name 10 Tf" inside document text is
+            # not treated as a font reference (same reason as _page_bounds)
+            masked = _STR_RE.sub(lambda m: " " * (m.end() - m.start()), piece)
+            for m in _TF_RE.finditer(masked):
                 if m.group(1) not in seen:
                     seen.append(m.group(1))
         group_fonts.append(seen)

@@ -49,7 +49,10 @@ def _extract_flat(spark: SparkSession, sf_dir: str,
                   mode: str = "oracle") -> DataFrame:
     docs = build_docs_df(spark, sf_dir, mode=mode)
     p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = docs.repartition(p, F.pmod(F.xxhash64("doc_id"), F.lit(p)))
+    # shuffle on the RAW 64-bit hash: hashing p distinct part_id values into
+    # p partitions leaves ~1/e of tasks empty (Poisson occupancy) — the raw
+    # hash balances by law of large numbers (mirrors pipeline.extract_spans)
+    docs = docs.repartition(p, F.xxhash64("doc_id"))
     return docs.mapInPandas(
         make_extract_batch(cfg or ExtractConfig(), nested=False),
         SPAN_FLAT_SCHEMA)

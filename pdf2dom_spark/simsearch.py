@@ -58,6 +58,43 @@ _SQL_NORM = ("sqrt(list_sum(list_transform({a}, "
              "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
 
 
+def _rot(col, k: int, dim: int = 64):
+    """Circular left-rotation of an array column by k (k=0 passthrough)."""
+    if k == 0:
+        return col
+    return F.concat(F.slice(col, k + 1, dim), F.slice(col, 1, k))
+
+
+def lsh_signed(df: DataFrame, emb_col: str, n_bits: int = 4,
+               planes_from: DataFrame | None = None) -> DataFrame:
+    """Append a sign-random-projection ``bucket`` column in ONE projection —
+    no explode, no groupBy, no shuffle of the embedding arrays.
+
+    The base hyperplanes are the table's own rows vec_id 1..4 (deterministic,
+    oracle-reproducible); they are collapsed to a single broadcast row via a
+    tiny aggregate, then each input row computes its sign bits as plain
+    column expressions inside whole-stage codegen. Bits beyond the first 4
+    reuse the same planes against circularly-rotated embeddings —
+    dot(rot(v,k), p) == dot(v, rot(p,-k)), i.e. genuinely distinct fixed
+    hyperplanes, still derivable in ANSI SQL. At 10^12-vector scale this is a
+    narrow map over the scan plus one sub-kilobyte broadcast, and the bucket
+    count (2^n_bits) scales candidate-join fan-out down exponentially."""
+    src = planes_from if planes_from is not None else df
+    planes_row = (src.where(F.col("vec_id").between(1, 4))
+                  .agg(F.sort_array(F.collect_list(
+                      F.struct("vec_id", F.col(emb_col).alias("pv"))))
+                      .alias("ps")))
+    bits = []
+    for i in range(n_bits):
+        plane = F.element_at("ps", i % 4 + 1).pv
+        shifted = _rot(F.col(emb_col), (i // 4) * 7)
+        bits.append(F.when(_dot(shifted, plane) >= 0, F.lit("1"))
+                    .otherwise(F.lit("0")))
+    return (df.crossJoin(F.broadcast(planes_row))
+            .withColumn("bucket", F.concat(*bits))
+            .drop("ps"))
+
+
 @_reg("knn_brute", f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 s AS (
@@ -80,29 +117,77 @@ def knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), F.asc("vec_id")).limit(10))
 
 
+# --- embedding-cosine near-dup via LSH blocking ------------------------------
+# Candidates = vectors sharing an 8-bit sign-projection bucket (256 buckets,
+# bucket count grows with n_bits, NOT with any data attribute) — the
+# quadratic all-pairs join keyed on the 10-value `label` column is gone.
+# The corpus has no planted near-dups, so the fixture is augmented in-query
+# with deterministic twins (vec_id+1000000, embedding scaled by 1.01): a
+# positive scalar multiple has cosine exactly 1.0 and identical sign bits,
+# guaranteeing a non-empty, cross-engine-stable expected pair set.
+
+_TWIN_MOD = 37
+_DEDUP_BITS = 8
+
+def _sql_bucket(v: str) -> str:
+    bits = []
+    for i in range(_DEDUP_BITS):
+        p = f"p.p{i % 4 + 1}"
+        k = (i // 4) * 7
+        sv = v if k == 0 else f"({v}[{k + 1}:] || {v}[:{k}])"
+        bits.append(f"(CASE WHEN {_SQL_DOT.format(a=sv, b=p)} >= 0 "
+                    f"THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
 @_reg("dedup_embedding_cosine", f"""
-WITH e AS (
-  SELECT CAST(vec_id AS BIGINT) AS vec_id, label, embedding,
-         {_SQL_NORM.format(a='embedding')} AS nrm
-  FROM embeddings
+WITH base AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings
+),
+aug AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT)) AS embedding
+  FROM base WHERE vec_id % {_TWIN_MOD} = 0
+),
+p AS (
+  SELECT (SELECT embedding FROM embeddings WHERE vec_id = 1) AS p1,
+         (SELECT embedding FROM embeddings WHERE vec_id = 2) AS p2,
+         (SELECT embedding FROM embeddings WHERE vec_id = 3) AS p3,
+         (SELECT embedding FROM embeddings WHERE vec_id = 4) AS p4
+),
+sig AS (
+  SELECT a.vec_id, a.embedding, {_SQL_NORM.format(a='a.embedding')} AS nrm,
+         {_sql_bucket('a.embedding')} AS bucket
+  FROM aug a, p
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND({_SQL_DOT.format(a='a.embedding', b='b.embedding')}
              / (a.nrm * b.nrm), 3) AS cos
-FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {_SQL_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) >= 0.9
 """)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs. Candidates are bounded per
-    label group (at 100 TB scale the label becomes an LSH bucket — same
-    join shape, bounded fan-out)."""
-    e = _emb(spark, sf_dir).select(
-        F.col("vec_id").cast("long").alias("vec_id"), "label", "embedding",
-        _norm(F.col("embedding")).alias("nrm"))
-    a, b = e.alias("a"), e.alias("b")
+    """Embedding-cosine near-duplicate pairs, LSH-blocked: the self-join key
+    is the 8-bit sign-projection bucket, so candidate fan-out is N²/256 per
+    bucket in expectation instead of N²/|labels| — and n_bits turns the knob
+    at larger scale (16 bits -> 65k buckets). Exact cosine verifies within
+    the bucket."""
+    base = _emb(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+    twins = (base.where(F.col("vec_id") % _TWIN_MOD == 0)
+             .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                     F.transform("embedding",
+                                 lambda x: (x * F.lit(1.01)).cast("float"))
+                     .alias("embedding")))
+    aug = base.unionByName(twins)
+    sig = lsh_signed(aug, "embedding", n_bits=_DEDUP_BITS,
+                     planes_from=base).withColumn(
+        "nrm", _norm(F.col("embedding")))
+    a, b = sig.alias("a"), sig.alias("b")
     cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm"))
-    return (a.join(b, (F.col("a.label") == F.col("b.label"))
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
             .where(cos >= 0.9)
             .select(F.col("a.vec_id").alias("vec_a"),
@@ -133,17 +218,7 @@ SELECT vec_id, score FROM cand ORDER BY score DESC, vec_id ASC LIMIT 5
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).select(
         F.col("vec_id").cast("long").alias("vec_id"), "embedding")
-    planes = emb.where(F.col("vec_id").between(1, 4)).select(
-        F.col("vec_id").alias("plane_id"), F.col("embedding").alias("pv"))
-    sig = (
-        emb.crossJoin(F.broadcast(planes))
-        .withColumn("bit", F.when(_dot(F.col("embedding"), F.col("pv")) >= 0,
-                                  F.lit("1")).otherwise(F.lit("0")))
-        .groupBy("vec_id", "embedding")
-        .agg(F.concat_ws("", F.transform(
-            F.array_sort(F.collect_list(F.struct("plane_id", "bit"))),
-            lambda s: s.bit)).alias("bucket"))
-    )
+    sig = lsh_signed(emb, "embedding")
     q = sig.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"), F.col("bucket").alias("qb"))
     cand = sig.join(F.broadcast(q), sig.bucket == F.col("qb")).where(

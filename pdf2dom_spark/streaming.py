@@ -16,7 +16,7 @@ both modes:
     canonical streaming-agg smoke.
 
 Scale notes: the streaming extraction keeps the salting property by
-``repartition(P, pmod(xxhash64(doc_id), P))`` inside each micro-batch; state
+``repartition(P, xxhash64(doc_id))`` inside each micro-batch; state
 stores are only needed for the windowed agg (RocksDB state store in
 production)."""
 
@@ -37,9 +37,9 @@ def extract_spans_stream(spark: SparkSession, docs_dir: str,
     stream = (spark.readStream.schema(DOC_SCHEMA)
               .option("maxFilesPerTrigger", 4)
               .parquet(docs_dir))
-    salted = stream.repartition(
-        num_partitions,
-        F.pmod(F.xxhash64("doc_id"), F.lit(num_partitions)))
+    # raw-hash shuffle (not pmod into num_partitions values — that leaves
+    # ~1/e of tasks empty); mirrors pipeline.extract_spans
+    salted = stream.repartition(num_partitions, F.xxhash64("doc_id"))
     spans = salted.mapInPandas(make_extract_batch(cfg, nested=False),
                                SPAN_FLAT_SCHEMA)
     return (spans.writeStream

@@ -14,9 +14,11 @@ which is a valid uniform min-hash.
 Scale notes:
   - exact dedup: one hash-shuffle on md5(text) — the canonical map-side
     combinable groupBy; at 10^12 docs this is the cheapest possible shape.
-  - minhash/jaccard: candidate generation is bounded per-key (lang or LSH
-    band) so the pairwise stage never sees the full cross product; at scale
-    the band-bucket join replaces the per-lang join (same code shape).
+  - minhash/jaccard: ``dedup_minhash_lsh`` is the scale path — candidates
+    come from a self-join keyed on (band_id, band-signature), whose key
+    cardinality grows with the corpus; the per-lang variants
+    (``dedup_ngram_jaccard``, ``dedup_minhash``) are the exact small-scale
+    baselines and are NOT 100 TB-safe (all-pairs within a 5-value key).
   - everything pushes column pruning to the parquet/Iceberg scan: only
     (doc_id, text, lang) are read.
 """
@@ -41,6 +43,22 @@ def _reg(name: str, sql: str | None):
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _shingles(ws):
+    """3-word shingles of a split-text column, guarded for <=2-word docs:
+    Spark's sequence(1, 0) yields the DESCENDING [1, 0] and element_at(ws, 0)
+    throws INVALID_INDEX_OF_ZERO, while DuckDB's generate_series(1, 0) is
+    empty — so short docs must short-circuit to an empty array BEFORE the
+    sequence is built (CaseWhen is non-strict, the guarded branch never
+    evaluates)."""
+    tr = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i),
+                              F.element_at(ws, i + 1),
+                              F.element_at(ws, i + 2)))
+    return F.when(F.size(ws) >= 3, F.array_distinct(tr)).otherwise(
+        F.array().cast("array<string>"))
 
 
 # ---------------------------------------------------------------------------
@@ -91,14 +109,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"), "lang",
         F.split("text", " ").alias("ws"))
-    sh = d.select(
-        "doc_id", "lang",
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size("ws") - 2, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.element_at("ws", i),
-                                  F.element_at("ws", i + 1),
-                                  F.element_at("ws", i + 2)),
-        )).alias("sh"))
+    sh = d.select("doc_id", "lang", _shingles(F.col("ws")).alias("sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
@@ -138,14 +149,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"), "lang",
         F.split("text", " ").alias("ws"))
-    sh = d.select(
-        "doc_id", "lang",
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size("ws") - 2, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.element_at("ws", i),
-                                  F.element_at("ws", i + 1),
-                                  F.element_at("ws", i + 2)),
-        )).alias("sh"))
+    sh = d.select("doc_id", "lang", _shingles(F.col("ws")).alias("sh"))
     e = sh.select("doc_id", "lang", F.explode("sh").alias("g"))
     sig = e.groupBy("doc_id").agg(
         F.first("lang").alias("lang"),
@@ -162,6 +166,77 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.doc_id").alias("doc_b"),
                 n_match.cast("int").alias("n_match"))
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH (banded): the scale path. 8 permutations -> 4 bands of 2 rows;
+# candidates are pairs sharing a FULL band (join keyed on (band_id, band
+# hash) — cardinality grows with the corpus, unlike `lang`), then the exact
+# signature match count verifies within the candidate set. This is the
+# standard banding construction (s-curve: P[cand] = 1-(1-s^2)^4 for
+# signature similarity s); at 10^12 docs the band join touches only
+# hash-colliding documents instead of N^2/|langs| pairs.
+# ---------------------------------------------------------------------------
+
+_MH_BANDS = 4  # rows per band = len(_MH_KS) // _MH_BANDS = 2
+
+@_reg("dedup_minhash_lsh", f"""
+WITH s AS ({{shingles}}),
+e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+sig AS (
+  SELECT doc_id,
+         {', '.join(f"MIN(md5('{{k}}|' || g)) AS m{{k}}".format(k=k) for k in range(8))}
+  FROM e GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, band_id,
+         CASE band_id {' '.join(f'WHEN {b} THEN m{2 * b} || m{2 * b + 1}' for b in range(4))} END AS bh,
+         {', '.join(f'm{k}' for k in range(8))}
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST({' + '.join(f'(sa.m{k} = sb.m{k})::INT' for k in range(8))} AS INT) AS n_match
+FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE {' + '.join(f'(sa.m{k} = sb.m{k})::INT' for k in range(8))} >= 4
+""".replace("{shingles}", _SHINGLES_SQL))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split("text", " ").alias("ws"))
+    sh = d.select("doc_id", _shingles(F.col("ws")).alias("sh"))
+    e = sh.select("doc_id", F.explode("sh").alias("g"))
+    sig = e.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("g")))).alias(f"m{k}")
+          for k in _MH_KS])
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_id"),
+                     F.concat(F.col(f"m{2 * b}"),
+                              F.col(f"m{2 * b + 1}")).alias("bh"))
+            for b in range(_MH_BANDS)])).alias("bd")
+    ).select("doc_id", F.col("bd.band_id").alias("band_id"),
+             F.col("bd.bh").alias("bh"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                   & (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    n_match = sum(
+        (F.col(f"sa.m{k}") == F.col(f"sb.m{k}")).cast("int") for k in _MH_KS)
+    return (cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+            .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+            .where(n_match >= 4)
+            .select("doc_a", "doc_b", n_match.cast("int").alias("n_match")))
 
 
 # ---------------------------------------------------------------------------

@@ -121,3 +121,36 @@ def test_no_python_udf_outside_extraction(spark):
             continue  # mapInPandas kernels (the designated Arrow UDFs)
         plan = _plan(fn(spark, SF_SMOKE))
         assert "EvalPython" not in plan, f"{name} uses a Python UDF"
+
+
+def test_minhash_lsh_join_is_band_keyed(spark):
+    """The banded candidate join must key on (band_id, band hash), never on
+    a low-cardinality column like lang (VERDICT r1 'What's wrong' #2)."""
+    from pdf2dom_spark.queries import all_queries
+    q = all_queries()["dedup_minhash_lsh"](spark, SF_SMOKE)
+    plan = _plan(q)
+    assert "bh" in plan and "band_id" in plan
+    join_lines = [ln for ln in plan.splitlines()
+                  if "Join" in ln and "lang" in ln]
+    assert not join_lines, join_lines
+
+
+def test_embedding_dedup_join_is_bucket_keyed(spark):
+    from pdf2dom_spark.queries import all_queries
+    q = all_queries()["dedup_embedding_cosine"](spark, SF_SMOKE)
+    plan = _plan(q)
+    assert "bucket" in plan
+    join_lines = [ln for ln in plan.splitlines()
+                  if "Join" in ln and "label" in ln]
+    assert not join_lines, join_lines
+
+
+def test_knn_lsh_no_exchange_on_embedding(spark):
+    """Signatures are one projection: no shuffle keyed on the vector column
+    (VERDICT r1 'What's wrong' #4)."""
+    from pdf2dom_spark.queries import all_queries
+    q = all_queries()["knn_lsh"](spark, SF_SMOKE)
+    plan = _plan(q)
+    bad = [ln for ln in plan.splitlines()
+           if "Exchange hashpartitioning" in ln and "embedding" in ln]
+    assert not bad, bad
