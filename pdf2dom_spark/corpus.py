@@ -260,6 +260,14 @@ def fixture_docs() -> dict[str, list[dict]]:
             text_span("Q 0.2 0.3 0.4 rg 420 60 120 70 re f", 2),
         ]
 
+    # rotated-page TEXT (PDFBox TextPosition.getX/getY == page transform of
+    # the device origin; width stays the un-rotated device-x displacement, so
+    # 90/180/270 pages split per glyph via the disty/distx thresholds)
+    for rot in (0, 90, 180, 270):
+        fx[f"fx_rotation_text_{rot}"] = [text_span(
+            f"{PAGE_W:g} {PAGE_H:g} {rot} PG BT /Mono 10 Tf "
+            "1 0 0 1 100 700 Tm (AB) Tj ET", 0)]
+
     # rect vs line vs slanted line vs filled polygon vs discarded path
     # (PDFBoxTree.java:325-348,496-532; HtmlDivLine.java:24-93; TestPaths.java)
     fx["fx_rect_vs_line_vs_path"] = [text_span(

@@ -307,14 +307,22 @@ class DocInterp:
             cum[0] = 0.0
             np.cumsum(adv[:-1], out=cum[1:])
             tmctm = compose(tm, g.ctm)
-            # origin of glyph i = (cum_i, rise) @ (Tm x CTM)
-            dev_x = cum * tmctm[0, 0] + g.ts * tmctm[1, 0] + tmctm[2, 0]
-            # LegacyPDFStreamEngine-style display coords: y flipped to
-            # top-down (unrotated-page text model; rotation fixtures use
-            # rects/images which go through the exact page transform).
-            dev_y = page_h - (cum * tmctm[0, 1] + g.ts * tmctm[1, 1] + tmctm[2, 1])
+            # device-space origin of glyph i = (cum_i, rise) @ (Tm x CTM) —
+            # PDFBox's translatedTextRenderingMatrix translate components
+            ux = cum * tmctm[0, 0] + g.ts * tmctm[1, 0] + tmctm[2, 0]
+            uy = cum * tmctm[0, 1] + g.ts * tmctm[1, 1] + tmctm[2, 1]
+            # TextPosition.getX()/getY() (PDFBox 2.0 getXRot/getYLowerLeftRot)
+            # equal the Pdf2Dom page transformation applied to that origin
+            # for every rotation: rot0 (x, h-y); rot90 (y, x); rot180
+            # (w-x, y); rot270 (h-y, w-x) — the same transform rects/images
+            # already go through (PDFBoxTree.java:822-855).
+            dev_x = ux * page_m[0, 0] + uy * page_m[1, 0] + page_m[2, 0]
+            dev_y = ux * page_m[0, 1] + uy * page_m[1, 1] + page_m[2, 1]
             sx, sy = scale_x(tmctm), scale_y(tmctm)
-            widths = adv * sx
+            # TextPosition width = dxDisplay, the DEVICE-x displacement of
+            # the advance (LegacyPDFStreamEngine: nextX - getTranslateX()),
+            # deliberately not rotation-adjusted
+            widths = adv * tmctm[0, 0]
             xscale = g.fsize * g.th * sx
             yscale = g.fsize * sy
             fill_on = g.tr in FILL_MODES
