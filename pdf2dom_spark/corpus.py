@@ -105,6 +105,77 @@ def oracle_stream(doc_id: str, text: str) -> list[dict]:
 
 
 # ---------------------------------------------------------------------------
+# 2b. rich-lite corpus: every "rich" text feature with CLOSED-FORM geometry
+# ---------------------------------------------------------------------------
+# Per page: 1 rect + 1 image (oracle-corpus shapes) and 6 lines x 4 Mono-10pt
+# words. Each line carries a variant v = (global line index) % 7 (partial
+# lines fall back to plain), all SQL-derivable:
+#   v0 plain Tj             v1 `1 Tr` stroke-only (color <-> strokeColor)
+#   v2 `0.5 Tc 1.5 Tw`      v3 TJ kern -250 between word pairs (+2.5pt gap)
+#   v4 trailing RTL word    v5 trailing diacritic merge (é at x=300, y-8)
+#   v6 mid-line color change -> style split (#7f0000 on the last word)
+# Emission order per page is simple because graphics precede text:
+# page, rect, image, boxes 0..nb-1 (the end-of-page flush cannot reorder a
+# trailing box past the next page's spans); doc-trailing font span.
+
+RL_WPL = 4
+RL_LPP = 6
+RL_WPP = RL_WPL * RL_LPP
+RL_Y0 = 720.0
+RL_STEP = 16.0
+RL_DIA_X = 300.0
+
+
+def rich_lite_stream(doc_id: str, text: str) -> list[dict]:
+    words = [w for w in (text.split(" ") if text else []) if w]
+    spans: list[dict] = []
+    off = 0
+    n_pages = (len(words) + RL_WPP - 1) // RL_WPP
+    for pi in range(n_pages):
+        p = pi + 1
+        pw = words[pi * RL_WPP:(pi + 1) * RL_WPP]
+        rx = 100 + 10 * (pi % 5)
+        rw = 80 + 5 * (p % 3)
+        ix = 200 + 10 * (p % 4)
+        head = (f"{PAGE_W:g} {PAGE_H:g} 0 PG "
+                f"0.25 0.5 0.75 rg {rx} 50 {rw} 20 re f "
+                f"q 120 0 0 90 {ix} 300 cm")
+        spans.append(text_span(head, off)); off += 1
+        ref = "sha:" + hashlib.md5(f"{doc_id}:rl:{p}".encode()).hexdigest()
+        spans.append(image_span(ref, 640, 480, f"Img{p}", off)); off += 1
+        # reset fill to black: the head's rg would otherwise persist into BT
+        # (graphics state survives q/Q-balanced blocks and BT/ET)
+        body = ["Q BT /Mono 10 Tf 0 0 0 rg"]
+        for li in range(0, len(pw), RL_WPL):
+            line = pw[li:li + RL_WPL]
+            lid = pi * RL_LPP + li // RL_WPL
+            v = lid % 7 if len(line) == RL_WPL else 0
+            y = RL_Y0 - RL_STEP * (li // RL_WPL)
+            body.append(f"1 0 0 1 72 {y:g} Tm")
+            joined = _esc(" ".join(line))
+            if v == 1:
+                body.append(f"1 Tr ({joined}) Tj 0 Tr")
+            elif v == 2:
+                body.append(f"0.5 Tc 1.5 Tw ({joined}) Tj 0 Tc 0 Tw")
+            elif v == 3:
+                body.append(
+                    f"[ ({_esc(line[0] + ' ' + line[1])}) -250 "
+                    f"({_esc(line[2] + ' ' + line[3])}) ] TJ")
+            elif v == 4:
+                body.append(f"({joined}) Tj ({_RTL_WORD}) Tj")
+            elif v == 5:
+                body.append(f"({joined}) Tj " + dia_frag(RL_DIA_X, y - 8))
+            elif v == 6:
+                body.append(f"({_esc(' '.join(line[:3]))}) Tj "
+                            f"0.5 0 0 rg ({_esc(line[3])}) Tj 0 0 0 rg")
+            else:
+                body.append(f"({joined}) Tj")
+        body.append("ET")
+        spans.append(text_span(" ".join(body), off)); off += 1
+    return spans
+
+
+# ---------------------------------------------------------------------------
 # 3. rich interleaved corpus
 # ---------------------------------------------------------------------------
 
@@ -318,8 +389,12 @@ def build_docs_df(spark, sf_dir: str, mode: str = "rich", replicate: int = 1,
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 did = str(doc_id)
-                spans = (oracle_stream(did, text) if mode == "oracle"
-                         else rich_stream(did, text))
+                if mode == "oracle":
+                    spans = oracle_stream(did, text)
+                elif mode == "rich_lite":
+                    spans = rich_lite_stream(did, text)
+                else:
+                    spans = rich_stream(did, text)
                 rows.append({"doc_id": did, "spans": spans})
             yield pd.DataFrame(rows, columns=["doc_id", "spans"])
 

@@ -174,6 +174,179 @@ def extract_spans_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 1a-rich. FULL kernel vs closed-form SQL on the rich-lite corpus: every
+# "rich" text feature with derivable geometry — Tr stroke-only rendering
+# mode, Tw/Tc sticky spacing, TJ kerning splits, RTL reverse, diacritic
+# merge, mid-line style-change splits — plus per-page rect + image.
+# Per-line variant v = (global line index) % 7; see corpus.rich_lite_stream.
+# Emission order per page: page, rect, image, boxes 0..nb-1; font span last.
+_RICH_LITE_SQL = """
+WITH w0 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         unnest(string_split(text,' ')) AS word,
+         generate_subscripts(string_split(text,' '), 1) - 1 AS widx
+  FROM documents WHERE length(text) > 0
+),
+b AS (
+  SELECT doc_id, word, widx,
+         CAST(widx // 24 + 1 AS INT) AS p,
+         CAST((widx % 24) // 4 AS INT) AS li,
+         CAST(widx % 4 AS INT) AS k,
+         widx // 4 AS lid,
+         LENGTH(word) AS L
+  FROM w0
+),
+lw AS (
+  SELECT doc_id, lid, COUNT(*) AS m, SUM(L) AS tot,
+         CASE WHEN COUNT(*) = 4 THEN CAST(lid % 7 AS INT) ELSE 0 END AS v
+  FROM b GROUP BY doc_id, lid
+),
+lines AS (
+  SELECT doc_id, lid, m, tot, v,
+         CAST(lid // 6 + 1 AS INT) AS p,
+         CAST(lid % 6 AS INT) AS li,
+         m + CASE WHEN v IN (4, 5) THEN 1 ELSE 0 END AS nb_line
+  FROM lw
+),
+lineoff AS (
+  SELECT *, COALESCE(SUM(nb_line) OVER (PARTITION BY doc_id, p ORDER BY li
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS loff
+  FROM lines
+),
+pages0 AS (SELECT doc_id, p, SUM(nb_line) AS nb FROM lines GROUP BY doc_id, p),
+pageoff AS (
+  SELECT *, COALESCE(SUM(nb + 3) OVER (PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS poff
+  FROM pages0
+),
+g AS (
+  SELECT b.*, lw.v, lo.loff, po.poff,
+         COALESCE(SUM(b.L) OVER (PARTITION BY b.doc_id, b.lid ORDER BY b.k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM b
+  JOIN lw USING (doc_id, lid)
+  JOIN lineoff lo ON lo.doc_id = b.doc_id AND lo.lid = b.lid
+  JOIN pageoff po ON po.doc_id = b.doc_id AND po.p = b.p
+),
+wordboxes AS (
+  SELECT doc_id, CAST(poff + 3 + loff + k AS INT) AS ord,
+         'text' AS kind, word AS text, CAST(NULL AS VARCHAR) AS media_ref,
+         p AS page_no,
+         ROUND(CASE WHEN v = 2 THEN 72 + 5.5 * cum + 7.0 * k
+               WHEN v = 3 AND k >= 2 THEN 72 + 5.0 * (cum + k - 1) + 2.5
+               WHEN v = 6 AND k = 3 THEN 72 + 5.0 * (cum + 2)
+               ELSE 72 + 5.0 * (cum + k) END, 2) AS left_pt,
+         CAST(64 + 16 * li AS DOUBLE) AS top_pt,
+         ROUND(CASE WHEN v = 2 THEN 5.5 * L ELSE 5.0 * L END, 2) AS width_pt,
+         CAST(NULL AS DOUBLE) AS height_pt,
+         CAST(10.0 AS DOUBLE) AS line_height,
+         CAST(10.0 AS DOUBLE) AS font_size,
+         CASE WHEN v = 1 THEN 'rgba(0,0,0,0)'
+              WHEN v = 6 AND k = 3 THEN '#7f0000'
+              ELSE '#000000' END AS color,
+         CASE WHEN v = 1 THEN '#000000' ELSE 'rgba(0,0,0,0)' END AS stroke_color,
+         CAST(CASE WHEN v = 2 THEN 1.5 ELSE 0.0 END AS DOUBLE) AS wsp,
+         CAST(CASE WHEN v = 2 THEN 0.5 ELSE 0.0 END AS DOUBLE) AS lsp,
+         'Mono' AS font_family
+  FROM g
+),
+extras AS (
+  SELECT lo.doc_id, CAST(po.poff + 3 + lo.loff + lo.m AS INT) AS ord,
+         'text' AS kind,
+         CASE WHEN lo.v = 4 THEN reverse('שלום')
+              ELSE 'e' || chr(769) END AS text,
+         CAST(NULL AS VARCHAR) AS media_ref, lo.p AS page_no,
+         CAST(CASE WHEN lo.v = 4 THEN 72 + 5.0 * (lo.tot + 3)
+              ELSE 300.0 END AS DOUBLE) AS left_pt,
+         CAST(CASE WHEN lo.v = 4 THEN 64 + 16 * lo.li
+              ELSE 72 + 16 * lo.li END AS DOUBLE) AS top_pt,
+         CAST(CASE WHEN lo.v = 4 THEN 20.0 ELSE 5.0 END AS DOUBLE) AS width_pt,
+         CAST(NULL AS DOUBLE) AS height_pt,
+         CAST(10.0 AS DOUBLE) AS line_height, CAST(10.0 AS DOUBLE) AS font_size,
+         '#000000' AS color, 'rgba(0,0,0,0)' AS stroke_color,
+         CAST(0.0 AS DOUBLE) AS wsp, CAST(0.0 AS DOUBLE) AS lsp,
+         'Mono' AS font_family
+  FROM lineoff lo JOIN pageoff po ON po.doc_id = lo.doc_id AND po.p = lo.p
+  WHERE lo.v IN (4, 5)
+),
+pagespans AS (
+  SELECT doc_id, CAST(poff AS INT) AS ord, 'page' AS kind,
+         CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS media_ref,
+         p AS page_no, CAST(NULL AS DOUBLE) AS left_pt,
+         CAST(NULL AS DOUBLE) AS top_pt,
+         CAST(612.0 AS DOUBLE) AS width_pt, CAST(792.0 AS DOUBLE) AS height_pt,
+         CAST(NULL AS DOUBLE) AS line_height, CAST(NULL AS DOUBLE) AS font_size,
+         CAST(NULL AS VARCHAR) AS color, CAST(NULL AS VARCHAR) AS stroke_color,
+         CAST(NULL AS DOUBLE) AS wsp, CAST(NULL AS DOUBLE) AS lsp,
+         CAST(NULL AS VARCHAR) AS font_family
+  FROM pageoff
+),
+rects AS (
+  SELECT doc_id, CAST(poff + 1 AS INT) AS ord, 'rect' AS kind,
+         CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS media_ref,
+         p AS page_no,
+         CAST(100 + 10 * ((p - 1) % 5) AS DOUBLE) AS left_pt,
+         CAST(722.0 AS DOUBLE) AS top_pt,
+         CAST(80 + 5 * (p % 3) AS DOUBLE) AS width_pt,
+         CAST(20.0 AS DOUBLE) AS height_pt,
+         CAST(NULL AS DOUBLE) AS line_height, CAST(NULL AS DOUBLE) AS font_size,
+         '#3f7fbf' AS color, CAST(NULL AS VARCHAR) AS stroke_color,
+         CAST(NULL AS DOUBLE) AS wsp, CAST(NULL AS DOUBLE) AS lsp,
+         CAST(NULL AS VARCHAR) AS font_family
+  FROM pageoff
+),
+imgs AS (
+  SELECT doc_id, CAST(poff + 2 AS INT) AS ord, 'image' AS kind,
+         CAST(NULL AS VARCHAR) AS text,
+         'sha:' || md5(doc_id || ':rl:' || CAST(p AS VARCHAR)) AS media_ref,
+         p AS page_no,
+         CAST(200 + 10 * (p % 4) AS DOUBLE) AS left_pt,
+         CAST(402.0 AS DOUBLE) AS top_pt,
+         CAST(120.0 AS DOUBLE) AS width_pt, CAST(90.0 AS DOUBLE) AS height_pt,
+         CAST(NULL AS DOUBLE) AS line_height, CAST(NULL AS DOUBLE) AS font_size,
+         CAST(NULL AS VARCHAR) AS color, CAST(NULL AS VARCHAR) AS stroke_color,
+         CAST(NULL AS DOUBLE) AS wsp, CAST(NULL AS DOUBLE) AS lsp,
+         CAST(NULL AS VARCHAR) AS font_family
+  FROM pageoff
+),
+fonts AS (
+  SELECT doc_id, CAST(SUM(nb + 3) AS INT) AS ord, 'font' AS kind,
+         'Mono' AS text, 'font:Mono' AS media_ref, CAST(NULL AS INT) AS page_no,
+         CAST(NULL AS DOUBLE) AS left_pt, CAST(NULL AS DOUBLE) AS top_pt,
+         CAST(NULL AS DOUBLE) AS width_pt, CAST(NULL AS DOUBLE) AS height_pt,
+         CAST(NULL AS DOUBLE) AS line_height, CAST(NULL AS DOUBLE) AS font_size,
+         CAST(NULL AS VARCHAR) AS color, CAST(NULL AS VARCHAR) AS stroke_color,
+         CAST(NULL AS DOUBLE) AS wsp, CAST(NULL AS DOUBLE) AS lsp,
+         CAST(NULL AS VARCHAR) AS font_family
+  FROM pages0 GROUP BY doc_id
+)
+SELECT * FROM wordboxes UNION ALL SELECT * FROM extras
+UNION ALL SELECT * FROM pagespans UNION ALL SELECT * FROM rects
+UNION ALL SELECT * FROM imgs UNION ALL SELECT * FROM fonts
+"""
+
+@_reg("extract_spans_rich_lite", _RICH_LITE_SQL)
+def extract_spans_rich_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flat = _extract_flat(spark, sf_dir, mode="rich_lite")
+    return flat.select(
+        "doc_id",
+        F.col("order").cast("int").alias("ord"),
+        "kind", "text", "media_ref",
+        F.col("page_no").cast("int").alias("page_no"),
+        F.round(F.col("style_left").cast("double"), 2).alias("left_pt"),
+        F.round(F.col("style_top").cast("double"), 2).alias("top_pt"),
+        F.round(F.col("style_width").cast("double"), 2).alias("width_pt"),
+        F.round(F.col("style_height").cast("double"), 2).alias("height_pt"),
+        F.round(F.col("style_line_height").cast("double"), 2).alias("line_height"),
+        F.round(F.col("style_font_size").cast("double"), 2).alias("font_size"),
+        F.col("style_color").alias("color"),
+        F.col("style_stroke_color").alias("stroke_color"),
+        F.round(F.col("style_word_spacing").cast("double"), 2).alias("wsp"),
+        F.round(F.col("style_letter_spacing").cast("double"), 2).alias("lsp"),
+        F.col("style_font_family").alias("font_family"),
+    )
+
+
 # 1b. page-range gate (S2; PDFBoxTree.java:200-210 — 1-based, inclusive)
 @_reg("extract_page_range", """
 WITH w AS (
