@@ -63,6 +63,13 @@ def rect_span(frag: str, offset: int) -> dict:
     return {"kind": "rect", "text": frag, "media_ref": None, "offset": offset}
 
 
+def form_span(name: str, frag: str, offset: int) -> dict:
+    """Form XObject definition: expanded inline (q/Q-wrapped) at each
+    ``/name Do`` (see interp.doc_tokens)."""
+    return {"kind": "form", "text": frag, "media_ref": f"form:{name}",
+            "offset": offset}
+
+
 # ---------------------------------------------------------------------------
 # 2. oracle corpus
 # ---------------------------------------------------------------------------
@@ -210,12 +217,21 @@ def rich_stream(doc_id: str, text: str) -> list[dict]:
 
     spans: list[dict] = []
     off = 0
+    # every 5th doc carries a header Form XObject invoked on each page
+    use_form = h % 5 == 0
+    if use_form:
+        spans.append(form_span(
+            "Hdr", "0.3 0.3 0.3 rg /Helvetica 8 Tf "
+                   "1 0 0 1 72 770 Tm (header) Tj", off))
+        off += 1
     wpp = 24  # words per rich page
     n_pages = (len(words) + wpp - 1) // wpp
     for p in range(n_pages):
         pw = words[p * wpp:(p + 1) * wpp]
         rot = (90, 180, 270, 0)[(h >> 3) % 4] if (h + p) % 11 == 0 else 0
         frags = [f"{PAGE_W:g} {PAGE_H:g} {rot} PG"]
+        if use_form:
+            frags.append("/Hdr Do")
         font = _RICH_FONTS[(h + p) % len(_RICH_FONTS)]
         size = _RICH_SIZES[(h + p * 7) % len(_RICH_SIZES)]
         frags.append(f"BT /{font} {size:g} Tf {_RICH_COLORS[(h + p) % 5]}")
@@ -347,6 +363,25 @@ def fixture_docs() -> dict[str, list[dict]]:
              "100 400 m 200 450 l S "
              "0.851 0.851 0.851 rg 100 300 m 160 360 l 100 360 l h f "
              "100 200 m 150 250 l n", 0)]
+
+    # form XObjects: /F1 Do expands inline under q/Q (PDFBox showForm);
+    # nested form font refs reach the table (PDFBoxTree.java:394-404);
+    # a cyclic pair must terminate with each form expanded once per entry
+    fx["fx_form_xobject"] = [
+        form_span("F1", "0.5 0 0 rg /Garamond-Italic 9 Tf "
+                        "1 0 0 1 72 600 Tm (inForm) Tj", 0),
+        text_span(pg + "BT /Helvetica 12 Tf 1 0 0 1 72 700 Tm (before) Tj "
+                       "/F1 Do 1 0 0 1 72 500 Tm (after) Tj ET", 1),
+    ]
+    fx["fx_form_cycle"] = [
+        form_span("A", "1 0 0 1 72 600 Tm (fromA) Tj /B Do", 0),
+        form_span("B", "1 0 0 1 72 550 Tm (fromB) Tj /A Do", 1),
+        text_span(pg + "BT /Helvetica 12 Tf /A Do "
+                       "1 0 0 1 72 450 Tm (tail) Tj ET", 2),
+    ]
+    fx["fx_form_unknown_do"] = [text_span(
+        pg + "BT /Helvetica 12 Tf /Nope Do "
+             "1 0 0 1 72 700 Tm (still) Tj ET", 0)]
 
     # fonts: subset name parses to 'EKCFJL Omsym2' (FontTable.java:105-118);
     # known family 'Arial' is not embedded (PDFBoxTree.java:738-741) but IS

@@ -647,6 +647,9 @@ def _concat_glyphs(chunks: list[dict]) -> dict:
     return out
 
 
+_FORM_DEPTH_MAX = 8
+
+
 def doc_tokens(spans: list[dict]) -> list[tuple[str, list]]:
     """Splice a document's interleaved spans into one ordered token list.
 
@@ -654,11 +657,47 @@ def doc_tokens(spans: list[dict]) -> list[tuple[str, list]]:
     - kind='image': one synthetic ``DoMedia`` op carrying
       (media_ref, width, height, name) — the reference's ``Do`` of an
       image XObject (PDFBoxTree.java:535-562) with the payload already
-      resolved (``text`` holds "W H Name").
+      resolved (``text`` holds "W H Name");
+    - kind='form': a Form XObject DEFINITION (media_ref='form:<Name>',
+      text=its content fragment). ``/Name Do`` in any fragment expands the
+      form inline wrapped in q/Q — exactly PDFBox's showForm
+      (save state -> execute child stream -> restore; the form matrix is
+      modeled as leading cm ops inside the form content). Nested forms
+      recurse with a cycle guard (an active form never re-expands itself;
+      the reference's guard compares child resources to the parent's,
+      PDFBoxTree.java:397-402) and a depth cap. The page font prescan
+      naturally sees the expanded forms' Tf ops — the transposition of
+      processFontResources' recursion into form resources
+      (PDFBoxTree.java:394-404). A ``Do`` of an unknown name stays in the
+      stream and is ignored by the interpreter (PDFBoxTree.java:548
+      instanceof check).
     """
+    ordered = sorted(spans, key=lambda s: s["offset"])
+    forms: dict[str, list] = {}
+    for sp in ordered:
+        if sp["kind"] == "form":
+            name = (sp.get("media_ref") or "")
+            name = name[5:] if name.startswith("form:") else name
+            forms[name] = tokenize(sp.get("text") or "")
+
     toks: list[tuple[str, list]] = []
-    for sp in sorted(spans, key=lambda s: s["offset"]):
+
+    def expand(sub: list, active: frozenset, depth: int) -> None:
+        for op, args in sub:
+            if (op == "Do" and args and str(args[-1]) in forms
+                    and str(args[-1]) not in active
+                    and depth < _FORM_DEPTH_MAX):
+                nm = str(args[-1])
+                toks.append(("q", []))
+                expand(forms[nm], active | {nm}, depth + 1)
+                toks.append(("Q", []))
+            else:
+                toks.append((op, args))
+
+    for sp in ordered:
         kind = sp["kind"]
+        if kind == "form":
+            continue  # definitions are not content at their own offset
         if kind == "image":
             meta = (sp.get("text") or "").split()
             w = float(meta[0]) if len(meta) > 0 else 1.0
@@ -666,5 +705,5 @@ def doc_tokens(spans: list[dict]) -> list[tuple[str, list]]:
             name = meta[2] if len(meta) > 2 else "Untitled"
             toks.append(("DoMedia", [sp.get("media_ref") or "", w, h, name]))
         else:
-            toks.extend(tokenize(sp.get("text") or ""))
+            expand(tokenize(sp.get("text") or ""), frozenset(), 0)
     return toks

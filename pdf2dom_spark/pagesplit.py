@@ -38,6 +38,7 @@ from .schema import IN_SPAN_STRUCT, SPAN_FLAT_SCHEMA
 # a page boundary is the PG pseudo-op with its three operands
 _PG_RE = re.compile(r"(?:[-+]?[\d.]+\s+){3}PG\b")
 _TF_RE = re.compile(r"/(\S+)\s+[-+]?[\d.]+\s+Tf\b")
+_DO_RE = re.compile(r"/(\S+)\s+Do\b")
 # (string) literals, same grammar as the tokenizer's str group — a
 # "N N N PG" sequence INSIDE a literal is document text, not a boundary
 _STR_RE = re.compile(r"\((?:\\.|[^\\()])*\)")
@@ -79,10 +80,17 @@ def split_doc(doc_id: str, spans: list[dict], pages_per_group: int,
         return [{"doc_id": doc_id, "grp": 0, "page_offset": 0,
                  "emit_fonts": True, "font_seed": [], "spans": spans}]
 
+    # form XObject DEFINITIONS are position-independent (doc_tokens collects
+    # them before splicing): replicate them into every page-group so /Name Do
+    # expands identically on both paths
+    form_spans = [sp for sp in spans if sp["kind"] == "form"]
+
     # flatten to (kind, frag) pieces split at page boundaries
     pieces: list[tuple[str, dict | str]] = []
     n_pages = 0
     for sp in spans:
+        if sp["kind"] == "form":
+            continue
         if sp["kind"] == "image":
             pieces.append(("image", sp))
             continue
@@ -115,26 +123,43 @@ def split_doc(doc_id: str, spans: list[dict], pages_per_group: int,
         groups.append(cur)
 
     # per-group font first-use order (regex prescan mirrors
-    # DocInterp._prescan_fonts granularity: names referenced by Tf)
+    # DocInterp._prescan_fonts granularity: names referenced by Tf on the
+    # EXPANDED stream — a /Name Do of a form contributes that form's fonts
+    # at the Do position, recursively, cycle-guarded)
+    form_texts = {
+        (sp.get("media_ref") or "")[5:]: sp.get("text") or ""
+        for sp in form_spans
+    }
+
+    def _scan_fonts(text: str, seen: list[str], active: frozenset) -> None:
+        # mask literals so "/Name 10 Tf" inside document text is not
+        # treated as a font reference (same reason as _page_bounds)
+        masked = _STR_RE.sub(lambda m: " " * (m.end() - m.start()), text)
+        hits = ([(m.start(), "tf", m.group(1))
+                 for m in _TF_RE.finditer(masked)]
+                + [(m.start(), "do", m.group(1))
+                   for m in _DO_RE.finditer(masked)])
+        for _, kind_, name in sorted(hits):
+            if kind_ == "tf":
+                if name not in seen:
+                    seen.append(name)
+            elif name in form_texts and name not in active:
+                _scan_fonts(form_texts[name], seen, active | {name})
+
     group_fonts: list[list[str]] = []
     for grp in groups:
         seen: list[str] = []
         for kind, piece in grp:
             if kind == "image":
                 continue
-            # mask literals so a "/Name 10 Tf" inside document text is
-            # not treated as a font reference (same reason as _page_bounds)
-            masked = _STR_RE.sub(lambda m: " " * (m.end() - m.start()), piece)
-            for m in _TF_RE.finditer(masked):
-                if m.group(1) not in seen:
-                    seen.append(m.group(1))
+            _scan_fonts(piece, seen, frozenset())
         group_fonts.append(seen)
 
     out: list[dict] = []
     page_offset = 0
     seed: list[str] = []
     for gi, grp in enumerate(groups):
-        g_spans: list[dict] = []
+        g_spans: list[dict] = [dict(sp) for sp in form_spans]
         off = 0
         n_pg = 0
         for kind, piece in grp:

@@ -216,3 +216,27 @@ def test_interleaved_golden_sequence():
         (4, "text", "omega", None),   # flushed at doc end
         (5, "font", "Helvetica", "font:Helvetica"),
     ]
+
+
+# --- form XObjects (PDFBoxTree.java:394-404; PDFBox showForm semantics) -----------
+
+def test_form_xobject_expands_with_state_isolation():
+    rows = run("fx_form_xobject")
+    tx = [r for r in rows if r["kind"] == "text"]
+    assert [r["text"] for r in tx] == ["before", "inForm", "after"]
+    # the form's rg + Tf are isolated by the implicit q/Q: 'after' reverts
+    assert tx[1]["style_color"] == "#7f0000"
+    assert tx[0]["style_color"] == tx[2]["style_color"] == "#000000"
+    assert tx[1]["style_font_size"] == 9.0 and tx[2]["style_font_size"] == 12.0
+    # nested form font reaches the table (processFontResources recursion)
+    fonts = [r["media_ref"] for r in rows if r["kind"] == "font"]
+    assert set(fonts) == {"font:Helvetica", "font:Garamond-Italic"}
+
+
+def test_form_cycle_terminates_each_form_once_per_entry():
+    rows = run("fx_form_cycle")
+    assert texts(rows) == ["fromA", "fromB", "tail"]
+
+
+def test_unknown_do_ignored():
+    assert texts(run("fx_form_unknown_do")) == ["still"]
