@@ -58,17 +58,33 @@ _WIDTHS = _build_width_table()
 _MONO_WIDTH = 500.0
 
 
+_MONO_CACHE: dict[str, bool] = {}
+
+
 def is_mono(font_name: str) -> bool:
-    return "mono" in font_name.lower()
+    hit = _MONO_CACHE.get(font_name)
+    if hit is None:
+        hit = "mono" in font_name.lower()
+        if len(_MONO_CACHE) < 65536:
+            _MONO_CACHE[font_name] = hit
+    return hit
 
 
 def char_widths(codes: np.ndarray, font_name: str) -> np.ndarray:
     """Vectorized per-mille advance widths for an array of code points."""
     if is_mono(font_name):
         return np.full(codes.shape, _MONO_WIDTH, dtype=np.float64)
-    clipped = np.where(codes < _WIDTHS.shape[0], codes, 0)
-    out = _WIDTHS[clipped]
-    return np.where(codes < _WIDTHS.shape[0], out, 500.0)
+    # out-of-table code points map to index 0, whose width IS the 500.0
+    # default — no second fixup pass needed
+    return _WIDTHS[np.where(codes < _WIDTHS.shape[0], codes, 0)]
+
+
+def advance_widths(codes: np.ndarray, font_name: str,
+                   scale: float) -> np.ndarray:
+    """char_widths * scale, fused (one output allocation in the hot path)."""
+    if is_mono(font_name):
+        return np.full(codes.shape, _MONO_WIDTH * scale, dtype=np.float64)
+    return _WIDTHS[np.where(codes < _WIDTHS.shape[0], codes, 0)] * scale
 
 
 # ---------------------------------------------------------------------------

@@ -168,11 +168,12 @@ class _GState:
     th: float = 1.0   # horizontal scale (Tz/100)
     ts: float = 0.0   # rise
     tr: int = 0       # rendering mode
+    ctm_ident: bool = True  # fast path: skip Tm x CTM when CTM is identity
 
     def copy(self) -> "_GState":
         g = _GState(self.ctm.copy(), self.fill_rgb, self.stroke_rgb,
                     self.line_width, self.font, self.fsize, self.tc, self.tw,
-                    self.tl, self.th, self.ts, self.tr)
+                    self.tl, self.th, self.ts, self.tr, self.ctm_ident)
         return g
 
 
@@ -295,69 +296,68 @@ class DocInterp:
             return hit
 
         def show(key: int, s: str) -> None:
+            """Record one show-string. Per-glyph vector work (positions,
+            widths, keys, whitespace flags) is DEFERRED to _concat_glyphs:
+            glyph device coordinates are linear in the within-show advance
+            prefix sum (dev = cum*A + B with A/B folded from Tm x CTM and
+            the page transformation), so only the advances — needed anyway
+            for the text-matrix update — are computed here."""
             nonlocal tm
             if not s:
                 return
-            n = len(s)
             codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
-            w0 = F.char_widths(codes, g.font)
-            adv = (w0 / 1000.0 * g.fsize + g.tc
-                   + np.where(codes == 32, g.tw, 0.0)) * g.th
-            cum = np.empty(n)
-            cum[0] = 0.0
-            np.cumsum(adv[:-1], out=cum[1:])
-            tmctm = compose(tm, g.ctm)
+            adv = F.advance_widths(codes, g.font, g.fsize * g.th / 1000.0)
+            if g.tc != 0.0:
+                adv += g.tc * g.th
+            if g.tw != 0.0:
+                adv[codes == 32] += g.tw * g.th
+            # Tm x CTM — identity-CTM fast path skips the matrix multiply
+            tmctm = tm if g.ctm_ident else compose(tm, g.ctm)
+            m00, m01 = tmctm[0, 0], tmctm[0, 1]
+            m10, m11 = tmctm[1, 0], tmctm[1, 1]
             # device-space origin of glyph i = (cum_i, rise) @ (Tm x CTM) —
-            # PDFBox's translatedTextRenderingMatrix translate components
-            ux = cum * tmctm[0, 0] + g.ts * tmctm[1, 0] + tmctm[2, 0]
-            uy = cum * tmctm[0, 1] + g.ts * tmctm[1, 1] + tmctm[2, 1]
-            # TextPosition.getX()/getY() (PDFBox 2.0 getXRot/getYLowerLeftRot)
-            # equal the Pdf2Dom page transformation applied to that origin
-            # for every rotation: rot0 (x, h-y); rot90 (y, x); rot180
-            # (w-x, y); rot270 (h-y, w-x) — the same transform rects/images
-            # already go through (PDFBoxTree.java:822-855).
-            dev_x = ux * page_m[0, 0] + uy * page_m[1, 0] + page_m[2, 0]
-            dev_y = ux * page_m[0, 1] + uy * page_m[1, 1] + page_m[2, 1]
+            # PDFBox's translatedTextRenderingMatrix translate components —
+            # then TextPosition.getX()/getY() (PDFBox 2.0 getXRot/
+            # getYLowerLeftRot) equal the Pdf2Dom page transformation applied
+            # to that origin for every rotation: rot0 (x, h-y); rot90 (y, x);
+            # rot180 (w-x, y); rot270 (h-y, w-x) — the same transform rects/
+            # images already go through (PDFBoxTree.java:822-855). Folded:
+            # dev_x = cum*ax + bx, dev_y = cum*ay + by.
+            ox = g.ts * m10 + tmctm[2, 0]
+            oy = g.ts * m11 + tmctm[2, 1]
+            p00, p01 = page_m[0, 0], page_m[0, 1]
+            p10, p11 = page_m[1, 0], page_m[1, 1]
+            ax = m00 * p00 + m01 * p10
+            ay = m00 * p01 + m01 * p11
+            bx = ox * p00 + oy * p10 + page_m[2, 0]
+            by = ox * p01 + oy * p11 + page_m[2, 1]
             sx, sy = scale_x(tmctm), scale_y(tmctm)
-            # TextPosition width = dxDisplay, the DEVICE-x displacement of
-            # the advance (LegacyPDFStreamEngine: nextX - getTranslateX()),
-            # deliberately not rotation-adjusted
-            widths = adv * tmctm[0, 0]
-            xscale = g.fsize * g.th * sx
             yscale = g.fsize * sy
             fill_on = g.tr in FILL_MODES
             stroke_on = g.tr in STROKE_MODES
             fam, weight, fstyle = _font_style(g.font)
-            ascii_only = bool(codes.max() < 128)
-            if ascii_only:
-                is_ws = codes <= 32
-            else:
-                is_ws = np.fromiter((not c.strip() for c in s),
-                                    dtype=bool, count=n)
-            # per-chunk scalars expanded once in _concat_glyphs
-            glyph_chunks.append({
-                "n": n,
-                "key": key + np.arange(n, dtype=np.int64),
-                "x": dev_x, "y": dev_y, "width": widths,
-                "is_ws": is_ws,
-                "chars": s,
-                "ascii": ascii_only,
-                "page_no": page_no,
-                "height": F.CAP_HEIGHT / 1000.0 * yscale,
-                "xscale": xscale, "yscale": yscale,
-                "ascent": F.ASCENT / 1000.0 * yscale,
-                "descent": F.DESCENT / 1000.0 * yscale,
-                "font_family": fam, "font_weight": weight, "font_style": fstyle,
+            # TextPosition width = dxDisplay, the DEVICE-x displacement of
+            # the advance (LegacyPDFStreamEngine: nextX - getTranslateX()),
+            # deliberately not rotation-adjusted: widths = adv * m00 (folded
+            # in _concat_glyphs).
+            glyph_chunks.append((
+                key, s, codes, adv, ax, bx, ay, by, m00, page_no,
+                F.CAP_HEIGHT / 1000.0 * yscale,          # height
+                g.fsize * g.th * sx,                     # xscale
+                yscale,
+                F.ASCENT / 1000.0 * yscale,              # ascent
+                F.DESCENT / 1000.0 * yscale,             # descent
+                fam, weight, fstyle,
                 # updateStyleForRenderingMode (PDFBoxTree.java:766-779)
-                "color": color_hex(g.fill_rgb) if fill_on else TRANSPARENT,
-                "stroke_color": color_hex(g.stroke_rgb) if stroke_on else TRANSPARENT,
-                "word_spacing": sticky_tw, "letter_spacing": sticky_tc,
-            })
-            total = float(adv[-1] + cum[-1])
-            t = tm.copy()
-            t[2, 0] += total * tm[0, 0]
-            t[2, 1] += total * tm[0, 1]
-            tm = t
+                color_hex(g.fill_rgb) if fill_on else TRANSPARENT,
+                color_hex(g.stroke_rgb) if stroke_on else TRANSPARENT,
+                sticky_tw, sticky_tc,
+            ))
+            total = float(adv.sum())
+            # in-place text-matrix translate (tm is never aliased: BT/Tm/Td
+            # always rebind it to a fresh copy)
+            tm[2, 0] += total * tm[0, 0]
+            tm[2, 1] += total * tm[0, 1]
 
         def do_image(key: int, media_ref: str, iw: float, ih: float,
                      name: str) -> None:
@@ -421,8 +421,27 @@ class DocInterp:
             if not page_active:
                 continue
 
-            # --- text state -------------------------------------------------
-            if op == "BT":
+            # --- text state (hot ops first: Tj/Tm/TJ/Td dominate) -----------
+            if op == "Tj":
+                if args:
+                    show(base, str(args[-1]))
+            elif op == "Tm" and len(args) >= 6:
+                tlm = mat(*[float(a) for a in args[:6]])
+                tm = tlm.copy()
+            elif op == "TJ" and args:
+                arr = args[-1] if isinstance(args[-1], list) else [args[-1]]
+                sub = 0
+                for el in arr:
+                    if isinstance(el, str):
+                        show(base + sub, el)
+                        sub += len(el)
+                    else:
+                        shift = -float(el) / 1000.0 * g.fsize * g.th
+                        tm = translate_pre(shift, 0.0, tm)
+            elif op == "Td" and len(args) >= 2:
+                tlm = translate_pre(float(args[0]), float(args[1]), tlm)
+                tm = tlm.copy()
+            elif op == "BT":
                 tm = ident(); tlm = ident()
             elif op == "ET":
                 pass
@@ -440,21 +459,13 @@ class DocInterp:
                 g.ts = float(args[0])
             elif op == "Tr" and args:
                 g.tr = int(args[0])
-            elif op == "Td" and len(args) >= 2:
-                tlm = translate_pre(float(args[0]), float(args[1]), tlm)
-                tm = tlm.copy()
             elif op == "TD" and len(args) >= 2:
                 g.tl = -float(args[1])
                 tlm = translate_pre(float(args[0]), float(args[1]), tlm)
                 tm = tlm.copy()
-            elif op == "Tm" and len(args) >= 6:
-                tlm = mat(*[float(a) for a in args[:6]])
-                tm = tlm.copy()
             elif op == "T*":
                 tlm = translate_pre(0.0, -g.tl, tlm)
                 tm = tlm.copy()
-            elif op == "Tj" and args:
-                show(base, str(args[-1]))
             elif op == "'" and args:
                 tlm = translate_pre(0.0, -g.tl, tlm)
                 tm = tlm.copy()
@@ -465,16 +476,6 @@ class DocInterp:
                 tlm = translate_pre(0.0, -g.tl, tlm)
                 tm = tlm.copy()
                 show(base, str(args[2]))
-            elif op == "TJ" and args:
-                arr = args[-1] if isinstance(args[-1], list) else [args[-1]]
-                sub = 0
-                for el in arr:
-                    if isinstance(el, str):
-                        show(base + sub, el)
-                        sub += len(el)
-                    else:
-                        shift = -float(el) / 1000.0 * g.fsize * g.th
-                        tm = translate_pre(shift, 0.0, tm)
 
             # --- graphics state ----------------------------------------------
             elif op == "q":
@@ -484,6 +485,7 @@ class DocInterp:
                     g = stack.pop()
             elif op == "cm" and len(args) >= 6:
                 g.ctm = compose(mat(*[float(a) for a in args[:6]]), g.ctm)
+                g.ctm_ident = False
             elif op == "w" and args:
                 g.line_width = float(args[0])
             elif op == "rg" and len(args) >= 3:
@@ -603,45 +605,76 @@ def _to_rectangle(path: list[tuple]) -> list[float] | None:
     return None
 
 
-_SCALAR_F64 = ["height", "xscale", "yscale", "ascent", "descent",
-               "word_spacing", "letter_spacing"]
-_SCALAR_OBJ = ["font_family", "font_weight", "font_style", "color",
-               "stroke_color"]
+# show-record tuple slots (see DocInterp.run.show)
+_K_KEY, _K_S, _K_CODES, _K_ADV = 0, 1, 2, 3
+_K_AX, _K_BX, _K_AY, _K_BY, _K_M00, _K_PAGE = 4, 5, 6, 7, 8, 9
+_SCALAR_F64 = {  # column -> tuple slot
+    "height": 10, "xscale": 11, "yscale": 12, "ascent": 13, "descent": 14,
+    "word_spacing": 20, "letter_spacing": 21,
+}
+_SCALAR_OBJ = {
+    "font_family": 15, "font_weight": 16, "font_style": 17,
+    "color": 18, "stroke_color": 19,
+}
 
 
-def _concat_glyphs(chunks: list[dict]) -> dict:
-    """Expand per-show scalars via np.repeat and concatenate vector columns
-    — one allocation per column per document."""
+def _concat_glyphs(chunks: list[tuple]) -> dict:
+    """Batched finalize of the show records: one segmented prefix sum over
+    ALL advances, then positions dev = cum*A + B, widths adv*m00, keys
+    base + within-show index — a handful of whole-document vector ops
+    instead of per-show small-array work."""
     if not chunks:
         return {c: np.array([]) for c in GLYPH_COLS}
-    lens = np.array([ch["n"] for ch in chunks])
+    nch = len(chunks)
+    lens = np.fromiter((len(ch[_K_ADV]) for ch in chunks), dtype=np.int64,
+                       count=nch)
+    n = int(lens.sum())
+    adv = np.concatenate([ch[_K_ADV] for ch in chunks])
+    codes = np.concatenate([ch[_K_CODES] for ch in chunks])
+    starts = np.zeros(nch, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    cs = np.empty(n)
+    cs[0] = 0.0
+    np.cumsum(adv[:-1], out=cs[1:])
+    cum = cs - np.repeat(cs[starts], lens)
+
+    def rep(slot: int, dtype=np.float64) -> np.ndarray:
+        return np.repeat(
+            np.fromiter((ch[slot] for ch in chunks), dtype=dtype, count=nch),
+            lens)
+
     out: dict = {}
-    for c in ("key", "x", "y", "width", "is_ws"):
-        out[c] = np.concatenate([ch[c] for ch in chunks])
-    out["page_no"] = np.repeat(
-        np.array([ch["page_no"] for ch in chunks], dtype=np.int32), lens)
-    for c in _SCALAR_F64:
-        out[c] = np.repeat(np.array([ch[c] for ch in chunks]), lens)
-    for c in _SCALAR_OBJ:
-        out[c] = np.repeat(np.array([ch[c] for ch in chunks], dtype=object),
-                           lens)
-    all_text = "".join(ch["chars"] for ch in chunks)
-    n = len(all_text)
+    out["x"] = cum * rep(_K_AX) + rep(_K_BX)
+    out["y"] = cum * rep(_K_AY) + rep(_K_BY)
+    out["width"] = adv * rep(_K_M00)
+    within = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+    out["key"] = rep(_K_KEY, np.int64) + within
+    out["page_no"] = rep(_K_PAGE, np.int32)
+    for c, slot in _SCALAR_F64.items():
+        out[c] = rep(slot)
+    for c, slot in _SCALAR_OBJ.items():
+        out[c] = np.repeat(
+            np.array([ch[slot] for ch in chunks], dtype=object), lens)
+    all_text = "".join(ch[_K_S] for ch in chunks)
     out["unicode"] = np.array(list(all_text), dtype=object)
+    is_ws = codes <= 32
     is_dia = np.zeros(n, dtype=bool)
     rtl = np.zeros(n, dtype=bool)
-    if not all(ch["ascii"] for ch in chunks):
+    if codes.max(initial=0) >= 128:
         # per-char unicodedata only for the non-ASCII chunks
         pos = 0
-        for ch in chunks:
-            m = ch["n"]
-            if not ch["ascii"]:
-                s_ = ch["chars"]
+        for ch, m in zip(chunks, lens):
+            m = int(m)
+            if ch[_K_CODES].max(initial=0) >= 128:
+                s_ = ch[_K_S]
+                is_ws[pos:pos + m] = np.fromiter(
+                    (not c.strip() for c in s_), dtype=bool, count=m)
                 is_dia[pos:pos + m] = np.fromiter(
                     (is_diacritic_char(c) for c in s_), dtype=bool, count=m)
                 rtl[pos:pos + m] = np.fromiter(
                     (is_rtl_char(c) for c in s_), dtype=bool, count=m)
             pos += m
+    out["is_ws"] = is_ws
     out["is_dia"] = is_dia
     out["rtl"] = rtl
     return out

@@ -75,18 +75,18 @@ def merge_diacritics(gl: dict) -> dict:
     sel = is_dia | ~is_ws
     sub = {k: v[sel] for k, v in gl.items()}
     d = sub["is_dia"]
-    prev_dia = np.roll(d, 1).copy()
+    prev_dia = np.empty_like(d)
     prev_dia[0] = False
+    prev_dia[1:] = d[:-1]
     x, w = sub["x"], sub["width"]
-    dia_center = np.roll(x + w / 2, 1)
-    contains = (dia_center >= x) & (dia_center <= x + w)
+    centers = x + w / 2
+    contains = np.zeros(len(d), dtype=bool)
+    contains[1:] = (centers[:-1] >= x[1:]) & (centers[:-1] <= x[1:] + w[1:])
     merge = prev_dia & ~d & contains
     if merge.any():
         uni = sub["unicode"]
-        prev_uni = np.roll(uni, 1)
-        idx = np.nonzero(merge)[0]
-        for i in idx:
-            uni[i] = uni[i] + prev_uni[i]
+        for i in np.nonzero(merge)[0]:
+            uni[i] = uni[i] + uni[i - 1]
     keep = ~d
     return {k: v[keep] for k, v in sub.items()}
 
@@ -148,24 +148,34 @@ def boxes_from_glyphs(glyphs: dict, page_flush: dict[int, int]) -> dict:
     uni = gl["unicode"]
     texts = np.empty(nb, dtype=object)
     bounds = np.append(starts, n)
-    for i in range(nb):
-        t = "".join(uni[bounds[i]:bounds[i + 1]])
-        if t and unicodedata.bidirectional(t[0]) in _RTL:
-            t = t[::-1]
-        texts[i] = t
+    bidirectional = unicodedata.bidirectional
+    if not glyphs["is_dia"].any():
+        # fast path: every glyph is one char, so one global join + O(1)
+        # string slices per box (beats per-box object-array joins)
+        all_text = "".join(uni.tolist())
+        for i in range(nb):
+            t = all_text[bounds[i]:bounds[i + 1]]
+            if t and bidirectional(t[0]) in _RTL:
+                t = t[::-1]
+            texts[i] = t
+    else:
+        # merged diacritics produce multi-char glyphs: join per box
+        for i in range(nb):
+            t = "".join(uni[bounds[i]:bounds[i + 1]])
+            if t and bidirectional(t[0]) in _RTL:
+                t = t[::-1]
+            texts[i] = t
 
     # emission key: next box's start glyph if on the same page, else this
     # page's end-of-stream flush (PDFBoxTree.java:639-644,208)
     start_keys = gl["key"][starts]
     pages = page[starts].astype(np.int64)
-    next_key = np.roll(start_keys, -1)
-    next_page = np.roll(pages, -1)
     flush_keys = np.array([page_flush.get(int(p), 2**62) for p in pages],
                           dtype=np.int64)
-    same_page = np.zeros(nb, dtype=bool)
+    emit = flush_keys
     if nb > 1:
-        same_page[:-1] = next_page[:-1] == pages[:-1]
-    emit = np.where(same_page, next_key, flush_keys)
+        same_page = pages[1:] == pages[:-1]
+        emit[:-1] = np.where(same_page, start_keys[1:], flush_keys[:-1])
 
     out = {
         "key": emit.astype(np.int64),

@@ -216,22 +216,23 @@ def tokenize(fragment: str) -> list[tuple[str, list]]:
     ops: list[tuple[str, list]] = []
     args: list = []
     arr: list | None = None
+    # group indices: 1 num, 2 name, 3 str, 4 lbrk, 5 rbrk, 6 op (integer
+    # lastindex dispatch beats the lastgroup name lookup in the hot loop)
     for m in _TOKEN_RE.finditer(fragment):
-        kind = m.lastgroup
-        if kind == "num":
-            v = float(m.group("num"))
-            (arr if arr is not None else args).append(v)
-        elif kind == "name":
-            args.append(m.group("name")[1:])
-        elif kind == "str":
-            s = _unescape(m.group("str")[1:-1])
+        kind = m.lastindex
+        if kind == 1:
+            (arr if arr is not None else args).append(float(m.group(0)))
+        elif kind == 6:  # operator
+            ops.append((m.group(0), args))
+            args = []
+        elif kind == 3:
+            s = _unescape(m.group(0)[1:-1])
             (arr if arr is not None else args).append(s)
-        elif kind == "lbrk":
+        elif kind == 2:
+            args.append(m.group(0)[1:])
+        elif kind == 4:
             arr = []
-        elif kind == "rbrk":
+        else:  # 5: rbrk
             args.append(arr if arr is not None else [])
             arr = None
-        else:  # operator
-            ops.append((m.group(kind), args))
-            args = []
     return ops
