@@ -70,6 +70,13 @@ def form_span(name: str, frag: str, offset: int) -> dict:
             "offset": offset}
 
 
+def meta_span(title: str, offset: int) -> dict:
+    """Document-info title (PDDocumentInformation.getTitle analog;
+    PDFDomTree.java:165-174)."""
+    return {"kind": "meta", "text": title, "media_ref": "title",
+            "offset": offset}
+
+
 # ---------------------------------------------------------------------------
 # 2. oracle corpus
 # ---------------------------------------------------------------------------
@@ -217,6 +224,9 @@ def rich_stream(doc_id: str, text: str) -> list[dict]:
 
     spans: list[dict] = []
     off = 0
+    # every 7th doc carries a document-info title (PDFDomTree.java:165-174)
+    if h % 7 == 3:
+        spans.append(meta_span(f"Document {doc_id}", off)); off += 1
     # every 5th doc carries a header Form XObject invoked on each page
     use_form = h % 5 == 0
     if use_form:

@@ -38,6 +38,10 @@ class ExtractConfig:
     disable_image_data: bool = False
     image_handler: str = "embed"   # embed | dir | ignore
     font_handler: str = "embed"    # embed | dir | ignore
+    # G11 filled-path raster: True embeds a real PNG data URI (PathDrawer
+    # transposition, pure numpy+zlib); False keeps the deterministic
+    # content-hash ref the cross-engine oracles rely on
+    raster_paths: bool = False
 
 
 DEFAULT_CONFIG = ExtractConfig()
@@ -67,6 +71,7 @@ def extract_doc_columnar(doc_id: str, spans: list[dict],
         disable_images=cfg.disable_images,
         collect_fonts=cfg.font_handler != "ignore",  # PDFDomTree.java:456-462
         page_offset=page_offset, font_seed=font_seed,
+        raster_paths=cfg.raster_paths,
     )
     glyphs, events, font_table, end_key, page_flush = interp.run(tokens)
 
@@ -103,6 +108,21 @@ def extract_doc_columnar(doc_id: str, spans: list[dict],
                        text=entry["used_name"],
                        media_ref="font:" + entry["name"])
             records.append(rec)
+
+    # document-info title (endDocument, PDFDomTree.java:165-174): a 'meta'
+    # span models PDDocumentInformation; surfaced as a trailing record only
+    # when non-blank (the reference keeps the default title otherwise)
+    if emit_fonts:
+        for sp in spans:
+            if sp.get("kind") == "meta" and sp.get("media_ref") == "title":
+                t = (sp.get("text") or "").strip()
+                if t:
+                    rec = {c: None for c in _REC_COLS}
+                    rec.update(key=end_key + 1 + len(font_table.entries) + 1,
+                               kind="meta", text=sp.get("text"),
+                               media_ref="title")
+                    records.append(rec)
+                break
 
     boxes = textpipe.boxes_from_glyphs(glyphs, page_flush)
     nb = len(boxes["key"])

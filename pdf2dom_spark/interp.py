@@ -202,13 +202,15 @@ class DocInterp:
     def __init__(self, start_page: int = 0, end_page: int = 2**31 - 1,
                  disable_graphics: bool = False, disable_images: bool = False,
                  collect_fonts: bool = True, page_offset: int = 0,
-                 font_seed: list[str] | None = None):
+                 font_seed: list[str] | None = None,
+                 raster_paths: bool = False):
         self.start_page = start_page
         self.end_page = end_page
         self.disable_graphics = disable_graphics
         self.disable_images = disable_images
         self.collect_fonts = collect_fonts
         self.page_offset = page_offset
+        self.raster_paths = raster_paths
         self.font_table = F.FontTable()
         # page-split seeding: fonts from earlier page-groups, in first-use
         # order, so used-name de-dup stays globally consistent (pagesplit.py)
@@ -275,11 +277,16 @@ class DocInterp:
                 w, h = max(xs) - x0, max(ys) - y0
                 if w <= 0 or h <= 0:
                     w = h = 1
-                ref = "path:" + hashlib.sha256(
-                    (";".join(f"{int(s[0])},{int(s[1])},{int(s[2])},{int(s[3])}"
-                              for s in path)
-                     + "|" + color_hex(g.fill_rgb)).encode()
-                ).hexdigest()[:16]
+                if self.raster_paths:
+                    from .raster import draw_path_png
+                    ref = draw_path_png(path, g.fill_rgb, x0, y0, w, h)
+                else:
+                    ref = "path:" + hashlib.sha256(
+                        (";".join(
+                            f"{int(s[0])},{int(s[1])},{int(s[2])},{int(s[3])}"
+                            for s in path)
+                         + "|" + color_hex(g.fill_rgb)).encode()
+                    ).hexdigest()[:16]
                 events.append(("pathimg", key, page_no, float(x0), float(y0),
                                float(w), float(h), ref))
 
@@ -729,8 +736,8 @@ def doc_tokens(spans: list[dict]) -> list[tuple[str, list]]:
 
     for sp in ordered:
         kind = sp["kind"]
-        if kind == "form":
-            continue  # definitions are not content at their own offset
+        if kind in ("form", "meta"):
+            continue  # definitions/document-info are not content
         if kind == "image":
             meta = (sp.get("text") or "").split()
             w = float(meta[0]) if len(meta) > 0 else 1.0

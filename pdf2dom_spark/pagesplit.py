@@ -84,12 +84,14 @@ def split_doc(doc_id: str, spans: list[dict], pages_per_group: int,
     # them before splicing): replicate them into every page-group so /Name Do
     # expands identically on both paths
     form_spans = [sp for sp in spans if sp["kind"] == "form"]
+    # document-info spans emit only at endDocument -> last group only
+    meta_spans = [sp for sp in spans if sp["kind"] == "meta"]
 
     # flatten to (kind, frag) pieces split at page boundaries
     pieces: list[tuple[str, dict | str]] = []
     n_pages = 0
     for sp in spans:
-        if sp["kind"] == "form":
+        if sp["kind"] in ("form", "meta"):
             continue
         if sp["kind"] == "image":
             pieces.append(("image", sp))
@@ -160,6 +162,8 @@ def split_doc(doc_id: str, spans: list[dict], pages_per_group: int,
     seed: list[str] = []
     for gi, grp in enumerate(groups):
         g_spans: list[dict] = [dict(sp) for sp in form_spans]
+        if gi == len(groups) - 1:
+            g_spans.extend(dict(sp) for sp in meta_spans)
         off = 0
         n_pg = 0
         for kind, piece in grp:

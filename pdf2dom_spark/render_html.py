@@ -80,6 +80,14 @@ def text_css(r: dict) -> str:
 
 def render_doc_html(rows: list[dict], title: str = "PDF Document") -> str:
     """Ordered span records (one document) -> XHTML string."""
+    # document-info title overrides the default when non-blank
+    # (endDocument, PDFDomTree.java:165-174)
+    for r in rows:
+        if r["kind"] == "meta" and r.get("media_ref") == "title":
+            t = (r.get("text") or "").strip()
+            if t:
+                title = r["text"]
+            break
     pages: list[str] = []
     cur: list[str] | None = None
     font_faces: list[str] = []

@@ -213,30 +213,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = e.groupBy("doc_id").agg(
         *[F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("g")))).alias(f"m{k}")
           for k in _MH_KS])
+    # carry the full signature through the band rows (4x row duplication of
+    # a 256-byte signature) so the candidate join verifies n_match in the
+    # SAME pass — the alternative (distinct pairs, then re-join signatures)
+    # recomputes the shingle-explode-aggregate pipeline two extra times,
+    # which dominated the sf0.1 bench 4:1
     bands = sig.select(
-        "doc_id",
+        "doc_id", *[f"m{k}" for k in _MH_KS],
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band_id"),
                      F.concat(F.col(f"m{2 * b}"),
                               F.col(f"m{2 * b + 1}")).alias("bh"))
             for b in range(_MH_BANDS)])).alias("bd")
-    ).select("doc_id", F.col("bd.band_id").alias("band_id"),
-             F.col("bd.bh").alias("bh"))
+    ).select("doc_id", *[f"m{k}" for k in _MH_KS],
+             F.col("bd.band_id").alias("band_id"), F.col("bd.bh").alias("bh"))
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+    n_match = sum(
+        (F.col(f"a.m{k}") == F.col(f"b.m{k}")).cast("int") for k in _MH_KS)
+    return (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
                    & (F.col("a.bh") == F.col("b.bh"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
-    sa = sig.alias("sa")
-    sb = sig.alias("sb")
-    n_match = sum(
-        (F.col(f"sa.m{k}") == F.col(f"sb.m{k}")).cast("int") for k in _MH_KS)
-    return (cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-            .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
             .where(n_match >= 4)
-            .select("doc_a", "doc_b", n_match.cast("int").alias("n_match")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    n_match.cast("int").alias("n_match"))
+            .distinct())
 
 
 # ---------------------------------------------------------------------------

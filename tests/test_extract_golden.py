@@ -240,3 +240,39 @@ def test_form_cycle_terminates_each_form_once_per_entry():
 
 def test_unknown_do_ignored():
     assert texts(run("fx_form_unknown_do")) == ["still"]
+
+
+# --- G11 raster path (TestPaths.java:46-60 transposed; PathDrawer.java) ----------
+
+def test_raster_path_png_pixels():
+    """With raster_paths=True the filled non-rect path embeds a real PNG
+    data URI whose pixels contain the fill color in top and bottom areas."""
+    import base64
+    import numpy as np
+    from pdf2dom_spark.raster import decode_png_rgba
+
+    rows = run("fx_rect_vs_line_vs_path", ExtractConfig(raster_paths=True))
+    img = [r for r in rows if r["kind"] == "image"][0]
+    src = img["media_ref"]
+    assert src.startswith("data:image/png;base64,")
+    png = base64.b64decode(src.split(",", 1)[1])
+    px = decode_png_rgba(png)
+    # fixture triangle fill: 0.851 -> int(0.851*255) = 217 (the reference
+    # test's Color(217, 217, 217))
+    fill = (px[..., 0] == 217) & (px[..., 1] == 217) & (px[..., 2] == 217) \
+        & (px[..., 3] == 255)
+    h = px.shape[0]
+    assert fill[: h // 2].any(), "fill color missing in top area"
+    assert fill[h // 2:].any(), "fill color missing in bottom area"
+    # outside the triangle stays transparent
+    assert (px[..., 3] == 0).any()
+    # geometry identical to the stub path (same span box)
+    stub = [r for r in run("fx_rect_vs_line_vs_path") if r["kind"] == "image"][0]
+    for c in ("style_left", "style_top", "style_width", "style_height"):
+        assert img[c] == stub[c]
+
+
+def test_raster_default_off_keeps_stable_ref():
+    rows = run("fx_rect_vs_line_vs_path")
+    img = [r for r in rows if r["kind"] == "image"][0]
+    assert img["media_ref"].startswith("path:")

@@ -90,3 +90,25 @@ def test_spark_render_df(spark):
     assert len(rows) == 20
     assert all(r["html"].startswith("<!DOCTYPE") for r in rows)
     assert all('class="p"' in r["html"] for r in rows)
+
+
+# --- document-info title (PDFDomTree.java:165-174) ---------------------------
+
+def test_title_from_metadata():
+    from pdf2dom_spark.corpus import meta_span, text_span
+    from pdf2dom_spark.extract import extract_doc
+    from pdf2dom_spark.render_html import render_doc_html
+
+    spans = [
+        meta_span("My Report", 0),
+        text_span("612 792 0 PG BT /Mono 10 Tf 1 0 0 1 72 700 Tm (x) Tj ET", 1),
+    ]
+    rows = extract_doc("t", spans)
+    assert rows[-1]["kind"] == "meta" and rows[-1]["text"] == "My Report"
+    html = render_doc_html(rows)
+    assert "<title>My Report</title>" in html
+    # blank title keeps the default (trim().length() > 0 gate)
+    spans_blank = [meta_span("   ", 0), spans[1]]
+    rows2 = extract_doc("t2", spans_blank)
+    assert all(r["kind"] != "meta" for r in rows2)
+    assert "<title>PDF Document</title>" in render_doc_html(rows2)
