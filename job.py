@@ -75,21 +75,27 @@ def main(argv=None):
         from pdf2dom_spark.corpus import build_docs_df
         docs = build_docs_df(spark, args.synth, mode="rich", num_partitions=p)
     else:
-        docs = spark.read.parquet(args.input)
+        # Iceberg table identifier or parquet dir (pdf2dom_spark.tables)
+        from pdf2dom_spark import tables
+        docs = tables.read_table(spark, args.input)
 
     if not args.resume:
         # fresh-run semantics: run_checkpointed always skips partitions with
         # existing lineage, so silently reusing a previous output dir would
         # skip work instead of recomputing — refuse loudly.
+        from pdf2dom_spark import tables
+        lineage_target = (f"{args.output}_lineage"
+                          if tables.is_table_identifier(args.output)
+                          else f"{args.output}/lineage")
         try:
-            spark.read.parquet(f"{args.output}/lineage").limit(1).collect()
+            tables.read_table(spark, lineage_target).limit(1).collect()
             has_lineage = True
         except Exception:
             has_lineage = False
         if has_lineage:
             raise SystemExit(
-                f"error: {args.output}/lineage already exists; pass --resume "
-                "to continue that run, or point --output at a fresh dir")
+                f"error: {lineage_target} already exists; pass --resume "
+                "to continue that run, or point --output at a fresh target")
     stats = run_checkpointed(spark, docs, args.output, cfg=cfg,
                              num_partitions=p, run_id=args.run_id)
     print(stats)

@@ -107,13 +107,21 @@ def run_checkpointed(
     ``fail_parts`` injects a failure for those part_ids (the partition's
     lineage row is withheld and its output discarded) to test resume.
     """
+    from . import tables
+
     run_id = run_id or uuid.uuid4().hex[:12]
-    spans_dir = f"{out_dir}/spans"
-    lineage_dir = f"{out_dir}/lineage"
+    if tables.is_table_identifier(out_dir):
+        # Iceberg catalog namespace: <out>_spans / <out>_lineage tables
+        spans_dir = f"{out_dir}_spans"
+        lineage_dir = f"{out_dir}_lineage"
+    else:
+        spans_dir = f"{out_dir}/spans"
+        lineage_dir = f"{out_dir}/lineage"
 
     salted = with_part_id(docs, num_partitions)
     try:
-        done = spark.read.parquet(lineage_dir).select("part_id").distinct()
+        done = tables.read_table(spark, lineage_dir).select(
+            "part_id").distinct()
         pending = salted.join(F.broadcast(done), "part_id", "left_anti")
     except Exception:  # no lineage yet -> everything pending
         pending = salted
@@ -126,12 +134,12 @@ def run_checkpointed(
         # no lineage row this run
         spans = spans.filter(~F.col("part_id").isin(*fail_parts))
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    spans.write.mode("overwrite").partitionBy("part_id").parquet(spans_dir)
+    tables.write_partitioned(spans, spans_dir, "part_id", spark)
 
-    written = spark.read.parquet(spans_dir)
+    written = tables.read_table(spark, spans_dir)
     try:
-        prev_done = spark.read.parquet(lineage_dir).select("part_id").distinct()
+        prev_done = tables.read_table(spark, lineage_dir).select(
+            "part_id").distinct()
         new_parts = written.select("part_id").distinct().join(
             F.broadcast(prev_done), "part_id", "left_anti")
     except Exception:
@@ -142,9 +150,9 @@ def run_checkpointed(
         .withColumn("run_id", F.lit(run_id))
         .withColumn("completed_at", F.current_timestamp())
     )
-    new_lineage.write.mode("append").parquet(lineage_dir)
+    tables.append_table(new_lineage, lineage_dir, spark)
 
-    done_now = spark.read.parquet(lineage_dir)
+    done_now = tables.read_table(spark, lineage_dir)
     return {
         "run_id": run_id,
         "parts_done": done_now.select("part_id").distinct().count(),

@@ -195,6 +195,82 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(cos, 3).alias("cos")))
 
 
+# --- IVF (inverted-file) ANN: coarse-quantize to centroid lists, probe the
+# query's nprobe nearest lists, exact re-rank inside them. Centroids are the
+# table's own rows vec_id 1..8 (deterministic, oracle-reproducible); at
+# production scale they come from a k-means job and the assignment column is
+# precomputed + partitioned-by, so a query touches nprobe/k of the corpus.
+
+_IVF_K = 8
+_IVF_NPROBE = 2
+
+_SQL_D2 = ("list_sum(list_transform(generate_series(1, len({a})), "
+           "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+           "* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))")
+
+@_reg("knn_ivf", f"""
+WITH c AS (
+  SELECT list(struct_pack(cid := CAST(vec_id AS BIGINT), pv := embedding)
+              ORDER BY vec_id) AS cents
+  FROM embeddings WHERE vec_id BETWEEN 1 AND {_IVF_K}
+),
+a AS (
+  SELECT CAST(e.vec_id AS BIGINT) AS vec_id, e.embedding,
+         list_sort(list_transform(c.cents,
+             x -> struct_pack(d := {_SQL_D2.format(a='e.embedding', b='x.pv')},
+                              cid := x.cid)))[1].cid AS assigned
+  FROM embeddings e, c
+),
+q AS (
+  SELECT e.embedding AS qv,
+         list_transform(list_sort(list_transform(c.cents,
+             x -> struct_pack(d := {_SQL_D2.format(a='e.embedding', b='x.pv')},
+                              cid := x.cid)))[:{_IVF_NPROBE}],
+             s -> s.cid) AS probes
+  FROM embeddings e, c WHERE e.vec_id = 0
+)
+SELECT a.vec_id,
+       ROUND({_SQL_DOT.format(a='a.embedding', b='q.qv')}
+             / ({_SQL_NORM.format(a='a.embedding')} * {_SQL_NORM.format(a='q.qv')}), 3) AS score
+FROM a, q
+WHERE list_contains(q.probes, a.assigned) AND a.vec_id <> 0
+ORDER BY score DESC, vec_id ASC LIMIT 5
+""")
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+    cents_row = (emb.where(F.col("vec_id").between(1, _IVF_K))
+                 .agg(F.sort_array(F.collect_list(F.struct(
+                     F.col("vec_id").alias("cid"),
+                     F.col("embedding").alias("pv")))).alias("cents")))
+
+    def d2(v, p):
+        return F.aggregate(
+            F.zip_with(v, p, lambda x, y: (x.cast("double") - y.cast("double"))
+                       * (x.cast("double") - y.cast("double"))),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    scored = F.array_sort(F.transform(
+        "cents", lambda x: F.struct(d2(F.col("embedding"), x.pv).alias("d"),
+                                    x.cid.alias("cid"))))
+    a = (emb.crossJoin(F.broadcast(cents_row))
+         .withColumn("assigned", F.element_at(scored, 1).cid)
+         .drop("cents"))
+    q = (a.where(F.col("vec_id") == 0)
+         .crossJoin(F.broadcast(cents_row))
+         .select(F.col("embedding").alias("qv"),
+                 F.transform(F.slice(scored, 1, _IVF_NPROBE),
+                             lambda s: s.cid).alias("probes")))
+    cand = (a.crossJoin(F.broadcast(q))
+            .where(F.array_contains("probes", F.col("assigned"))
+                   & (F.col("vec_id") != 0)))
+    score = F.round(
+        _dot(F.col("embedding"), F.col("qv"))
+        / (_norm(F.col("embedding")) * _norm(F.col("qv"))), 3)
+    return (cand.select("vec_id", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("vec_id")).limit(5))
+
+
 @_reg("knn_lsh", f"""
 WITH planes AS (
   SELECT vec_id AS plane_id, embedding AS pv FROM embeddings
