@@ -139,6 +139,192 @@ def frame_sample(meta: DataFrame, every: int = 10) -> DataFrame:
     )
 
 
+# --- REAL pixel path (no image libs needed: pdf2dom_spark.raster PNG codec) --
+# The stub above models metadata-only probing; these ops do genuine codec
+# work end-to-end: deterministic PNGs are ENCODED in one Arrow kernel,
+# DECODED back in another (real byte parsing: zlib inflate + scanline
+# unfilter), rotated with np.rot90 / resized with integer nearest-neighbor
+# indexing, and summarized with position-weighted checksums the DuckDB
+# oracle reproduces from the generation rule alone — if the encoder,
+# decoder, rotation, or resample were wrong, the checksums would not match.
+
+_PNG_MOD = 1 << 31
+
+
+def _png_dims(doc_id: int) -> tuple[int, int]:
+    return 8 + doc_id % 9, 8 + (doc_id * 3) % 9  # (w, h)
+
+
+def png_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG payloads: gray gradient pix(y,x) = (3y + 7x + doc_id) % 256."""
+    import numpy as np
+    from .raster import encode_png_rgba
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = _png_dims(doc_id)
+                y, x = np.mgrid[0:h, 0:w]
+                v = ((3 * y + 7 * x + doc_id) % 256).astype(np.uint8)
+                img = np.dstack([v, v, v, np.full_like(v, 255)])
+                rows.append((doc_id, encode_png_rgba(img)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return d.mapInPandas(gen, T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]))
+
+
+def _decode_kernel(transform):
+    """Arrow kernel: decode each PNG payload, apply ``transform(img,
+    doc_id) -> img`` (numpy), emit dims + position-weighted checksum."""
+    import numpy as np
+    from .raster import decode_png_rgba
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_png_rgba(bytes(payload))
+                img = transform(img, int(doc_id))
+                h, w = img.shape[:2]
+                v = img[..., 0].astype(np.int64)
+                weights = np.arange(h * w, dtype=np.int64).reshape(h, w)
+                rows.append((int(doc_id), w, h,
+                             int(v.sum()),
+                             int((v * weights).sum() % _PNG_MOD)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "pix_sum", "weighted"])
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("pix_sum", T.LongType(), False),
+        T.StructField("weighted", T.LongType(), False),
+    ])
+    return kernel, schema
+
+
+_SQL_PIX = "((3 * {y} + 7 * {x} + doc_id) % 256)"
+
+
+def _sql_sum2d(h_expr: str, w_expr: str, term: str) -> str:
+    """SUM over y in 0..h-1, x in 0..w-1 of term(y, x) — nested list_sum."""
+    inner = ("list_sum(list_transform(generate_series(0, {w} - 1), "
+             "x -> CAST({t} AS BIGINT)))").format(w=w_expr, t=term)
+    return ("list_sum(list_transform(generate_series(0, {h} - 1), "
+            "y -> {i}))").format(h=h_expr, i=inner)
+
+
+_PNG_DIMS_SQL = """
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         8 + CAST(doc_id AS BIGINT) % 9 AS w,
+         8 + (CAST(doc_id AS BIGINT) * 3) % 9 AS h
+  FROM documents
+"""
+
+@_reg("mm_png_decode", f"""
+WITH m AS ({_PNG_DIMS_SQL})
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST({_sql_sum2d('h', 'w', _SQL_PIX.format(y='y', x='x'))} AS BIGINT)
+           AS pix_sum,
+       CAST({_sql_sum2d('h', 'w', f"{_SQL_PIX.format(y='y', x='x')} * (y * w + x)")}
+            % {_PNG_MOD} AS BIGINT) AS weighted
+FROM m
+""")
+def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kernel, schema = _decode_kernel(lambda img, _d: img)
+    return png_media_table(spark, sf_dir).mapInPandas(kernel, schema)
+
+
+# np.rot90(img, k): k=1 -> R[y,x] = img[x, w-1-y] (dims w x h);
+# k=2 -> img[h-1-y, w-1-x]; k=3 -> img[h-1-x, y] (dims w x h)
+_ROT_CASE = f"""
+CASE CAST(doc_id AS BIGINT) % 4
+  WHEN 0 THEN {{s0}}
+  WHEN 1 THEN {{s1}}
+  WHEN 2 THEN {{s2}}
+  ELSE {{s3}}
+END"""
+
+@_reg("mm_png_rot90", f"""
+WITH m AS ({_PNG_DIMS_SQL})
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN w ELSE h END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN h ELSE w END AS INT) AS height,
+       CAST({_sql_sum2d('h', 'w', _SQL_PIX.format(y='y', x='x'))} AS BIGINT)
+           AS pix_sum,
+       CAST(({_ROT_CASE.format(
+           s0=_sql_sum2d('h', 'w',
+                         f"{_SQL_PIX.format(y='y', x='x')} * (y * w + x)"),
+           s1=_sql_sum2d('w', 'h',
+                         f"{_SQL_PIX.format(y='x', x='(w - 1 - y)')} * (y * h + x)"),
+           s2=_sql_sum2d('h', 'w',
+                         f"{_SQL_PIX.format(y='(h - 1 - y)', x='(w - 1 - x)')} * (y * w + x)"),
+           s3=_sql_sum2d('w', 'h',
+                         f"{_SQL_PIX.format(y='(h - 1 - x)', x='y')} * (y * h + x)"),
+       )}) % {_PNG_MOD} AS BIGINT) AS weighted
+FROM m
+""")
+def mm_png_rot90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 pixel rotation, real: np.rot90 by doc_id % 4 quadrants, re-encoded
+    and re-decoded through the PNG codec before checksumming."""
+    import numpy as np
+    from .raster import decode_png_rgba, encode_png_rgba
+
+    def rot(img, doc_id):
+        out = np.rot90(img, k=doc_id % 4)
+        # round-trip through the codec so encode+decode are exercised too
+        return decode_png_rgba(encode_png_rgba(np.ascontiguousarray(out)))
+
+    kernel, schema = _decode_kernel(rot)
+    return png_media_table(spark, sf_dir).mapInPandas(kernel, schema)
+
+
+@_reg("mm_png_resize_nn", f"""
+WITH m AS ({_PNG_DIMS_SQL}),
+r AS (
+  SELECT doc_id, w, h,
+         CAST(FLOOR(w * LEAST(8.0 / w, 8.0 / h, 1.0)) AS BIGINT) AS ow,
+         CAST(FLOOR(h * LEAST(8.0 / w, 8.0 / h, 1.0)) AS BIGINT) AS oh
+  FROM m
+)
+SELECT doc_id, CAST(ow AS INT) AS width, CAST(oh AS INT) AS height,
+       CAST({_sql_sum2d('oh', 'ow',
+                        _SQL_PIX.format(y='((y * h) // oh)',
+                                        x='((x * w) // ow)'))} AS BIGINT)
+           AS pix_sum,
+       CAST({_sql_sum2d('oh', 'ow',
+                        (_SQL_PIX.format(y='((y * h) // oh)',
+                                         x='((x * w) // ow)')
+                         + ' * (y * ow + x)'))}
+            % {_PNG_MOD} AS BIGINT) AS weighted
+FROM r
+""")
+def mm_png_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real nearest-neighbor resample to fit an 8px box: out(y,x) =
+    in((y*h)//oh, (x*w)//ow) via numpy integer indexing."""
+    import numpy as np
+
+    def resize(img, _doc_id):
+        h, w = img.shape[:2]
+        scale = min(8.0 / w, 8.0 / h, 1.0)
+        ow, oh = int(w * scale), int(h * scale)
+        ys = (np.arange(oh) * h) // oh
+        xs = (np.arange(ow) * w) // ow
+        return img[ys[:, None], xs[None, :]]
+
+    kernel, schema = _decode_kernel(resize)
+    return png_media_table(spark, sf_dir).mapInPandas(kernel, schema)
+
+
 # --- portable hex parsing for the oracle ------------------------------------
 
 def _hexbyte_sql(expr: str, i: int) -> str:

@@ -87,6 +87,9 @@ def decode_png_rgba(data: bytes) -> np.ndarray:
         (length,) = struct.unpack(">I", data[pos:pos + 4])
         tag = data[pos + 4:pos + 8]
         payload = data[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length:pos + 12 + length])
+        if crc != zlib.crc32(tag + payload) & 0xFFFFFFFF:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
             w, h, bits, ctype = struct.unpack(">IIBB", payload[:10])
             assert bits == 8 and ctype == 6, "not the encoder's subset"
