@@ -42,6 +42,10 @@ class ExtractConfig:
     # transposition, pure numpy+zlib); False keeps the deterministic
     # content-hash ref the cross-engine oracles rely on
     raster_paths: bool = False
+    # F2 font bytes: True converts the synthetic font payload (SFNT build /
+    # normalize / WOFF1 for CFF — fontbytes.py) and embeds it as a data URI;
+    # False keeps the stable "font:<name>" ref
+    font_payloads: bool = False
 
 
 DEFAULT_CONFIG = ExtractConfig()
@@ -103,10 +107,19 @@ def extract_doc_columnar(doc_id: str, spans: list[dict],
     # skipped entirely under the ignore handler (PDFDomTree.java:456-462)
     if cfg.font_handler != "ignore" and emit_fonts:
         for i, entry in enumerate(font_table.entries):
+            if cfg.font_payloads:
+                import base64
+                from .fontbytes import convert_entry
+                data, mime, _ending = convert_entry(entry["name"])
+                if not data:
+                    continue  # isEntryValid false -> dropped
+                ref = (f"data:{mime};base64,"
+                       + base64.b64encode(data).decode("ascii"))
+            else:
+                ref = "font:" + entry["name"]
             rec = {c: None for c in _REC_COLS}
             rec.update(key=end_key + 1 + i, kind="font",
-                       text=entry["used_name"],
-                       media_ref="font:" + entry["name"])
+                       text=entry["used_name"], media_ref=ref)
             records.append(rec)
 
     # document-info title (endDocument, PDFDomTree.java:165-174): a 'meta'
