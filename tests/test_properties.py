@@ -24,7 +24,7 @@ def _fragment(draw):
     ops = []
     n = draw(st.integers(1, 12))
     for _ in range(n):
-        kind = draw(st.integers(0, 6))
+        kind = draw(st.integers(0, 7))
         if kind == 0:
             x, y = draw(_num), draw(_num)
             ops.append(f"1 0 0 1 {x} {y} Tm ({draw(_word)}) Tj")
@@ -40,8 +40,19 @@ def _fragment(draw):
             ops.append(f"{draw(_num)} {draw(_num)} m {draw(_num)} {draw(_num)} l S")
         elif kind == 5:
             ops.append("q 2 0 0 2 10 10 cm")
-        else:
+        elif kind == 6:
             ops.append("Q")
+        elif kind == 7:
+            # full-scanner surface: hex show, nested parens, comment,
+            # dict operand, unknown operator
+            w = draw(_word)
+            ops.append(draw(st.sampled_from([
+                f"<{w.encode().hex()}> Tj",
+                f"(a({w})b) Tj",
+                f"% noise {w}\n({w}) Tj",
+                f"/OC << /T /{w} >> BDC ({w}) Tj EMC",
+                f"{draw(st.integers(0, 9))} zz9 ({w}) Tj",
+            ])))
     return " ".join(ops)
 
 
