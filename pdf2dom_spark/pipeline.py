@@ -76,12 +76,22 @@ def extract_spans(docs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
 
 
 def lineage(spans: DataFrame) -> DataFrame:
-    """Per-partition lineage rows (partition id, doc count, span count,
-    order-insensitive checksum). bit_xor keeps the checksum overflow-free
-    and commutative, so it is insensitive to within-partition ordering."""
+    """Per-partition lineage + metrics rows (north rule): partition id, doc
+    count, span count, per-kind breakdown, max document size, and an
+    order-insensitive checksum. bit_xor keeps the checksum overflow-free
+    and commutative, so it is insensitive to within-partition ordering.
+    All metrics are map-side-combinable aggregates over the already-written
+    partition — no extra shuffle."""
+    def kind_count(k: str):
+        return F.sum((F.col("kind") == k).cast("long")).alias(f"n_{k}")
+
     return spans.groupBy("part_id").agg(
         F.countDistinct("doc_id").alias("doc_count"),
         F.count(F.lit(1)).alias("span_count"),
+        kind_count("text"), kind_count("page"), kind_count("rect"),
+        kind_count("line"), kind_count("image"), kind_count("font"),
+        kind_count("meta"),
+        (F.max("order") + 1).alias("max_doc_spans"),
         F.bit_xor(
             F.xxhash64("doc_id", "order", "kind", "text", "media_ref")
         ).alias("checksum"),
