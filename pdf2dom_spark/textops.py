@@ -185,7 +185,9 @@ WITH s AS ({{shingles}}),
 e AS (SELECT doc_id, unnest(sh) AS g FROM s),
 sig AS (
   SELECT doc_id,
-         {', '.join(f"MIN(md5('{{k}}|' || g)) AS m{{k}}".format(k=k) for k in range(8))}
+         {', '.join(
+             f"MIN(substr(md5('{k // 4}|' || g), {(k % 4) * 8 + 1}, 8)) AS m{k}"
+             for k in range(8))}
   FROM e GROUP BY doc_id
 ),
 bands AS (
@@ -205,14 +207,39 @@ FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_
 WHERE {' + '.join(f'(sa.m{k} = sb.m{k})::INT' for k in range(8))} >= 4
 """.replace("{shingles}", _SHINGLES_SQL))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     d = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.split("text", " ").alias("ws"))
+    # parallelize the heavy shingle+digest map regardless of input file
+    # splits (the sandbox table is ONE parquet file = one task without
+    # this); hash-partitioning on doc_id is reused by the signature
+    # groupBy, so this adds no extra exchange
+    d = d.repartition(p, "doc_id")
     sh = d.select("doc_id", _shingles(F.col("ws")).alias("sh"))
-    e = sh.select("doc_id", F.explode("sh").alias("g"))
+    # explode_outer + post-filter instead of explode: InferFiltersFromGenerate
+    # would otherwise push a size(sh) > 0 pre-filter below the exchange with
+    # the whole shingle expression INLINED (split recomputed per element_at,
+    # O(words^2) on the unparallelized scan side — measured 8.5s of a 13s
+    # query); the post-generate null filter is free
+    e = (sh.select("doc_id", F.explode_outer("sh").alias("g"))
+         .where(F.col("g").isNotNull()))
+    # 8 permutations from TWO salted digests (4 disjoint 8-hex-char = 32-bit
+    # windows each): the op is md5-bound at scale, and a digest window is as
+    # valid a uniform hash as a whole digest — 4x less hashing than one
+    # salted md5 per permutation
     sig = e.groupBy("doc_id").agg(
-        *[F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("g")))).alias(f"m{k}")
+        *[F.min(F.substring(
+            F.md5(F.concat(F.lit(f"{k // 4}|"), F.col("g"))),
+            (k % 4) * 8 + 1, 8)).alias(f"m{k}")
           for k in _MH_KS])
+    # materialize the signatures for the self-join: the shingle-explode +
+    # 8x md5 aggregate dominates the query ~8:1 and Spark does not reuse
+    # the exchange across the two join sides. In production the signature
+    # table is written out once and reused across dedup runs; the in-query
+    # persist is the sandbox equivalent (blocks are reclaimed by the
+    # ContextCleaner when the plan becomes unreachable).
+    sig = sig.persist()
     # carry the full signature through the band rows (4x row duplication of
     # a 256-byte signature) so the candidate join verifies n_match in the
     # SAME pass — the alternative (distinct pairs, then re-join signatures)
