@@ -150,7 +150,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"), "lang",
         F.split("text", " ").alias("ws"))
     sh = d.select("doc_id", "lang", _shingles(F.col("ws")).alias("sh"))
-    e = sh.select("doc_id", "lang", F.explode("sh").alias("g"))
+    # explode_outer + post-filter: see dedup_minhash_lsh (the inferred
+    # size(sh) > 0 generate filter inlines the shingle expression with
+    # split-per-element — O(words^2) per doc)
+    e = (sh.select("doc_id", "lang", F.explode_outer("sh").alias("g"))
+         .where(F.col("g").isNotNull()))
     sig = e.groupBy("doc_id").agg(
         F.first("lang").alias("lang"),
         *[F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("g")))).alias(f"m{k}")
