@@ -869,6 +869,82 @@ def rect_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(is_rect, F.col("maxy") - F.col("miny")).alias("rh"))
 
 
+# as-of join (task brief: "an operator Spark lacks — e.g., as-of join" —
+# expressed as a composition of existing DataFrame ops): for every 'click'
+# event, the latest 'purchase' value by the same user at ts <= click ts.
+# Spark has no ASOF JOIN; the union + last(ignorenulls) window is the
+# standard composition — ONE shuffle on user_id, no range join explosion.
+# DuckDB verifies with its native ASOF LEFT JOIN. Purchases are pre-
+# aggregated per (user, ts) so ties are deterministic on both engines.
+@_reg("asof_join_events", """
+WITH clicks AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, ts,
+         CAST(event_id AS BIGINT) AS event_id
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, ts,
+         CAST(FLOOR(MAX(value) * 1000 + 0.5) AS BIGINT) AS pvalue_milli
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.user_id, c.event_id, p.pvalue_milli AS last_purchase_milli
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+""")
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").cast("long").alias("user_id"), "ts",
+        F.col("event_id").cast("long").alias("event_id"))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .groupBy(F.col("user_id").cast("long").alias("user_id"), "ts")
+                 .agg(F.floor(F.max("value") * 1000 + 0.5).cast("long")
+                      .alias("pvalue_milli")))
+    # tag and union; at equal ts the purchase sorts first (is_click=0) so
+    # 'ts >= p.ts' inclusivity matches the ASOF semantics
+    u = (clicks.select("user_id", "ts", F.lit(1).alias("is_click"),
+                       "event_id", F.lit(None).cast("long").alias("pv"))
+         .unionByName(purchases.select(
+             "user_id", "ts", F.lit(0).alias("is_click"),
+             F.lit(None).cast("long").alias("event_id"),
+             F.col("pvalue_milli").alias("pv"))))
+    w = (Window.partitionBy("user_id").orderBy("ts", "is_click")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = u.withColumn("last_pv", F.last("pv", ignorenulls=True).over(w))
+    return (carried.where(F.col("is_click") == 1)
+            .select("user_id", "event_id",
+                    F.col("last_pv").alias("last_purchase_milli")))
+
+
+# rollup aggregation (multi-level hypertable-style summary in one pass:
+# grouping-set partial aggregation, no per-level re-scan)
+@_reg("events_rollup", """
+SELECT event_type,
+       CAST(CASE WHEN GROUPING(user_id % 10) = 1 THEN NULL
+            ELSE user_id % 10 END AS BIGINT) AS user_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_milli,
+       CAST(GROUPING(event_type) * 2 + GROUPING(user_id % 10) AS INT)
+           AS grouping_lvl
+FROM events
+GROUP BY ROLLUP(event_type, user_id % 10)
+""")
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", (F.col("user_id") % 10).alias("user_bucket"),
+        F.floor(F.col("value") * 1000 + 0.5).cast("long").alias("milli"))
+    return (ev.rollup("event_type", "user_bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("milli").cast("long").alias("total_milli"),
+                 (F.grouping("event_type") * 2
+                  + F.grouping("user_bucket")).cast("int")
+                 .alias("grouping_lvl"))
+            .select("event_type",
+                    F.col("user_bucket").cast("long").alias("user_bucket"),
+                    "n", "total_milli", "grouping_lvl"))
+
+
 # lineage aggregation shape (per-partition counters + checksums)
 @_reg("lineage_agg", """
 SELECT CAST(doc_id % 16 AS INT) AS part_id,
