@@ -47,12 +47,14 @@ def _reg(name: str, sql: str | None):
 def _extract_flat(spark: SparkSession, sf_dir: str,
                   cfg: ExtractConfig | None = None,
                   mode: str = "oracle") -> DataFrame:
-    docs = build_docs_df(spark, sf_dir, mode=mode)
     p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # shuffle on the RAW 64-bit hash: hashing p distinct part_id values into
-    # p partitions leaves ~1/e of tasks empty (Poisson occupancy) — the raw
-    # hash balances by law of large numbers (mirrors pipeline.extract_spans)
-    docs = docs.repartition(p, F.xxhash64("doc_id"))
+    # ONE shuffle, of the SMALL pre-synthesis rows, on the raw 64-bit hash
+    # (pmod into p values would leave ~1/e of tasks empty — Poisson
+    # occupancy): the testdata table is one parquet file = one input split,
+    # so the pre-shuffle is what parallelizes the synthesis generator, and
+    # synthesis + extraction then run fused in a single narrow stage
+    # (mirrors pipeline.extract_spans presalted=True)
+    docs = build_docs_df(spark, sf_dir, mode=mode, num_partitions=p)
     return docs.mapInPandas(
         make_extract_batch(cfg or ExtractConfig(), nested=False),
         SPAN_FLAT_SCHEMA)
