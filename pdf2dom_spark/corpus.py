@@ -157,9 +157,15 @@ def rich_lite_stream(doc_id: str, text: str) -> list[dict]:
         spans.append(text_span(head, off)); off += 1
         ref = "sha:" + hashlib.md5(f"{doc_id}:rl:{p}".encode()).hexdigest()
         spans.append(image_span(ref, 640, 480, f"Img{p}", off)); off += 1
-        # reset fill to black: the head's rg would otherwise persist into BT
-        # (graphics state survives q/Q-balanced blocks and BT/ET)
-        body = ["Q BT /Mono 10 Tf 0 0 0 rg"]
+        # horizontal stroked line (closed-form: device y = 792-480 = 312,
+        # stroke #19334c, width 1.5) then reset fill to black: the head's rg
+        # would otherwise persist into BT (graphics state survives
+        # q/Q-balanced blocks and BT/ET)
+        lx = 100 + 5 * (p % 4)
+        body = [f"Q 1.5 w 0.1 0.2 0.3 RG {lx} 480 m {lx + 200} 480 l S "
+                # reset stroke AND fill to black: RG/rg persist into BT and
+                # would otherwise color the v1 (Tr stroke-only) boxes
+                "0 0 0 RG BT /Mono 10 Tf 0 0 0 rg"]
         for li in range(0, len(pw), RL_WPL):
             line = pw[li:li + RL_WPL]
             lid = pi * RL_LPP + li // RL_WPL

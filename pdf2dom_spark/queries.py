@@ -181,7 +181,7 @@ def extract_spans_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mode, Tw/Tc sticky spacing, TJ kerning splits, RTL reverse, diacritic
 # merge, mid-line style-change splits — plus per-page rect + image.
 # Per-line variant v = (global line index) % 7; see corpus.rich_lite_stream.
-# Emission order per page: page, rect, image, boxes 0..nb-1; font span last.
+# Emission order per page: page, rect, image, line, boxes 0..nb-1; font last.
 _RICH_LITE_SQL = """
 WITH w0 AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -217,7 +217,7 @@ lineoff AS (
 ),
 pages0 AS (SELECT doc_id, p, SUM(nb_line) AS nb FROM lines GROUP BY doc_id, p),
 pageoff AS (
-  SELECT *, COALESCE(SUM(nb + 3) OVER (PARTITION BY doc_id ORDER BY p
+  SELECT *, COALESCE(SUM(nb + 4) OVER (PARTITION BY doc_id ORDER BY p
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS poff
   FROM pages0
 ),
@@ -231,7 +231,7 @@ g AS (
   JOIN pageoff po ON po.doc_id = b.doc_id AND po.p = b.p
 ),
 wordboxes AS (
-  SELECT doc_id, CAST(poff + 3 + loff + k AS INT) AS ord,
+  SELECT doc_id, CAST(poff + 4 + loff + k AS INT) AS ord,
          'text' AS kind, word AS text, CAST(NULL AS VARCHAR) AS media_ref,
          p AS page_no,
          ROUND(CASE WHEN v = 2 THEN 72 + 5.5 * cum + 7.0 * k
@@ -253,7 +253,7 @@ wordboxes AS (
   FROM g
 ),
 extras AS (
-  SELECT lo.doc_id, CAST(po.poff + 3 + lo.loff + lo.m AS INT) AS ord,
+  SELECT lo.doc_id, CAST(po.poff + 4 + lo.loff + lo.m AS INT) AS ord,
          'text' AS kind,
          CASE WHEN lo.v = 4 THEN reverse('שלום')
               ELSE 'e' || chr(769) END AS text,
@@ -311,8 +311,21 @@ imgs AS (
          CAST(NULL AS VARCHAR) AS font_family
   FROM pageoff
 ),
+linespans AS (
+  SELECT doc_id, CAST(poff + 3 AS INT) AS ord, 'line' AS kind,
+         CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS media_ref,
+         p AS page_no,
+         CAST(100 + 5 * (p % 4) AS DOUBLE) AS left_pt,
+         CAST(312.0 AS DOUBLE) AS top_pt,
+         CAST(200.0 AS DOUBLE) AS width_pt, CAST(0.0 AS DOUBLE) AS height_pt,
+         CAST(NULL AS DOUBLE) AS line_height, CAST(NULL AS DOUBLE) AS font_size,
+         CAST(NULL AS VARCHAR) AS color, '#19334c' AS stroke_color,
+         CAST(NULL AS DOUBLE) AS wsp, CAST(NULL AS DOUBLE) AS lsp,
+         CAST(NULL AS VARCHAR) AS font_family
+  FROM pageoff
+),
 fonts AS (
-  SELECT doc_id, CAST(SUM(nb + 3) AS INT) AS ord, 'font' AS kind,
+  SELECT doc_id, CAST(SUM(nb + 4) AS INT) AS ord, 'font' AS kind,
          'Mono' AS text, 'font:Mono' AS media_ref, CAST(NULL AS INT) AS page_no,
          CAST(NULL AS DOUBLE) AS left_pt, CAST(NULL AS DOUBLE) AS top_pt,
          CAST(NULL AS DOUBLE) AS width_pt, CAST(NULL AS DOUBLE) AS height_pt,
@@ -324,7 +337,8 @@ fonts AS (
 )
 SELECT * FROM wordboxes UNION ALL SELECT * FROM extras
 UNION ALL SELECT * FROM pagespans UNION ALL SELECT * FROM rects
-UNION ALL SELECT * FROM imgs UNION ALL SELECT * FROM fonts
+UNION ALL SELECT * FROM imgs UNION ALL SELECT * FROM linespans
+UNION ALL SELECT * FROM fonts
 """
 
 @_reg("extract_spans_rich_lite", _RICH_LITE_SQL)
