@@ -413,6 +413,64 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# corpus filter: the composed training-data prep pipeline — keep documents
+# that (a) are the canonical copy of their exact-dup group, (b) pass the
+# quality threshold, (c) have agreeing language ID. One scan feeds three
+# predicates; the dedup keeper is a window min over the text-hash group
+# (no join), so the whole filter is scan -> window -> filter at scale.
+# ---------------------------------------------------------------------------
+
+@_reg("corpus_filter", """
+WITH q AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, text,
+         string_split(text,' ') AS ws, CAST(n_chars AS DOUBLE) AS n_chars,
+         MIN(CAST(doc_id AS BIGINT)) OVER (PARTITION BY md5(text)) AS keeper
+  FROM documents WHERE length(text) > 0
+),
+s AS (
+  SELECT doc_id, lang, keeper,
+         0.4 * LEAST(n_chars / 500.0, 1.0)
+         + 0.3 * (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
+         + 0.3 * (CAST(len(list_filter(ws, x -> x IN ('the','a','of','de','la'))) AS DOUBLE) / len(ws))
+           AS quality,
+         len(list_filter(ws, w -> w IN ('the','a','of'))) AS c_en
+  FROM q WHERE len(ws) > 0
+)
+SELECT doc_id, lang,
+       CAST(FLOOR(quality * 10000 + 0.5) AS BIGINT) AS quality_x10k
+FROM s
+WHERE doc_id = keeper AND quality >= 0.5
+  AND (lang <> 'en' OR c_en > 0)
+""")
+def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    d = _docs(spark, sf_dir).where(F.length("text") > 0).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang",
+        F.split("text", " ").alias("ws"),
+        F.col("n_chars").cast("double").alias("n_chars"),
+        F.md5("text").alias("h"))
+    d = d.withColumn("keeper",
+                     F.min("doc_id").over(Window.partitionBy("h")))
+    nw = F.size("ws").cast("double")
+    stop_ratio = (F.size(F.filter(
+        "ws", lambda x: x.isin("the", "a", "of", "de", "la"))).cast("double")
+        / nw)
+    distinct_ratio = F.size(F.array_distinct("ws")).cast("double") / nw
+    quality = (0.4 * F.least(F.col("n_chars") / 500.0, F.lit(1.0))
+               + 0.3 * distinct_ratio + 0.3 * stop_ratio)
+    c_en = F.size(F.filter("ws", lambda w: w.isin("the", "a", "of")))
+    return (d.where(F.size("ws") > 0)
+            .withColumn("quality", quality)
+            .withColumn("c_en", c_en)
+            .where((F.col("doc_id") == F.col("keeper"))
+                   & (F.col("quality") >= 0.5)
+                   & ((F.col("lang") != "en") | (F.col("c_en") > 0)))
+            .select("doc_id", "lang",
+                    F.floor(F.col("quality") * 10000 + 0.5).cast("long")
+                    .alias("quality_x10k")))
+
+
+# ---------------------------------------------------------------------------
 # document fingerprint (order-insensitive min/max hash sketch)
 # ---------------------------------------------------------------------------
 

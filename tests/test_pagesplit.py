@@ -55,3 +55,13 @@ def test_paged_oracle_corpus_too(spark):
     cols = [c for c in base.columns if c != "part_id"]
     assert base.select(cols).exceptAll(paged.select(cols)).count() == 0
     assert paged.select(cols).exceptAll(base.select(cols)).count() == 0
+
+
+def test_paged_rich_lite_corpus_too(spark):
+    docs = build_docs_df(spark, SF_SMOKE, mode="rich_lite").limit(100).cache()
+    base = extract_spans(docs, num_partitions=8, nested=False)
+    paged = extract_spans_paged(docs, num_partitions=8,
+                                pages_per_group=2, min_bytes=0)
+    cols = [c for c in base.columns if c != "part_id"]
+    assert base.select(cols).exceptAll(paged.select(cols)).count() == 0
+    assert paged.select(cols).exceptAll(base.select(cols)).count() == 0
