@@ -104,9 +104,14 @@ def run_headline(spark) -> dict[str, float]:
     qs = e.queries()
     # warm the JVM codegen + forked Python workers on the smallest SF so the
     # first measured query doesn't carry session cold-start (the scaling
-    # runner already warms the same way)
-    qs["extract_spans_rich"](spark, "/root/testdata/sf0.001").count()
-    sys.stderr.write("  (warmup done)\n")
+    # runner already warms the same way); never let warmup kill the bench
+    try:
+        warm_dir = ("/root/testdata/sf0.001"
+                    if os.path.isdir("/root/testdata/sf0.001") else SF_DIR)
+        qs["extract_spans_rich"](spark, warm_dir).count()
+        sys.stderr.write("  (warmup done)\n")
+    except Exception as ex:  # pragma: no cover
+        sys.stderr.write(f"  (warmup skipped: {ex})\n")
     out: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
@@ -153,6 +158,12 @@ def scaling_evidence() -> dict:
             if prev is None or got["docs_per_sec"] > prev["docs_per_sec"]:
                 results[cores] = got
     ordered = sorted(results)
+    if len(ordered) < 2:
+        # low-core host: no pair to ratio — report the single level honestly
+        only = ordered[0]
+        return {"cores_n": only, "docs_per_sec_n": results[only]["docs_per_sec"],
+                "sec_n": results[only]["sec"], "docs": results[only]["docs"],
+                "spans": results[only]["spans"], "efficiency": None}
     n, n4 = ordered[0], ordered[1]
     eff = (results[n4]["docs_per_sec"] / results[n]["docs_per_sec"]) / (n4 / n)
     out = {

@@ -28,6 +28,7 @@ Dispatch mirrors Entry.getData: TrueType -> normalized SFNT
 
 from __future__ import annotations
 
+import functools
 import struct
 import zlib
 
@@ -197,6 +198,7 @@ def woff_to_sfnt(data: bytes) -> bytes:
     return build_sfnt(name or "Unnamed")
 
 
+@functools.lru_cache(maxsize=4096)
 def convert_entry(font_name: str) -> tuple[bytes, str, str]:
     """Entry.getData dispatch (FontTable.java:141-256) over the synthetic
     payload model: returns (data, mime, file_ending); empty data means the

@@ -39,27 +39,42 @@ from .schema import IN_SPAN_STRUCT, SPAN_FLAT_SCHEMA
 _PG_RE = re.compile(r"(?:[-+]?[\d.]+\s+){3}PG\b")
 _TF_RE = re.compile(r"/(\S+)\s+[-+]?[\d.]+\s+Tf\b")
 _DO_RE = re.compile(r"/(\S+)\s+Do\b")
-# (string) literals, same grammar as the tokenizer's str group — a
-# "N N N PG" sequence INSIDE a literal is document text, not a boundary
-_STR_RE = re.compile(r"\((?:\\.|[^\\()])*\)")
+
+
+def _mask_non_ops(text: str) -> str:
+    """Blank out every region the tokenizer treats as non-operator content
+    — (string) literals (nested parens, escapes), <hex> strings, <<dict>>
+    operands, and %-comments — using the SAME scanners as the full
+    tokenizer, so a 'N N N PG' / '/Name 10 Tf' sequence inside any of them
+    is never mistaken for an operator by the regex prescans below."""
+    from .tokenizer import _scan_hex, _scan_literal, _skip_dict
+
+    out = list(text)
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "(":
+            _, j = _scan_literal(text, i)
+        elif text.startswith("<<", i):
+            j = _skip_dict(text, i)
+        elif c == "<":
+            _, j = _scan_hex(text, i)
+        elif c == "%":
+            nl = [x for x in (text.find("\n", i), text.find("\r", i))
+                  if x != -1]
+            j = min(nl) + 1 if nl else n
+        else:
+            i += 1
+            continue
+        for k in range(i, min(j, n)):
+            out[k] = " "
+        i = max(j, i + 1)
+    return "".join(out)
 
 
 def _page_bounds(text: str) -> list[int]:
-    """Start offsets of true PG boundaries: regex hits whose position does
-    not fall inside a (string) literal."""
-    lits = [(m.start(), m.end()) for m in _STR_RE.finditer(text)]
-    if not lits:
-        return [m.start() for m in _PG_RE.finditer(text)]
-    import bisect
-    starts = [s for s, _ in lits]
-    out = []
-    for m in _PG_RE.finditer(text):
-        pos = m.start()
-        i = bisect.bisect_right(starts, pos) - 1
-        if i >= 0 and lits[i][0] <= pos < lits[i][1]:
-            continue
-        out.append(pos)
-    return out
+    """Start offsets of true PG boundaries (tokenizer-consistent)."""
+    return [m.start() for m in _PG_RE.finditer(_mask_non_ops(text))]
 
 GROUP_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType(), False),
@@ -128,15 +143,16 @@ def split_doc(doc_id: str, spans: list[dict], pages_per_group: int,
     # DocInterp._prescan_fonts granularity: names referenced by Tf on the
     # EXPANDED stream — a /Name Do of a form contributes that form's fonts
     # at the Do position, recursively, cycle-guarded)
-    form_texts = {
-        (sp.get("media_ref") or "")[5:]: sp.get("text") or ""
-        for sp in form_spans
-    }
+    def _form_name(sp: dict) -> str:
+        name = sp.get("media_ref") or ""
+        return name[5:] if name.startswith("form:") else name
+
+    form_texts = {_form_name(sp): sp.get("text") or "" for sp in form_spans}
 
     def _scan_fonts(text: str, seen: list[str], active: frozenset) -> None:
-        # mask literals so "/Name 10 Tf" inside document text is not
-        # treated as a font reference (same reason as _page_bounds)
-        masked = _STR_RE.sub(lambda m: " " * (m.end() - m.start()), text)
+        # mask literals/comments/hex so "/Name 10 Tf" inside document
+        # text is not treated as a font reference (same as _page_bounds)
+        masked = _mask_non_ops(text)
         hits = ([(m.start(), "tf", m.group(1))
                  for m in _TF_RE.finditer(masked)]
                 + [(m.start(), "do", m.group(1))

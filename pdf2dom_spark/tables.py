@@ -36,8 +36,11 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 
 def is_table_identifier(source: str) -> bool:
-    """Catalog table (db.table / cat.db.table) vs filesystem path."""
-    return "/" not in source and not source.endswith(".parquet")
+    """Catalog table (db.table / cat.db.table) vs filesystem path: a table
+    identifier is slash-free AND dotted (a bare single segment like
+    ``bench_out`` is a relative directory, not a table)."""
+    return ("/" not in source and "." in source
+            and not source.endswith(".parquet"))
 
 
 def read_table(spark: SparkSession, source: str) -> DataFrame:

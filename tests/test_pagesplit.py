@@ -65,3 +65,40 @@ def test_paged_rich_lite_corpus_too(spark):
     cols = [c for c in base.columns if c != "part_id"]
     assert base.select(cols).exceptAll(paged.select(cols)).count() == 0
     assert paged.select(cols).exceptAll(base.select(cols)).count() == 0
+
+
+def test_page_bounds_tokenizer_consistent():
+    """PG sequences inside comments, hex strings, nested-paren literals,
+    and dicts are document content, not boundaries (code-review regression:
+    the mask must use the SAME grammar as the full tokenizer)."""
+    from pdf2dom_spark.pagesplit import _page_bounds
+    from pdf2dom_spark.tokenizer import tokenize
+
+    cases = [
+        "(x) Tj ET % note 612 792 0 PG\n612 792 0 PG BT (y) Tj ET",
+        "( a (b) 612 792 0 PG c ) Tj 612 792 0 PG BT (z) Tj ET",
+        "/OC << /N (612 792 0 PG) >> BDC 612 792 0 PG BT (q) Tj ET",
+        "612 792 0 PG BT (plain) Tj ET",
+    ]
+    for text in cases:
+        n_tok = sum(1 for op, _ in tokenize(text) if op == "PG")
+        assert len(_page_bounds(text)) == n_tok, text
+
+
+def test_form_name_without_prefix_seeds_fonts():
+    """A form media_ref lacking the 'form:' prefix must still be seen by
+    the split-path font prescan (code-review regression)."""
+    from pdf2dom_spark.pagesplit import split_doc
+
+    spans = [
+        {"kind": "form", "text": "/FormFont 9 Tf (h) Tj",
+         "media_ref": "Hdr", "offset": 0},
+        {"kind": "text", "text": "612 792 0 PG BT /Hdr Do /Main 10 Tf "
+         "1 0 0 1 72 700 Tm (a) Tj ET "
+         "612 792 0 PG BT /Main 10 Tf (b) Tj ET", "media_ref": None,
+         "offset": 1},
+    ]
+    groups = split_doc("d", spans, pages_per_group=1, min_bytes=0)
+    assert len(groups) == 2
+    # group 1's seed must include the form's font first (first-use order)
+    assert groups[1]["font_seed"] == ["FormFont", "Main"]

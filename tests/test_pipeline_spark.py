@@ -129,3 +129,22 @@ def test_tables_fallback_and_identifier_routing(spark, tmp_path):
     counts = dict(tables.read_table(spark, f"{tmp_path}/t")
                   .groupBy("part_id").count().collect())
     assert counts == {0: 3, 1: 5}
+
+
+def test_bare_dirname_is_a_path_not_a_table(spark, tmp_path):
+    """'bench_out'-style relative dirs must route to parquet, not Iceberg
+    (code-review regression)."""
+    import os
+    from pdf2dom_spark import tables
+    from pyspark.sql import functions as F
+
+    assert tables.is_table_identifier("bench_out") is False
+    assert tables.is_table_identifier("lake.db.spans") is True
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        df = spark.range(4).withColumn("part_id", (F.col("id") % 2).cast("int"))
+        tables.write_partitioned(df, "bench_out", "part_id", spark)
+        assert tables.read_table(spark, "bench_out").count() == 4
+    finally:
+        os.chdir(cwd)
