@@ -193,8 +193,8 @@ class DocInterp:
         ('page', key, page_no, w, h, rot)
         ('rect', key, page_no, left, top, w, h, line_w, stroke, fill, scol, fcol)
         ('line', key, page_no, x1, y1, x2, y2, line_w, scol)
-        ('pathimg', key, page_no, x, y, w, h, media_ref)
-        ('image', key, page_no, x, y, w, h, media_ref)
+        ('pathimg', key, page_no, x, y, w, h, media_ref)          # 8 fields
+        ('image', key, page_no, x, y, w, h, media_ref, name, angle)  # 10
     - ``font_table``: the accumulated FontTable
     - ``end_key``: ordering key for the final flush / font spans
     """
@@ -538,6 +538,12 @@ class DocInterp:
                 if not self.disable_graphics:
                     path.append((px, py, psx, psy))
             elif op == "re":
+                # NOTE the reference transforms only the two opposite
+                # corners and synthesizes axis-aligned segments from them
+                # (PDFBoxTree.java:485-490) — under a rotated/sheared CTM
+                # this is NOT the true transformed quad; mirrored
+                # bug-for-bug (a faithful 4-corner transform would change
+                # kinds/coords vs the reference on such CTMs).
                 if not self.disable_graphics and len(args) >= 4:
                     x, y = float(args[0]), float(args[1])
                     w_, h_ = float(args[2]), float(args[3])
@@ -664,6 +670,9 @@ def _concat_glyphs(chunks: list[tuple]) -> dict:
             np.array([ch[slot] for ch in chunks], dtype=object), lens)
     all_text = "".join(ch[_K_S] for ch in chunks)
     out["unicode"] = np.array(list(all_text), dtype=object)
+    # whitespace test mirrors Java String.trim().isEmpty()
+    # (PDFBoxTree.java:599): ONLY code points <= U+0020 count — NBSP and the
+    # typographic U+2000.. spaces are printable glyphs in the reference
     is_ws = codes <= 32
     is_dia = np.zeros(n, dtype=bool)
     rtl = np.zeros(n, dtype=bool)
@@ -674,8 +683,6 @@ def _concat_glyphs(chunks: list[tuple]) -> dict:
             m = int(m)
             if ch[_K_CODES].max(initial=0) >= 128:
                 s_ = ch[_K_S]
-                is_ws[pos:pos + m] = np.fromiter(
-                    (not c.strip() for c in s_), dtype=bool, count=m)
                 is_dia[pos:pos + m] = np.fromiter(
                     (is_diacritic_char(c) for c in s_), dtype=bool, count=m)
                 rtl[pos:pos + m] = np.fromiter(

@@ -40,8 +40,7 @@ import unicodedata
 import numpy as np
 
 from . import fonts as fontmod
-
-_RTL = {"R", "AL", "RLE", "RLO"}
+from .interp import _RTL_BIDI as _RTL  # single source for the RTL class set
 
 # style-identity columns: numeric + string (BoxStyle.java:366-405)
 STYLE_ID_NUM = ["xscale", "word_spacing", "letter_spacing"]

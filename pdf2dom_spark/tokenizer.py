@@ -47,10 +47,10 @@ _TOKEN_RE = re.compile(
     re.VERBOSE | re.DOTALL,
 )
 
-# any of: comment, hex/dict open, octal escape, line continuation, nested
-# '(' inside a literal
+# any of: comment, hex/dict open, octal escape, line continuation, raw CR
+# (in-literal EOL normalization), nested '(' inside a literal
 _NEEDS_FULL_RE = re.compile(
-    r"[%<]|\\[0-7\r\n]|\((?:\\.|[^\\()])*\(", re.DOTALL)
+    r"[%<\r]|\\[0-7\n]|\((?:\\.|[^\\()])*\(", re.DOTALL)
 
 _NAME_RE = re.compile(r"/[^\s/\[\]()<>{}%]*")
 _NUM_RE = re.compile(r"[-+]?(?:\d+\.\d*|\.\d+|\d+)")
@@ -114,6 +114,13 @@ def _scan_literal(s: str, pos: int) -> tuple[str, int]:
             if depth:
                 out.append(c)
             i += 1
+        elif c == "\r":
+            # PDF 32000-1 7.3.4.2: an in-literal end-of-line marker (CR,
+            # LF, or CRLF) reads as a SINGLE 0x0A byte
+            out.append("\n")
+            i += 1
+            if i < n and s[i] == "\n":
+                i += 1
         else:
             out.append(c)
             i += 1
@@ -135,7 +142,9 @@ def _scan_hex(s: str, pos: int) -> tuple[str, int]:
 
 
 def _skip_dict(s: str, pos: int) -> int:
-    """Balanced << ... >> block starting at s[pos:pos+2] == '<<'."""
+    """Balanced << ... >> block starting at s[pos:pos+2] == '<<'; literals,
+    hex strings, and %-comments inside are skipped opaquely (a '>>' inside
+    any of them must not terminate the block)."""
     depth = 0
     i = pos
     n = len(s)
@@ -152,6 +161,9 @@ def _skip_dict(s: str, pos: int) -> int:
             _, i = _scan_literal(s, i)
         elif s[i] == "<":
             _, i = _scan_hex(s, i)
+        elif s[i] == "%":
+            nl = [x for x in (s.find("\n", i), s.find("\r", i)) if x != -1]
+            i = min(nl) + 1 if nl else n
         else:
             i += 1
     return i

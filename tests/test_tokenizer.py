@@ -101,9 +101,10 @@ def test_escaped_literal_roundtrip(s):
     through the tokenizer unchanged (through either tier)."""
     toks = tokenize(f"({_esc_literal(s)}) Tj")
     assert len(toks) == 1 and toks[0][0] == "Tj"
-    # PDF line-end normalization: a raw \r in a literal reads back as \n
-    # only for \r\n sequences in PDFBox; our scanner keeps raw chars here
-    assert toks[0][1][-1] == s
+    # PDF 32000-1 7.3.4.2: raw CR / CRLF end-of-line markers inside a
+    # literal read back as a single LF
+    expected = s.replace("\r\n", "\n").replace("\r", "\n")
+    assert toks[0][1][-1] == expected
 
 
 @settings(max_examples=100, deadline=None)
@@ -122,3 +123,25 @@ def test_hex_roundtrip(bs):
     hexs = bs.hex()
     toks = tokenize(f"<{hexs}> Tj")
     assert toks == [("Tj", ["".join(chr(b) for b in bs)])]
+
+
+def test_in_literal_eol_normalized_to_lf():
+    """PDF 32000-1 7.3.4.2: CR / CRLF inside a literal reads as one 0x0A."""
+    assert tokenize("(a\r\nb) Tj") == [("Tj", ["a\nb"])]
+    assert tokenize("(a\rb) Tj") == [("Tj", ["a\nb"])]
+    assert tokenize("(a\nb) Tj") == [("Tj", ["a\nb"])]
+
+
+def test_dict_with_comment_containing_gtgt():
+    toks = tokenize("<</Type /X % note>>\n/Y 1>> BDC (t) Tj")
+    assert toks == [("BDC", []), ("Tj", ["t"])]
+
+
+def test_nbsp_is_text_not_whitespace():
+    """Java String.trim() strips only <= U+0020: NBSP stays a glyph
+    (PDFBoxTree.java:599)."""
+    from pdf2dom_spark.extract import extract_doc
+    frag = "612 792 0 PG BT /Mono 10 Tf 1 0 0 1 72 700 Tm (a b) Tj ET"
+    rows = extract_doc("n", [{"kind": "text", "text": frag,
+                              "media_ref": None, "offset": 0}])
+    assert [r["text"] for r in rows if r["kind"] == "text"] == ["a b"]
