@@ -121,13 +121,15 @@ def oracle_stream(doc_id: str, text: str) -> list[dict]:
 # ---------------------------------------------------------------------------
 # 2b. rich-lite corpus: every "rich" text feature with CLOSED-FORM geometry
 # ---------------------------------------------------------------------------
-# Per page: 1 rect + 1 image (oracle-corpus shapes) and 6 lines x 4 Mono-10pt
-# words. Each line carries a variant v = (global line index) % 7 (partial
-# lines fall back to plain), all SQL-derivable:
+# Per page: 1 rect + 1 image + 1 stroked line (oracle shapes) and 6 lines x
+# 4 Mono-10pt words. Each line carries a variant v = (global line index) % 9
+# (partial lines fall back to plain), all SQL-derivable:
 #   v0 plain Tj             v1 `1 Tr` stroke-only (color <-> strokeColor)
 #   v2 `0.5 Tc 1.5 Tw`      v3 TJ kern -250 between word pairs (+2.5pt gap)
 #   v4 trailing RTL word    v5 trailing diacritic merge (é at x=300, y-8)
 #   v6 mid-line color change -> style split (#7f0000 on the last word)
+#   v7 `120 Tz` horizontal scaling (advances + fontSize=getXScale x1.2)
+#   v8 `0 -12 TD` then `'` (T* + show): second word pair 24pt below
 # Emission order per page is simple because graphics precede text:
 # page, rect, image, boxes 0..nb-1 (the end-of-page flush cannot reorder a
 # trailing box past the next page's spans); doc-trailing font span.
@@ -169,7 +171,7 @@ def rich_lite_stream(doc_id: str, text: str) -> list[dict]:
         for li in range(0, len(pw), RL_WPL):
             line = pw[li:li + RL_WPL]
             lid = pi * RL_LPP + li // RL_WPL
-            v = lid % 7 if len(line) == RL_WPL else 0
+            v = lid % 9 if len(line) == RL_WPL else 0
             y = RL_Y0 - RL_STEP * (li // RL_WPL)
             body.append(f"1 0 0 1 72 {y:g} Tm")
             joined = _esc(" ".join(line))
@@ -188,6 +190,14 @@ def rich_lite_stream(doc_id: str, text: str) -> list[dict]:
             elif v == 6:
                 body.append(f"({_esc(' '.join(line[:3]))}) Tj "
                             f"0.5 0 0 rg ({_esc(line[3])}) Tj 0 0 0 rg")
+            elif v == 7:
+                # Tz horizontal scaling: advances and xscale (=fontSize) x1.2
+                body.append(f"120 Tz ({joined}) Tj 100 Tz")
+            elif v == 8:
+                # TD sets leading and moves; ' applies T* then shows —
+                # second word pair lands one 12pt leading BELOW the TD row
+                body.append(f"({_esc(line[0] + ' ' + line[1])}) Tj 0 -12 TD "
+                            f"({_esc(line[2] + ' ' + line[3])}) '")
             else:
                 body.append(f"({joined}) Tj")
         body.append("ET")

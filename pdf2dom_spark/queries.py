@@ -180,7 +180,7 @@ def extract_spans_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "rich" text feature with derivable geometry — Tr stroke-only rendering
 # mode, Tw/Tc sticky spacing, TJ kerning splits, RTL reverse, diacritic
 # merge, mid-line style-change splits — plus per-page rect + image.
-# Per-line variant v = (global line index) % 7; see corpus.rich_lite_stream.
+# Per-line variant v = (global line index) % 9; see corpus.rich_lite_stream.
 # Emission order per page: page, rect, image, line, boxes 0..nb-1; font last.
 _RICH_LITE_SQL = """
 WITH w0 AS (
@@ -200,7 +200,7 @@ b AS (
 ),
 lw AS (
   SELECT doc_id, lid, COUNT(*) AS m, SUM(L) AS tot,
-         CASE WHEN COUNT(*) = 4 THEN CAST(lid % 7 AS INT) ELSE 0 END AS v
+         CASE WHEN COUNT(*) = 4 THEN CAST(lid % 9 AS INT) ELSE 0 END AS v
   FROM b GROUP BY doc_id, lid
 ),
 lines AS (
@@ -224,7 +224,9 @@ pageoff AS (
 g AS (
   SELECT b.*, lw.v, lo.loff, po.poff,
          COALESCE(SUM(b.L) OVER (PARTITION BY b.doc_id, b.lid ORDER BY b.k
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+         SUM(CASE WHEN b.k <= 1 THEN b.L ELSE 0 END)
+             OVER (PARTITION BY b.doc_id, b.lid) AS cum2
   FROM b
   JOIN lw USING (doc_id, lid)
   JOIN lineoff lo ON lo.doc_id = b.doc_id AND lo.lid = b.lid
@@ -237,12 +239,17 @@ wordboxes AS (
          ROUND(CASE WHEN v = 2 THEN 72 + 5.5 * cum + 7.0 * k
                WHEN v = 3 AND k >= 2 THEN 72 + 5.0 * (cum + k - 1) + 2.5
                WHEN v = 6 AND k = 3 THEN 72 + 5.0 * (cum + 2)
+               WHEN v = 7 THEN 72 + 6.0 * (cum + k)
+               WHEN v = 8 AND k >= 2 THEN 72 + 5.0 * (cum - cum2 + k - 2)
                ELSE 72 + 5.0 * (cum + k) END, 2) AS left_pt,
-         CAST(64 + 16 * li AS DOUBLE) AS top_pt,
-         ROUND(CASE WHEN v = 2 THEN 5.5 * L ELSE 5.0 * L END, 2) AS width_pt,
+         CAST(64 + 16 * li
+              + CASE WHEN v = 8 AND k >= 2 THEN 24 ELSE 0 END AS DOUBLE)
+             AS top_pt,
+         ROUND(CASE WHEN v = 2 THEN 5.5 * L WHEN v = 7 THEN 6.0 * L
+               ELSE 5.0 * L END, 2) AS width_pt,
          CAST(NULL AS DOUBLE) AS height_pt,
          CAST(10.0 AS DOUBLE) AS line_height,
-         CAST(10.0 AS DOUBLE) AS font_size,
+         CAST(CASE WHEN v = 7 THEN 12.0 ELSE 10.0 END AS DOUBLE) AS font_size,
          CASE WHEN v = 1 THEN 'rgba(0,0,0,0)'
               WHEN v = 6 AND k = 3 THEN '#7f0000'
               ELSE '#000000' END AS color,
