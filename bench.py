@@ -83,9 +83,10 @@ def run_extraction_once(cores: int) -> dict:
         extract_spans(docs.sample(0.02, seed=1), num_partitions=p,
                       nested=False, presalted=True).count()
     # best-of-N to damp shared-VM noise (neighbor load / steal spikes were
-    # measured to slow identical runs up to 2x); the slow low-core level
-    # gets 2 reps (its draws are stable), higher levels 3
-    reps = 2 if cores <= 2 else 4
+    # measured to slow identical runs up to 2x); the scaling harness runs
+    # each level in TWO interleaved passes, so per-pass reps stay small to
+    # bound total bench wall time
+    reps = 1 if cores <= 2 else 2
     dt = float("inf")
     n_spans = 0
     for _ in range(reps):
