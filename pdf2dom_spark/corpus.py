@@ -202,6 +202,20 @@ def rich_lite_stream(doc_id: str, text: str) -> list[dict]:
                 body.append(f"({joined}) Tj")
         body.append("ET")
         spans.append(text_span(" ".join(body), off)); off += 1
+
+    # trailing graphics-only ROTATED page (M2/M3 in the oracle: dims swap +
+    # quadrant transforms for rect/image/line; no text — rotated text is
+    # per-glyph-splitting by reference semantics and covered by goldens)
+    if n_pages:
+        rot = (90, 180, 270)[n_pages % 3]
+        head = (f"{PAGE_W:g} {PAGE_H:g} {rot} PG "
+                "0.25 0.5 0.75 rg 100 50 80 20 re f "
+                "q 120 0 0 90 200 300 cm")
+        spans.append(text_span(head, off)); off += 1
+        gref = "sha:" + hashlib.md5(f"{doc_id}:rlg".encode()).hexdigest()
+        spans.append(image_span(gref, 640, 480, "ImgG", off)); off += 1
+        spans.append(text_span(
+            "Q 1.5 w 0.1 0.2 0.3 RG 150 480 m 350 480 l S", off)); off += 1
     return spans
 
 

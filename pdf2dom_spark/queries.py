@@ -331,8 +331,84 @@ linespans AS (
          CAST(NULL AS VARCHAR) AS font_family
   FROM pageoff
 ),
+gd AS (
+  -- trailing graphics-only rotated page: base ordinal after all text pages,
+  -- rot = (90,180,270)[np % 3], page_no = np + 1
+  SELECT doc_id, CAST(SUM(nb + 4) AS INT) AS base,
+         CAST(MAX(p) + 1 AS INT) AS gpno,
+         CAST(CASE (MAX(p)) % 3 WHEN 0 THEN 90 WHEN 1 THEN 180 ELSE 270 END
+              AS INT) AS rot
+  FROM pages0 GROUP BY doc_id
+),
+gpages AS (
+  SELECT doc_id, base AS ord, 'page' AS kind,
+         CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS media_ref,
+         gpno AS page_no, CAST(NULL AS DOUBLE) AS left_pt,
+         CAST(NULL AS DOUBLE) AS top_pt,
+         CAST(CASE WHEN rot = 180 THEN 612.0 ELSE 792.0 END AS DOUBLE)
+             AS width_pt,
+         CAST(CASE WHEN rot = 180 THEN 792.0 ELSE 612.0 END AS DOUBLE)
+             AS height_pt,
+         CAST(NULL AS DOUBLE) AS line_height, CAST(NULL AS DOUBLE) AS font_size,
+         CAST(NULL AS VARCHAR) AS color, CAST(NULL AS VARCHAR) AS stroke_color,
+         CAST(NULL AS DOUBLE) AS wsp, CAST(NULL AS DOUBLE) AS lsp,
+         CAST(NULL AS VARCHAR) AS font_family
+  FROM gd
+),
+grects AS (
+  -- user rect (100,50)+(80,20) through the quadrant transform
+  SELECT doc_id, base + 1 AS ord, 'rect' AS kind,
+         CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS media_ref,
+         gpno AS page_no,
+         CAST(CASE rot WHEN 90 THEN 50 WHEN 180 THEN 432 ELSE 722 END
+              AS DOUBLE) AS left_pt,
+         CAST(CASE rot WHEN 90 THEN 100 WHEN 180 THEN 50 ELSE 432 END
+              AS DOUBLE) AS top_pt,
+         CAST(CASE rot WHEN 180 THEN 80 ELSE 20 END AS DOUBLE) AS width_pt,
+         CAST(CASE rot WHEN 180 THEN 20 ELSE 80 END AS DOUBLE) AS height_pt,
+         CAST(NULL AS DOUBLE) AS line_height, CAST(NULL AS DOUBLE) AS font_size,
+         '#3f7fbf' AS color, CAST(NULL AS VARCHAR) AS stroke_color,
+         CAST(NULL AS DOUBLE) AS wsp, CAST(NULL AS DOUBLE) AS lsp,
+         CAST(NULL AS VARCHAR) AS font_family
+  FROM gd
+),
+gimgs AS (
+  -- image placed at cm(120,0,0,90,200,300): user box (200,300)-(320,390)
+  SELECT doc_id, base + 2 AS ord, 'image' AS kind,
+         CAST(NULL AS VARCHAR) AS text,
+         'sha:' || md5(doc_id || ':rlg') AS media_ref,
+         gpno AS page_no,
+         CAST(CASE rot WHEN 90 THEN 300 WHEN 180 THEN 292 ELSE 402 END
+              AS DOUBLE) AS left_pt,
+         CAST(CASE rot WHEN 90 THEN 200 WHEN 180 THEN 300 ELSE 292 END
+              AS DOUBLE) AS top_pt,
+         CAST(CASE rot WHEN 180 THEN 120 ELSE 90 END AS DOUBLE) AS width_pt,
+         CAST(CASE rot WHEN 180 THEN 90 ELSE 120 END AS DOUBLE) AS height_pt,
+         CAST(NULL AS DOUBLE) AS line_height, CAST(NULL AS DOUBLE) AS font_size,
+         CAST(NULL AS VARCHAR) AS color, CAST(NULL AS VARCHAR) AS stroke_color,
+         CAST(NULL AS DOUBLE) AS wsp, CAST(NULL AS DOUBLE) AS lsp,
+         CAST(NULL AS VARCHAR) AS font_family
+  FROM gd
+),
+glines AS (
+  -- user segment (150,480)-(350,480): vertical under 90/270, horizontal 180
+  SELECT doc_id, base + 3 AS ord, 'line' AS kind,
+         CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS media_ref,
+         gpno AS page_no,
+         CAST(CASE rot WHEN 90 THEN 480 WHEN 180 THEN 262 ELSE 312 END
+              AS DOUBLE) AS left_pt,
+         CAST(CASE rot WHEN 90 THEN 150 WHEN 180 THEN 480 ELSE 262 END
+              AS DOUBLE) AS top_pt,
+         CAST(CASE rot WHEN 180 THEN 200 ELSE 0 END AS DOUBLE) AS width_pt,
+         CAST(CASE rot WHEN 180 THEN 0 ELSE 200 END AS DOUBLE) AS height_pt,
+         CAST(NULL AS DOUBLE) AS line_height, CAST(NULL AS DOUBLE) AS font_size,
+         CAST(NULL AS VARCHAR) AS color, '#19334c' AS stroke_color,
+         CAST(NULL AS DOUBLE) AS wsp, CAST(NULL AS DOUBLE) AS lsp,
+         CAST(NULL AS VARCHAR) AS font_family
+  FROM gd
+),
 fonts AS (
-  SELECT doc_id, CAST(SUM(nb + 4) AS INT) AS ord, 'font' AS kind,
+  SELECT doc_id, CAST(SUM(nb + 4) + 4 AS INT) AS ord, 'font' AS kind,
          'Mono' AS text, 'font:Mono' AS media_ref, CAST(NULL AS INT) AS page_no,
          CAST(NULL AS DOUBLE) AS left_pt, CAST(NULL AS DOUBLE) AS top_pt,
          CAST(NULL AS DOUBLE) AS width_pt, CAST(NULL AS DOUBLE) AS height_pt,
@@ -345,6 +421,8 @@ fonts AS (
 SELECT * FROM wordboxes UNION ALL SELECT * FROM extras
 UNION ALL SELECT * FROM pagespans UNION ALL SELECT * FROM rects
 UNION ALL SELECT * FROM imgs UNION ALL SELECT * FROM linespans
+UNION ALL SELECT * FROM gpages UNION ALL SELECT * FROM grects
+UNION ALL SELECT * FROM gimgs UNION ALL SELECT * FROM glines
 UNION ALL SELECT * FROM fonts
 """
 
