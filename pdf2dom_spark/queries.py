@@ -970,6 +970,29 @@ def rect_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(is_rect, F.col("maxy") - F.col("miny")).alias("rh"))
 
 
+# tumbling-window aggregation, batch form (the streaming twin in
+# streaming.windowed_event_counts runs the same shape under a watermark;
+# this registers the cross-engine value gate for it)
+@_reg("tumbling_window_counts", """
+SELECT CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) AS win_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_milli
+FROM events GROUP BY 1, 2
+""")
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy(
+        F.window(F.col("ts").cast("timestamp"), "10 minutes").alias("win"),
+        "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.floor(F.col("value") * 1000 + 0.5).cast("long"))
+             .cast("long").alias("total_milli"))
+        .select(F.unix_timestamp("win.start").alias("win_start"),
+                "event_type", "n", "total_milli"))
+
+
 # as-of join (task brief: "an operator Spark lacks — e.g., as-of join" —
 # expressed as a composition of existing DataFrame ops): for every 'click'
 # event, the latest 'purchase' value by the same user at ts <= click ts.
