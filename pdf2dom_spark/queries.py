@@ -64,16 +64,30 @@ def _extract_flat(spark: SparkSession, sf_dir: str,
 # 1a. FULL kernel vs closed-form SQL on the mono-grid corpus
 # ---------------------------------------------------------------------------
 
+# ORACLE WORD DOMAIN: words are assumed free of mid-word combining marks.
+# A dropped (uncontained) diacritic leaves its advance behind, and the
+# resulting >1pt gap splits the box in the kernel EXACTLY like the
+# reference (processTextPosition stores lastDia without updating lastText,
+# so the next glyph's distx exceeds the threshold) — behavior pinned by
+# test_dia_gap_splits_box; the per-word grid oracle deliberately does not
+# model it.
 # Per-page emission order (PDFBoxTree.java:208,639-644 — the last box of a
 # page flushes only at the page's end-of-stream, AFTER that page's graphics):
 # page span, word boxes 0..m-2, rect, image, last word box. Stride per full
 # page (m=40) is 43 spans; the trailing font span sits at nw + 3*np.
 _ORACLE_SPANS_SQL = """
-WITH w AS (
+WITH w0 AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          unnest(string_split(text,' ')) AS word,
-         generate_subscripts(string_split(text,' '), 1) - 1 AS widx
+         generate_subscripts(string_split(text,' '), 1) AS sidx
   FROM documents WHERE length(text) > 0
+),
+w AS (
+  -- the kernel drops empty words (repeated/leading/trailing spaces):
+  -- filter + renumber so widx matches the kernel's word stream
+  SELECT doc_id, word,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sidx) - 1 AS widx
+  FROM w0 WHERE word <> ''
 ),
 n AS (SELECT doc_id, COUNT(*) AS nw,
              CAST(CEIL(COUNT(*) / 40.0) AS INT) AS np
@@ -183,11 +197,17 @@ def extract_spans_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-line variant v = (global line index) % 9; see corpus.rich_lite_stream.
 # Emission order per page: page, rect, image, line, boxes 0..nb-1; font last.
 _RICH_LITE_SQL = """
-WITH w0 AS (
+WITH wr AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          unnest(string_split(text,' ')) AS word,
-         generate_subscripts(string_split(text,' '), 1) - 1 AS widx
+         generate_subscripts(string_split(text,' '), 1) AS sidx
   FROM documents WHERE length(text) > 0
+),
+w0 AS (
+  -- kernel drops empty words: filter + renumber to match its word stream
+  SELECT doc_id, word,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sidx) - 1 AS widx
+  FROM wr WHERE word <> ''
 ),
 b AS (
   SELECT doc_id, word, widx,
@@ -450,10 +470,16 @@ def extract_spans_rich_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # 1b. page-range gate (S2; PDFBoxTree.java:200-210 — 1-based, inclusive)
 @_reg("extract_page_range", """
-WITH w AS (
+WITH w0 AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-         generate_subscripts(string_split(text,' '), 1) - 1 AS widx
+         unnest(string_split(text,' ')) AS word,
+         generate_subscripts(string_split(text,' '), 1) AS sidx
   FROM documents WHERE length(text) > 0
+),
+w AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sidx) - 1 AS widx
+  FROM w0 WHERE word <> ''
 )
 SELECT doc_id,
        CAST(SUM(CASE WHEN widx < 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
@@ -547,7 +573,11 @@ def chunk_islands_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # 1d. scalar parity: RTL reverse (P8; PDFBoxTree.java:666-669)
 @_reg("rtl_reverse", """
-SELECT CAST(doc_id AS BIGINT) AS doc_id, reverse(text) AS rev
+-- codepoint-order reversal (Java StringBuilder.reverse semantics, matching
+-- Spark F.reverse); DuckDB's bare reverse() is grapheme-cluster based and
+-- would keep combining marks attached to their base
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       array_to_string(list_reverse(string_split(text, '')), '') AS rev
 FROM documents
 """)
 def rtl_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1098,19 +1128,20 @@ def extract_spans_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_ref", F.col("page_no").cast("int").alias("page_no"))
 
 
-def all_queries() -> dict:
+def _merge(*regs: dict) -> dict:
     out: dict = {}
-    out.update(REGISTRY)
-    out.update(textops.REGISTRY)
-    out.update(simsearch.REGISTRY)
-    out.update(multimodal.REGISTRY)
+    for reg in regs:
+        dup = out.keys() & reg.keys()
+        assert not dup, f"duplicate query names across registries: {dup}"
+        out.update(reg)
     return out
+
+
+def all_queries() -> dict:
+    return _merge(REGISTRY, textops.REGISTRY, simsearch.REGISTRY,
+                  multimodal.REGISTRY)
 
 
 def all_oracles() -> dict[str, str]:
-    out: dict[str, str] = {}
-    out.update(ORACLES)
-    out.update(textops.ORACLES)
-    out.update(simsearch.ORACLES)
-    out.update(multimodal.ORACLES)
-    return out
+    return _merge(ORACLES, textops.ORACLES, simsearch.ORACLES,
+                  multimodal.ORACLES)

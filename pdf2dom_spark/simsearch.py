@@ -58,11 +58,12 @@ _SQL_NORM = ("sqrt(list_sum(list_transform({a}, "
              "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
 
 
-def _rot(col, k: int, dim: int = 64):
-    """Circular left-rotation of an array column by k (k=0 passthrough)."""
+def _rot(col, k: int):
+    """Circular left-rotation of an array column by k (k=0 passthrough);
+    length-agnostic (slice length = size of the column)."""
     if k == 0:
         return col
-    return F.concat(F.slice(col, k + 1, dim), F.slice(col, 1, k))
+    return F.concat(F.slice(col, k + 1, F.size(col)), F.slice(col, 1, k))
 
 
 def lsh_signed(df: DataFrame, emb_col: str, n_bits: int = 4,

@@ -181,3 +181,84 @@ def test_short_doc_dedup_parity_vs_duckdb(spark, tmp_path):
         assert len(srows) == len(drows), (name, srows, drows)
         # near-dup docs 3/4 share shingles -> expect at least one pair
         assert srows, name
+
+
+def test_pathological_docs_parity_vs_duckdb(spark, tmp_path):
+    """Docs with repeated/leading/trailing spaces keep the extraction
+    oracles in cross-engine agreement (code-review regression: the kernel
+    drops empty words, so the oracle must filter + renumber its word
+    stream). Mid-word combining marks are outside the grid oracle's word
+    domain (see queries.py note + test_dia_gap_splits_box) and covered for
+    rtl_reverse by test_rtl_reverse_codepoint_semantics."""
+    import duckdb
+    import math
+    import pandas as pd
+    from pdf2dom_spark.queries import REGISTRY, ORACLES
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "lang": ["en", "en", "en"],
+        "text": ["alpha  beta ", " gamma delta  epsilon",
+                 "plain words only"],
+        "n_chars": [12, 21, 14],
+        "source": ["t", "t", "t"],
+    })
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{sf}/documents.parquet/*.parquet'")
+
+    def canon(v):
+        if isinstance(v, float):
+            return None if math.isnan(v) else round(v, 6)
+        return v
+
+    for name in ("rtl_reverse", "extract_spans_oracle",
+                 "extract_spans_rich_lite", "extract_page_range"):
+        sdf = REGISTRY[name](spark, sf)
+        cols = sorted(sdf.columns)
+        srows = sorted((tuple(canon(r[c]) for c in cols)
+                        for r in sdf.collect()), key=repr)
+        ddf = con.sql(ORACLES[name]).df()
+        drows = sorted((tuple(canon(v) for v in
+                              (row[c] for c in cols))
+                        for row in ddf.to_dict("records")), key=repr)
+        assert len(srows) == len(drows), (name, len(srows), len(drows))
+        assert srows == drows, (name, srows[:3], drows[:3])
+
+
+def test_rtl_reverse_codepoint_semantics(spark, tmp_path):
+    """DuckDB's bare reverse() is grapheme-based; the oracle must reverse
+    codepoints like Spark/Java (code-review regression)."""
+    import duckdb
+    import pandas as pd
+    from pdf2dom_spark.queries import ORACLES, REGISTRY
+
+    pdf = pd.DataFrame({"doc_id": [1], "lang": ["en"],
+                        "text": ["xéy"], "n_chars": [4],
+                        "source": ["t"]})
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{sf}/documents.parquet/*.parquet'")
+    srow = REGISTRY["rtl_reverse"](spark, sf).collect()[0]
+    drow = con.sql(ORACLES["rtl_reverse"]).fetchone()
+    assert srow.rev == drow[1] == "ýex"
+
+
+def test_dia_gap_splits_box():
+    """A dropped mid-word diacritic leaves its advance: the next glyph's
+    distx exceeds +1 and the box splits — exactly the reference's
+    processTextPosition behavior (lastText not updated for diacritics)."""
+    from pdf2dom_spark.extract import extract_doc
+
+    frag = ("612 792 0 PG BT /Mono 10 Tf 1 0 0 1 72 700 Tm "
+            "(xéy) Tj ET")
+    rows = extract_doc("d", [{"kind": "text", "text": frag,
+                              "media_ref": None, "offset": 0}])
+    texts = [r["text"] for r in rows if r["kind"] == "text"]
+    assert texts == ["xe", "y"]
