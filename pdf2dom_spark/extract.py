@@ -106,11 +106,18 @@ def extract_doc_columnar(doc_id: str, spans: list[dict],
     # endDocument: @font-face per valid table entry (PDFDomTree.java:464-492),
     # skipped entirely under the ignore handler (PDFDomTree.java:456-462)
     if cfg.font_handler != "ignore" and emit_fonts:
-        if cfg.font_payloads:
+        if cfg.font_payloads or cfg.font_handler == "dir":
             import base64
             from .fontbytes import convert_entry
         for i, entry in enumerate(font_table.entries):
-            if cfg.font_payloads:
+            if cfg.font_handler == "dir":
+                # SaveResourceToDirHandler: url points at <name>.<ending>
+                # in the extract dir (TestFonts.java save-to-dir asserts)
+                data, mime, ending = convert_entry(entry["name"])
+                if not data:
+                    continue
+                ref = f"{entry['name']}.{ending}"
+            elif cfg.font_payloads:
                 data, mime, _ending = convert_entry(entry["name"])
                 if not data:
                     continue  # isEntryValid false -> dropped

@@ -112,3 +112,47 @@ def test_title_from_metadata():
     rows2 = extract_doc("t2", spans_blank)
     assert all(r["kind"] != "meta" for r in rows2)
     assert "<title>PDF Document</title>" in render_doc_html(rows2)
+
+
+# --- TestFonts.java HTML-side assertions (bare-CFF -> WOFF pipeline) ---------
+
+def test_cff_font_woff_in_style_and_readable():
+    """convertPdfWithBareCffFont_*: the style carries an @font-face with an
+    x-font-woff data URI whose payload re-parses as a WOFF with >1 tables,
+    and the text div references a font-family (TestFonts.java:41-76)."""
+    import base64
+    import re
+    from pdf2dom_spark.extract import ExtractConfig, extract_doc
+    from pdf2dom_spark.fontbytes import parse_sfnt, woff_to_sfnt
+    from pdf2dom_spark.render_html import render_doc_html
+
+    frag = ("612 792 0 PG BT /EKCFJL+Omsym2-CFF 10 Tf "
+            "1 0 0 1 72 700 Tm (cff text) Tj ET")
+    rows = extract_doc("c", [{"kind": "text", "text": frag,
+                              "media_ref": None, "offset": 0}],
+                       ExtractConfig(font_payloads=True))
+    html = render_doc_html(rows)
+    assert "@font-face" in html and "x-font-woff" in html
+    m = re.search(r"x-font-woff;base64,([^']*)'", html)
+    assert m, html
+    woff = base64.b64decode(m.group(1))
+    tables = parse_sfnt(woff_to_sfnt(woff))
+    assert len(tables) > 1
+    # div style uses a font-family (font resolved through the table)
+    assert re.search(r'class="p" style="[^"]*font-family:', html)
+
+
+def test_font_save_to_dir_url():
+    """convertPdf_withFontExtractToDirModeSet_*: @font-face url is the
+    extract-dir file name <font>.woff (TestFonts.java:79-97)."""
+    from pdf2dom_spark.extract import ExtractConfig, extract_doc
+    from pdf2dom_spark.render_html import render_doc_html
+
+    frag = ("612 792 0 PG BT /EKCFJL+Omsym2-CFF 10 Tf "
+            "1 0 0 1 72 700 Tm (x) Tj ET")
+    rows = extract_doc("d", [{"kind": "text", "text": frag,
+                              "media_ref": None, "offset": 0}],
+                       ExtractConfig(font_handler="dir"))
+    fonts = [r for r in rows if r["kind"] == "font"]
+    assert fonts[0]["media_ref"] == "EKCFJL+Omsym2-CFF.woff"
+    assert "src:url('EKCFJL+Omsym2-CFF.woff')" in render_doc_html(rows)
