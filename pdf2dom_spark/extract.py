@@ -95,7 +95,9 @@ def extract_doc_columnar(doc_id: str, spans: list[dict],
                 # empty src (PDFDomTree.java:435-438, IgnoreResourceHandler)
                 out_ref = ""
             elif cfg.image_handler == "dir":
-                out_ref = namer.next_name(name)
+                # reference resourcePath = name + '.' + fileEnding
+                # (SaveResourceToDirHandler.java:50-51; images are PNG)
+                out_ref = namer.next_name(name) + ".png"
             else:
                 out_ref = media_ref
             records.append(graphics.image_record(ev, out_ref))
@@ -291,9 +293,9 @@ def _arrow_schema():
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    return to_arrow_schema(
-        __import__("pdf2dom_spark.schema", fromlist=["SPAN_FLAT_SCHEMA"])
-        .SPAN_FLAT_SCHEMA)
+    from .schema import SPAN_FLAT_SCHEMA
+
+    return to_arrow_schema(SPAN_FLAT_SCHEMA)
 
 
 def make_extract_arrow(cfg: ExtractConfig = DEFAULT_CONFIG):

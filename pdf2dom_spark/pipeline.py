@@ -136,7 +136,18 @@ def run_checkpointed(
     except Exception:  # no lineage yet -> everything pending
         pending = salted
 
-    pending = pending.repartition(num_partitions, F.col("part_id"))
+    # partition ids this run is responsible for (BEFORE extraction, so a
+    # partition whose docs all extract to zero spans STILL gets a lineage
+    # row — otherwise resume would re-extract it forever)
+    processed = [int(r.part_id) for r in
+                 pending.select("part_id").distinct().collect()]
+    if fail_parts:
+        processed = [p for p in processed if p not in fail_parts]
+
+    # shuffle on the raw 64-bit hash (pmod into num_partitions values leaves
+    # ~1/e of the extraction tasks empty — same Poisson-occupancy fix as
+    # extract_spans above); part_id stays the deterministic COLUMN
+    pending = pending.repartition(num_partitions, F.xxhash64("doc_id"))
     spans = pending.mapInPandas(make_extract_batch(cfg, nested=False),
                                 SPAN_FLAT_SCHEMA)
     if fail_parts:
@@ -147,24 +158,26 @@ def run_checkpointed(
     tables.write_partitioned(spans, spans_dir, "part_id", spark)
 
     written = tables.read_table(spark, spans_dir)
-    try:
-        prev_done = tables.read_table(spark, lineage_dir).select(
-            "part_id").distinct()
-        new_parts = written.select("part_id").distinct().join(
-            F.broadcast(prev_done), "part_id", "left_anti")
-    except Exception:
-        new_parts = written.select("part_id").distinct()
-
+    proc_df = spark.createDataFrame(
+        [(p,) for p in processed] or [(None,)], "part_id int").where(
+        F.col("part_id").isNotNull())
+    # lineage for every PROCESSED partition; zero-span partitions get an
+    # explicit zero row (checksum 0) so they count as done
+    stats = lineage(written.join(F.broadcast(proc_df), "part_id"))
     new_lineage = (
-        lineage(written.join(F.broadcast(new_parts), "part_id"))
+        proc_df.join(stats, "part_id", "left")
+        .fillna(0, subset=[c for c in stats.columns if c != "part_id"])
         .withColumn("run_id", F.lit(run_id))
         .withColumn("completed_at", F.current_timestamp())
     )
     tables.append_table(new_lineage, lineage_dir, spark)
 
     done_now = tables.read_table(spark, lineage_dir)
+    run_spans = sum(
+        r.span_count for r in new_lineage.select("span_count").collect())
     return {
         "run_id": run_id,
         "parts_done": done_now.select("part_id").distinct().count(),
-        "span_count": written.count(),
+        "span_count": int(run_spans),          # THIS run's spans
+        "total_span_count": written.count(),   # cumulative table size
     }

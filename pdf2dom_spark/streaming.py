@@ -37,9 +37,13 @@ def extract_spans_stream(spark: SparkSession, docs_dir: str,
     stream = (spark.readStream.schema(DOC_SCHEMA)
               .option("maxFilesPerTrigger", 4)
               .parquet(docs_dir))
-    # raw-hash shuffle (not pmod into num_partitions values — that leaves
-    # ~1/e of tasks empty); mirrors pipeline.extract_spans
-    salted = stream.repartition(num_partitions, F.xxhash64("doc_id"))
+    # deterministic part_id column (lineage invariant — without it the
+    # kernel falls back to the unstable TaskContext partition index), then
+    # the raw-hash shuffle (not pmod into num_partitions values — that
+    # leaves ~1/e of tasks empty); mirrors pipeline.extract_spans
+    from .pipeline import with_part_id
+    salted = with_part_id(stream, num_partitions).repartition(
+        num_partitions, F.xxhash64("doc_id"))
     spans = salted.mapInPandas(make_extract_batch(cfg, nested=False),
                                SPAN_FLAT_SCHEMA)
     return (spans.writeStream
@@ -101,7 +105,10 @@ def running_user_totals(spark: SparkSession, events_dir: str,
         n, tot = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            tot += int((pdf["value"] * 1000 + 0.5).astype("int64").sum())
+            import numpy as np
+            # floor(x + 0.5), NOT int-truncation: truncation toward zero
+            # mis-rounds negative values by one milli
+            tot += int(np.floor(pdf["value"] * 1000 + 0.5).astype("int64").sum())
         state.update((n, tot))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
                             "total_milli": [tot]})

@@ -66,10 +66,25 @@ def write_partitioned(df: DataFrame, target: str, partition_col: str,
             raise RuntimeError(
                 f"'{target}' looks like a catalog table but no Iceberg "
                 "runtime is on the classpath")
+        if not spark.catalog.tableExists(target):
+            # first write must CREATE the partitioned table —
+            # overwritePartitions requires an existing one
+            from pyspark.sql import functions as F
+            df.writeTo(target).partitionedBy(F.col(partition_col)).create()
+            return
         df.writeTo(target).overwritePartitions()
         return
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode("overwrite").partitionBy(partition_col).parquet(target)
+    try:
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(target)
+    finally:
+        # restore the session-global setting (other writers in the same
+        # session may rely on the default static semantics)
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def append_table(df: DataFrame, target: str,
@@ -81,6 +96,9 @@ def append_table(df: DataFrame, target: str,
             raise RuntimeError(
                 f"'{target}' looks like a catalog table but no Iceberg "
                 "runtime is on the classpath")
-        df.writeTo(target).append()
+        if not spark.catalog.tableExists(target):
+            df.writeTo(target).create()
+        else:
+            df.writeTo(target).append()
         return
     df.write.mode("append").parquet(target)

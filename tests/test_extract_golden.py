@@ -76,7 +76,9 @@ def test_dup_overlap_not_suppressed():
 def test_image_name_dedup():
     rows = run("fx_images", ExtractConfig(image_handler="dir"))
     refs = [r["media_ref"] for r in rows if r["kind"] == "image"]
-    assert refs == ["Untitled", "Untitled1"]
+    # reference resourcePath = <dedupedName>.<ending> (TestImages asserts
+    # files Untitled.png / Untitled1.png exist)
+    assert refs == ["Untitled.png", "Untitled1.png"]
 
 
 def test_image_embed_keeps_stable_ref():

@@ -74,7 +74,7 @@ def test_page_range_html():
 
 def test_image_dedup_names_in_src():
     html = render("fx_images", ExtractConfig(image_handler="dir"))
-    assert 'src="Untitled"' in html and 'src="Untitled1"' in html
+    assert 'src="Untitled.png"' in html and 'src="Untitled1.png"' in html
 
 
 def test_spark_render_df(spark):
