@@ -181,7 +181,7 @@ GLYPH_COLS = [
     "key", "page_no", "x", "y", "width", "height", "xscale", "yscale",
     "ascent", "descent", "unicode", "font_family", "font_weight",
     "font_style", "color", "stroke_color", "word_spacing", "letter_spacing",
-    "is_dia", "is_ws", "rtl",
+    "is_dia", "is_ws", "rtl", "style_id",
 ]
 
 
@@ -668,6 +668,17 @@ def _concat_glyphs(chunks: list[tuple]) -> dict:
     for c, slot in _SCALAR_OBJ.items():
         out[c] = np.repeat(
             np.array([ch[slot] for ch in chunks], dtype=object), lens)
+    # per-chunk style-identity id: the 8-field BoxStyle identity
+    # (BoxStyle.java:366-405) is CONSTANT within a show, so the chunker can
+    # compare one small int per glyph instead of 8 full-length columns
+    # (float32-rounded numerics match the reference's float fidelity)
+    style_ids: dict = {}
+    sid = np.empty(nch, dtype=np.int32)
+    for j, ch in enumerate(chunks):
+        key = (np.float32(ch[11]), np.float32(ch[20]), np.float32(ch[21]),
+               ch[15], ch[16], ch[17], ch[18], ch[19])
+        sid[j] = style_ids.setdefault(key, len(style_ids))
+    out["style_id"] = np.repeat(sid, lens)
     all_text = "".join(ch[_K_S] for ch in chunks)
     out["unicode"] = np.array(list(all_text), dtype=object)
     # whitespace test mirrors Java String.trim().isEmpty()

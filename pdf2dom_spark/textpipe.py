@@ -42,9 +42,10 @@ import numpy as np
 from . import fonts as fontmod
 from .interp import _RTL_BIDI as _RTL  # single source for the RTL class set
 
-# style-identity columns: numeric + string (BoxStyle.java:366-405)
-STYLE_ID_NUM = ["xscale", "word_spacing", "letter_spacing"]
-STYLE_ID_STR = ["color", "stroke_color", "font_family", "font_weight", "font_style"]
+# The 8-field style identity (BoxStyle.java:366-405: xscale, word/letter
+# spacing, color, strokeColor, fontFamily, fontWeight, fontStyle) is
+# precomputed per show as the integer ``style_id`` column in
+# interp._concat_glyphs; the chunker compares only that.
 
 # box output columns (style_* naming matches SPAN_FLAT_SCHEMA)
 BOX_STYLE_MAP = {
@@ -113,13 +114,11 @@ def boxes_from_glyphs(glyphs: dict, page_flush: dict[int, int]) -> dict:
     disty = (y[1:] - y[:-1]).astype(np.float32)
     split[1:] = (distx > 1.0) | (distx < -6.0) | (np.abs(disty) > 1.0)
     split[1:] |= rtl[1:] != rtl[:-1]
-    # T2: style-identity split
-    for c in STYLE_ID_NUM:
-        v = gl[c].astype(np.float32)
-        split[1:] |= v[1:] != v[:-1]
-    for c in STYLE_ID_STR:
-        v = gl[c]
-        split[1:] |= v[1:] != v[:-1]
+    # T2: style-identity split — one int comparison per glyph (the 8-field
+    # identity is precomputed per show in interp._concat_glyphs, with
+    # float32-rounded numerics)
+    sidv = gl["style_id"]
+    split[1:] |= sidv[1:] != sidv[:-1]
 
     page_changed = np.zeros(n, dtype=bool)
     page_changed[1:] = page[1:] != page[:-1]
