@@ -45,6 +45,11 @@ def parse_args(argv):
                    choices=["embed", "dir", "ignore"])        # -fm/-fdir
     p.add_argument("--render-html", action="store_true",
                    help="also write per-doc HTML next to spans")
+    p.add_argument("--split-min-bytes", type=int, default=None,
+                   help="route docs larger than this through the page-split "
+                        "path (monster-doc skew defense; off by default)")
+    p.add_argument("--pages-per-group", type=int, default=8,
+                   help="pages per fan-out group on the split path")
     return p.parse_args(argv)
 
 
@@ -97,7 +102,9 @@ def main(argv=None):
                 f"error: {lineage_target} already exists; pass --resume "
                 "to continue that run, or point --output at a fresh target")
     stats = run_checkpointed(spark, docs, args.output, cfg=cfg,
-                             num_partitions=p, run_id=args.run_id)
+                             num_partitions=p, run_id=args.run_id,
+                             split_min_bytes=args.split_min_bytes,
+                             pages_per_group=args.pages_per_group)
     print(stats)
 
     if args.render_html:

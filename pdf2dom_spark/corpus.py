@@ -220,6 +220,61 @@ def rich_lite_stream(doc_id: str, text: str) -> list[dict]:
 
 
 # ---------------------------------------------------------------------------
+# 2c. rotated-page TEXT corpus: per reference semantics (PDFBoxTree.java:
+# 822-855) TextPosition.getX/getY is the page transform of the glyph's
+# device origin while getWidth stays the un-rotated device-x displacement,
+# so on 90/180/270 pages EVERY glyph becomes its own box (the disty/distx
+# thresholds trip between consecutive glyphs). One Mono-10 line per page at
+# Tm(72,700); rotation cycles 0/90/180/270 with the page index — geometry
+# is closed-form in (word lengths, rotation).
+# ---------------------------------------------------------------------------
+
+RT_WPL = 4  # words per page (single line)
+
+
+def rot_text_stream(doc_id: str, text: str) -> list[dict]:
+    words = [w for w in (text.split(" ") if text else []) if w]
+    if not words:
+        return []
+    spans: list[dict] = []
+    n_pages = (len(words) + RT_WPL - 1) // RT_WPL
+    for pi in range(n_pages):
+        rot = (0, 90, 180, 270)[pi % 4]
+        pw = words[pi * RT_WPL:(pi + 1) * RT_WPL]
+        spans.append(text_span(
+            f"{PAGE_W:g} {PAGE_H:g} {rot} PG BT /Mono 10 Tf "
+            f"1 0 0 1 72 700 Tm ({_esc(' '.join(pw))}) Tj ET", pi))
+    return spans
+
+
+# ---------------------------------------------------------------------------
+# 2d. form-XObject corpus: a header form defined once per document and
+# invoked on EVERY page via /F1 Do (PDFBoxTree.java:394-404; PDFBox
+# showForm): expansion is inline under an implicit q/Q, so the form's font
+# size + fill color are isolated from the page body — closed-form.
+# ---------------------------------------------------------------------------
+
+FM_WPL = 4  # body words per page (single line)
+
+
+def forms_stream(doc_id: str, text: str) -> list[dict]:
+    words = [w for w in (text.split(" ") if text else []) if w]
+    if not words:
+        return []
+    hdr = f"hdr{doc_id}"
+    spans: list[dict] = [form_span(
+        "F1", f"/Mono 8 Tf 0.25 0.5 0.75 rg 1 0 0 1 72 760 Tm ({hdr}) Tj",
+        0)]
+    n_pages = (len(words) + FM_WPL - 1) // FM_WPL
+    for pi in range(n_pages):
+        pw = words[pi * FM_WPL:(pi + 1) * FM_WPL]
+        spans.append(text_span(
+            f"{PAGE_W:g} {PAGE_H:g} 0 PG BT /Mono 10 Tf /F1 Do "
+            f"1 0 0 1 72 700 Tm ({_esc(' '.join(pw))}) Tj ET", pi + 1))
+    return spans
+
+
+# ---------------------------------------------------------------------------
 # 3. rich interleaved corpus
 # ---------------------------------------------------------------------------
 
@@ -468,6 +523,10 @@ def build_docs_df(spark, sf_dir: str, mode: str = "rich", replicate: int = 1,
                     spans = oracle_stream(did, text)
                 elif mode == "rich_lite":
                     spans = rich_lite_stream(did, text)
+                elif mode == "rot_text":
+                    spans = rot_text_stream(did, text)
+                elif mode == "forms":
+                    spans = forms_stream(did, text)
                 else:
                     spans = rich_stream(did, text)
                 rows.append({"doc_id": did, "spans": spans})

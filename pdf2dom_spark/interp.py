@@ -646,9 +646,23 @@ def _concat_glyphs(chunks: list[tuple]) -> dict:
     codes = np.concatenate([ch[_K_CODES] for ch in chunks])
     starts = np.zeros(nch, dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
+    # Prefix-sum the advances PER PAGE, not per document: a doc-global
+    # cumsum makes every glyph position carry rounding error from all
+    # earlier pages, so the page-split path (pagesplit.py groups at page
+    # boundaries) would drift from the unsplit path at the 1e-13 level.
+    # Page-local accumulation is bit-identical under any page-aligned
+    # split and strictly closer to the reference's per-show arithmetic.
+    pg = np.fromiter((ch[_K_PAGE] for ch in chunks), dtype=np.int64,
+                     count=nch)
+    page_chunk_starts = np.flatnonzero(
+        np.concatenate(([True], pg[1:] != pg[:-1])))
+    gps = starts[page_chunk_starts]            # glyph index per page start
     cs = np.empty(n)
-    cs[0] = 0.0
-    np.cumsum(adv[:-1], out=cs[1:])
+    pb = np.append(gps, n)
+    for a, b in zip(pb[:-1], pb[1:]):
+        cs[a] = 0.0
+        if b - a > 1:
+            np.cumsum(adv[a:b - 1], out=cs[a + 1:b])
     cum = cs - np.repeat(cs[starts], lens)
 
     def rep(slot: int, dtype=np.float64) -> np.ndarray:

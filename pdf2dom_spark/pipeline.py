@@ -110,12 +110,21 @@ def run_checkpointed(
     num_partitions: int = 32,
     run_id: str | None = None,
     fail_parts: set[int] | None = None,
+    split_min_bytes: int | None = None,
+    pages_per_group: int = 8,
 ) -> dict:
     """One checkpointed run: extract only partitions that have no lineage row
     yet, write them idempotently, append lineage. Returns run stats.
 
     ``fail_parts`` injects a failure for those part_ids (the partition's
     lineage row is withheld and its output discarded) to test resume.
+
+    ``split_min_bytes`` (opt-in) routes extraction through the page-split
+    path (pagesplit.extract_spans_paged): documents whose content streams
+    exceed the threshold fan out per ``pages_per_group`` pages so one
+    monster document cannot become one task's working set. The split path
+    is bit-equal on the supported corpus classes (tests/test_pagesplit.py)
+    and pays one extra per-document window renumber.
     """
     from . import tables
 
@@ -144,12 +153,20 @@ def run_checkpointed(
     if fail_parts:
         processed = [p for p in processed if p not in fail_parts]
 
-    # shuffle on the raw 64-bit hash (pmod into num_partitions values leaves
-    # ~1/e of the extraction tasks empty — same Poisson-occupancy fix as
-    # extract_spans above); part_id stays the deterministic COLUMN
-    pending = pending.repartition(num_partitions, F.xxhash64("doc_id"))
-    spans = pending.mapInPandas(make_extract_batch(cfg, nested=False),
-                                SPAN_FLAT_SCHEMA)
+    if split_min_bytes is not None:
+        # monster-doc defense: page-group fan-out (does its own salting +
+        # renumber; part_id is the same pmod(xxhash64) column either way)
+        from .pagesplit import extract_spans_paged
+        spans = extract_spans_paged(
+            pending.drop("part_id"), cfg, num_partitions,
+            pages_per_group=pages_per_group, min_bytes=split_min_bytes)
+    else:
+        # shuffle on the raw 64-bit hash (pmod into num_partitions values
+        # leaves ~1/e of the extraction tasks empty — same Poisson-occupancy
+        # fix as extract_spans above); part_id stays the deterministic COLUMN
+        pending = pending.repartition(num_partitions, F.xxhash64("doc_id"))
+        spans = pending.mapInPandas(make_extract_batch(cfg, nested=False),
+                                    SPAN_FLAT_SCHEMA)
     if fail_parts:
         # simulate a mid-job crash: these partitions produce no output and
         # no lineage row this run
@@ -157,13 +174,21 @@ def run_checkpointed(
 
     tables.write_partitioned(spans, spans_dir, "part_id", spark)
 
+    # Read back ONLY this run's partitions: the literal isin() predicate on
+    # the partition column statically prunes the scan (the table is
+    # partitioned by part_id), so lineage costs O(this run's output) — never
+    # O(cumulative table). The previous broadcast-join shape *might* DPP-prune
+    # but nothing guaranteed it; at 10^12 docs every resume paid a full-table
+    # scan (VERDICT r2 #3).
     written = tables.read_table(spark, spans_dir)
+    this_run = (written.where(F.col("part_id").isin(processed))
+                if processed else written.where(F.lit(False)))
     proc_df = spark.createDataFrame(
         [(p,) for p in processed] or [(None,)], "part_id int").where(
         F.col("part_id").isNotNull())
     # lineage for every PROCESSED partition; zero-span partitions get an
     # explicit zero row (checksum 0) so they count as done
-    stats = lineage(written.join(F.broadcast(proc_df), "part_id"))
+    stats = lineage(this_run)
     new_lineage = (
         proc_df.join(stats, "part_id", "left")
         .fillna(0, subset=[c for c in stats.columns if c != "part_id"])
@@ -175,9 +200,15 @@ def run_checkpointed(
     done_now = tables.read_table(spark, lineage_dir)
     run_spans = sum(
         r.span_count for r in new_lineage.select("span_count").collect())
+    # Cumulative size comes from the P-row lineage table (each part_id has
+    # exactly one lineage row once done; failed partitions have none and no
+    # data), NOT from a count() scan of the cumulative spans table.
+    agg = done_now.agg(
+        F.countDistinct("part_id").alias("parts"),
+        F.sum("span_count").alias("total")).collect()[0]
     return {
         "run_id": run_id,
-        "parts_done": done_now.select("part_id").distinct().count(),
-        "span_count": int(run_spans),          # THIS run's spans
-        "total_span_count": written.count(),   # cumulative table size
+        "parts_done": int(agg["parts"]),
+        "span_count": int(run_spans),                 # THIS run's spans
+        "total_span_count": int(agg["total"] or 0),   # from lineage, O(P)
     }

@@ -31,6 +31,27 @@ from pyspark.sql import functions as F
 REGISTRY: dict = {}
 ORACLES: dict[str, str] = {}
 
+# Queries in this set are exact small-scale BASELINES kept for verifying the
+# scale-safe variants (LSH banding) against ground truth; their all-pairs
+# join is O(N^2/|langs|) and must never run on a production corpus. They
+# self-guard on input row count (below); registries/UIs can also use this
+# set to separate the verification surface from the 100 TB surface.
+VERIFICATION_ONLY = {"dedup_ngram_jaccard", "dedup_minhash"}
+
+# Hard input-size ceiling for the all-pairs baselines. 100k docs over ~5
+# langs is ~10^9 candidate pairs — already hours of work; anything beyond is
+# an operator-misuse error, not a slow query.
+ALLPAIRS_MAX_DOCS = 100_000
+
+
+def _guard_allpairs(d: DataFrame, name: str) -> None:
+    n = d.count()
+    if n > ALLPAIRS_MAX_DOCS:
+        raise ValueError(
+            f"{name} is a verification-only all-pairs baseline "
+            f"(O(N^2/|langs|)); input has {n} docs > {ALLPAIRS_MAX_DOCS} "
+            f"cap. Use dedup_minhash_lsh for production-scale near-dup.")
+
 
 def _reg(name: str, sql: str | None):
     def deco(fn):
@@ -109,6 +130,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"), "lang",
         F.split("text", " ").alias("ws"))
+    _guard_allpairs(d, "dedup_ngram_jaccard")
     sh = d.select("doc_id", "lang", _shingles(F.col("ws")).alias("sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -149,6 +171,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"), "lang",
         F.split("text", " ").alias("ws"))
+    _guard_allpairs(d, "dedup_minhash")
     sh = d.select("doc_id", "lang", _shingles(F.col("ws")).alias("sh"))
     # explode_outer + post-filter: see dedup_minhash_lsh (the inferred
     # size(sh) > 0 generate filter inlines the shingle expression with
@@ -211,6 +234,22 @@ FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_
 WHERE {' + '.join(f'(sa.m{k} = sb.m{k})::INT' for k in range(8))} >= 4
 """.replace("{shingles}", _SHINGLES_SQL))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, sig = _minhash_lsh_build(spark, sf_dir)
+    # Materialize the (tiny — near-dup pairs only) result eagerly so the
+    # signature cache can be released NOW instead of pinning storage until
+    # the ContextCleaner notices the plan is unreachable. In a long-lived
+    # driver the unreleased blocks were the leak (VERDICT r2 #9).
+    # coalesce(1): checkpointing one block instead of one per shuffle
+    # partition saves ~0.3s of task overhead on a result this small.
+    out = out.coalesce(1).localCheckpoint(eager=True)
+    sig.unpersist(blocking=False)
+    return out
+
+
+def _minhash_lsh_build(spark: SparkSession, sf_dir: str):
+    """Lazy plan builder (plan-gated in tests/test_plans.py); returns
+    (result, persisted-signature-frame) so the caller controls cache
+    release."""
     p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     d = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -261,14 +300,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = bands.alias("a"), bands.alias("b")
     n_match = sum(
         (F.col(f"a.m{k}") == F.col(f"b.m{k}")).cast("int") for k in _MH_KS)
-    return (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
-                   & (F.col("a.bh") == F.col("b.bh"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .where(n_match >= 4)
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
-                    n_match.cast("int").alias("n_match"))
-            .distinct())
+    out = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                  & (F.col("a.bh") == F.col("b.bh"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+           .where(n_match >= 4)
+           .select(F.col("a.doc_id").alias("doc_a"),
+                   F.col("b.doc_id").alias("doc_b"),
+                   n_match.cast("int").alias("n_match"))
+           .distinct())
+    return out, sig
 
 
 # ---------------------------------------------------------------------------
@@ -295,10 +335,13 @@ def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(F.split("text", " ")).alias("g"))
+    # Project the digest ONCE per word; the 16 bit-aggregates below each read a
+    # nibble of this shared column instead of re-hashing the word 16 times.
+    d = d.select("doc_id", F.md5("g").alias("h"))
     bits = []
     for b in _SH_BITS:
         nib = (F.instr(F.lit("0123456789abcdef"),
-                       F.substring(F.md5("g"), b + 1, 1)) - 1) % 2
+                       F.substring(F.col("h"), b + 1, 1)) - 1) % 2
         bits.append(F.sum(F.when(nib == 1, 1).otherwise(-1)).alias(f"s{b}"))
     agg = d.groupBy("doc_id").agg(*bits)
     sim = F.concat(*[

@@ -88,6 +88,31 @@ def test_resume_idempotent(spark, docs, tmp_path):
     assert [tuple(r) for r in la] == [tuple(r) for r in lb]
 
 
+def test_resume_idempotent_paged(spark, docs, tmp_path):
+    """Failure-injection resume THROUGH the page-split path (VERDICT r2 #4):
+    the monster-doc defense must be reachable from the production entry
+    point and yield a bit-equal final table."""
+    out1 = str(tmp_path / "full")
+    out2 = str(tmp_path / "paged")
+    run_checkpointed(spark, docs, out1, num_partitions=8, run_id="full")
+    # min_bytes=0: force every doc through the split machinery (the corpus
+    # classes where the split is exact — tests/test_pagesplit.py)
+    run_checkpointed(spark, docs, out2, num_partitions=8, run_id="p1",
+                     fail_parts={1, 6}, split_min_bytes=0,
+                     pages_per_group=4)
+    stats = run_checkpointed(spark, docs, out2, num_partitions=8,
+                             run_id="p2", split_min_bytes=0,
+                             pages_per_group=4)
+    assert stats["parts_done"] == 8
+    a = spark.read.parquet(f"{out1}/spans")
+    b = spark.read.parquet(f"{out2}/spans")
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    lin = spark.read.parquet(f"{out2}/lineage")
+    by_run = {r["part_id"]: r["run_id"] for r in lin.collect()}
+    assert by_run[1] == "p2" and by_run[6] == "p2"
+
+
 def test_skew_docs_exist_and_balanced(spark, docs):
     # the rich corpus has a deterministic skew tail; salting must keep the
     # max-partition share bounded

@@ -125,10 +125,13 @@ def test_no_python_udf_outside_extraction(spark):
 
 def test_minhash_lsh_join_is_band_keyed(spark):
     """The banded candidate join must key on (band_id, band hash), never on
-    a low-cardinality column like lang (VERDICT r1 'What's wrong' #2)."""
-    from pdf2dom_spark.queries import all_queries
-    q = all_queries()["dedup_minhash_lsh"](spark, SF_SMOKE)
+    a low-cardinality column like lang (VERDICT r1 'What's wrong' #2).
+    Inspects the lazy builder: the public query fn eagerly checkpoints the
+    (tiny) result to release the signature cache, which truncates the plan."""
+    from pdf2dom_spark.textops import _minhash_lsh_build
+    q, sig = _minhash_lsh_build(spark, SF_SMOKE)
     plan = _plan(q)
+    sig.unpersist(blocking=False)
     assert "bh" in plan and "band_id" in plan
     join_lines = [ln for ln in plan.splitlines()
                   if "Join" in ln and "lang" in ln]
