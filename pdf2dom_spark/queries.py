@@ -468,6 +468,217 @@ def extract_spans_rich_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 1a-rot. FULL kernel vs closed-form SQL on the rotated-page TEXT corpus
+# (PDFBoxTree.java:822-855): TextPosition.getX/getY is the page transform of
+# the glyph's device origin — rot0 (x, h-y); rot90 (y, x); rot180 (w-x, y);
+# rot270 (h-y, w-x) — while getWidth stays the un-rotated device-x
+# displacement, so on rotated pages every glyph is its own box (disty=5>1 on
+# 90/270, distx=-10<-6 on 180). One Mono-10 line per page at Tm(72,700);
+# rotation cycles with the page index (corpus.rot_text_stream).
+# top = getY - ascent (ascent = 0.8 * size = 8).
+
+_ROT_TEXT_SQL = """
+WITH w0 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         unnest(string_split(text,' ')) AS word,
+         generate_subscripts(string_split(text,' '), 1) AS sidx
+  FROM documents WHERE length(text) > 0
+),
+w AS (
+  SELECT doc_id, word,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sidx) - 1 AS widx
+  FROM w0 WHERE word <> ''
+),
+ws AS (
+  SELECT doc_id, word, widx,
+         CAST(widx // 4 + 1 AS INT) AS page_no,
+         CAST(widx % 4 AS INT) AS j,
+         COALESCE(SUM(LENGTH(word)) OVER (PARTITION BY doc_id, widx // 4
+             ORDER BY widx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) + (widx % 4) AS pre
+  FROM w
+),
+pg AS (
+  SELECT doc_id, page_no,
+         ((page_no - 1) % 4) * 90 AS rot,
+         COUNT(*) AS m, SUM(LENGTH(word)) AS nchars
+  FROM ws GROUP BY doc_id, page_no
+),
+pgo AS (
+  SELECT doc_id, page_no, rot,
+         m, CASE WHEN rot = 0 THEN m ELSE nchars END AS nb,
+         CAST(COALESCE(SUM(CASE WHEN rot = 0 THEN m ELSE nchars END + 1)
+             OVER (PARTITION BY doc_id ORDER BY page_no
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS INT) AS base
+  FROM pg
+),
+pages AS (
+  SELECT doc_id, base AS ord, 'page' AS kind,
+         CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS media_ref,
+         page_no,
+         CAST(NULL AS DOUBLE) AS left_pt, CAST(NULL AS DOUBLE) AS top_pt,
+         CASE WHEN rot IN (90, 270) THEN 792.0 ELSE 612.0 END AS width_pt,
+         CASE WHEN rot IN (90, 270) THEN 612.0 ELSE 792.0 END AS height_pt,
+         CAST(NULL AS DOUBLE) AS line_height, CAST(NULL AS DOUBLE) AS font_size,
+         CAST(NULL AS VARCHAR) AS color, CAST(NULL AS VARCHAR) AS font_family
+  FROM pgo
+),
+b0 AS (
+  SELECT ws.doc_id, CAST(p.base + 1 + ws.j AS INT) AS ord, 'text' AS kind,
+         ws.word AS text, CAST(NULL AS VARCHAR) AS media_ref, ws.page_no,
+         ROUND(72 + 5.0 * ws.pre, 2) AS left_pt, 84.0 AS top_pt,
+         ROUND(5.0 * LENGTH(ws.word), 2) AS width_pt,
+         CAST(NULL AS DOUBLE) AS height_pt,
+         10.0 AS line_height, 10.0 AS font_size,
+         '#000000' AS color, 'Mono' AS font_family
+  FROM ws JOIN pgo p USING (doc_id, page_no) WHERE p.rot = 0
+),
+gly0 AS (
+  SELECT ws.doc_id, ws.page_no, p.rot, p.base, ws.word, ws.pre, ws.j,
+         unnest(generate_series(1, LENGTH(ws.word))) AS gi
+  FROM ws JOIN pgo p USING (doc_id, page_no)
+  WHERE p.rot <> 0
+),
+bg AS (
+  SELECT doc_id,
+         CAST(base + 1 + (pre - j) + gi - 1 AS INT) AS ord, 'text' AS kind,
+         substr(word, gi, 1) AS text, CAST(NULL AS VARCHAR) AS media_ref,
+         page_no,
+         ROUND(CASE rot WHEN 90 THEN 700.0
+               WHEN 180 THEN 612.0 - (72 + 5.0 * (pre + gi - 1))
+               ELSE 92.0 END, 2) AS left_pt,
+         ROUND(CASE rot WHEN 90 THEN (72 + 5.0 * (pre + gi - 1)) - 8.0
+               WHEN 180 THEN 692.0
+               ELSE 612.0 - (72 + 5.0 * (pre + gi - 1)) - 8.0 END, 2) AS top_pt,
+         5.0 AS width_pt, CAST(NULL AS DOUBLE) AS height_pt,
+         10.0 AS line_height, 10.0 AS font_size,
+         '#000000' AS color, 'Mono' AS font_family
+  FROM gly0
+),
+fonts AS (
+  SELECT doc_id, CAST(SUM(nb + 1) AS INT) AS ord, 'font' AS kind,
+         'Mono' AS text, 'font:Mono' AS media_ref, CAST(NULL AS INT) AS page_no,
+         CAST(NULL AS DOUBLE) AS left_pt, CAST(NULL AS DOUBLE) AS top_pt,
+         CAST(NULL AS DOUBLE) AS width_pt, CAST(NULL AS DOUBLE) AS height_pt,
+         CAST(NULL AS DOUBLE) AS line_height, CAST(NULL AS DOUBLE) AS font_size,
+         CAST(NULL AS VARCHAR) AS color, CAST(NULL AS VARCHAR) AS font_family
+  FROM pgo GROUP BY doc_id
+)
+SELECT * FROM pages UNION ALL SELECT * FROM b0
+UNION ALL SELECT * FROM bg UNION ALL SELECT * FROM fonts
+"""
+
+
+def _oracle_proj(flat: DataFrame) -> DataFrame:
+    return flat.select(
+        "doc_id",
+        F.col("order").cast("int").alias("ord"),
+        "kind", "text", "media_ref",
+        F.col("page_no").cast("int").alias("page_no"),
+        F.round(F.col("style_left").cast("double"), 2).alias("left_pt"),
+        F.round(F.col("style_top").cast("double"), 2).alias("top_pt"),
+        F.round(F.col("style_width").cast("double"), 2).alias("width_pt"),
+        F.round(F.col("style_height").cast("double"), 2).alias("height_pt"),
+        F.round(F.col("style_line_height").cast("double"), 2).alias("line_height"),
+        F.round(F.col("style_font_size").cast("double"), 2).alias("font_size"),
+        F.col("style_color").alias("color"),
+        F.col("style_font_family").alias("font_family"),
+    )
+
+
+@_reg("extract_spans_rot_text", _ROT_TEXT_SQL)
+def extract_spans_rot_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _oracle_proj(_extract_flat(spark, sf_dir, mode="rot_text"))
+
+
+# 1a-forms. FULL kernel vs closed-form SQL on the form-XObject corpus
+# (PDFBoxTree.java:394-404; PDFBox showForm): a header form defined once per
+# doc, invoked on every page via /F1 Do — expansion runs inline under an
+# implicit q/Q, so the form's Mono-8 font + 0.25/0.5/0.75 fill are isolated
+# from the Mono-10 black body (corpus.forms_stream). Per page: page span,
+# header box (flushed when the body starts), body word boxes.
+
+_FORMS_SQL = """
+WITH w0 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         unnest(string_split(text,' ')) AS word,
+         generate_subscripts(string_split(text,' '), 1) AS sidx
+  FROM documents WHERE length(text) > 0
+),
+w AS (
+  SELECT doc_id, word,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sidx) - 1 AS widx
+  FROM w0 WHERE word <> ''
+),
+ws AS (
+  SELECT doc_id, word, widx,
+         CAST(widx // 4 + 1 AS INT) AS page_no,
+         CAST(widx % 4 AS INT) AS j,
+         COALESCE(SUM(LENGTH(word)) OVER (PARTITION BY doc_id, widx // 4
+             ORDER BY widx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) + (widx % 4) AS pre
+  FROM w
+),
+pg AS (
+  SELECT doc_id, page_no, COUNT(*) AS m FROM ws GROUP BY doc_id, page_no
+),
+pgo AS (
+  SELECT doc_id, page_no, m,
+         CAST(COALESCE(SUM(m + 2) OVER (PARTITION BY doc_id ORDER BY page_no
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+           AS base
+  FROM pg
+),
+pages AS (
+  SELECT doc_id, base AS ord, 'page' AS kind,
+         CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS media_ref,
+         page_no,
+         CAST(NULL AS DOUBLE) AS left_pt, CAST(NULL AS DOUBLE) AS top_pt,
+         612.0 AS width_pt, 792.0 AS height_pt,
+         CAST(NULL AS DOUBLE) AS line_height, CAST(NULL AS DOUBLE) AS font_size,
+         CAST(NULL AS VARCHAR) AS color, CAST(NULL AS VARCHAR) AS font_family
+  FROM pgo
+),
+hdrs AS (
+  SELECT doc_id, CAST(base + 1 AS INT) AS ord, 'text' AS kind,
+         'hdr' || doc_id AS text, CAST(NULL AS VARCHAR) AS media_ref, page_no,
+         72.0 AS left_pt, 25.6 AS top_pt,
+         ROUND(4.0 * LENGTH('hdr' || doc_id), 2) AS width_pt,
+         CAST(NULL AS DOUBLE) AS height_pt,
+         8.0 AS line_height, 8.0 AS font_size,
+         '#3f7fbf' AS color, 'Mono' AS font_family
+  FROM pgo
+),
+body AS (
+  SELECT ws.doc_id, CAST(p.base + 2 + ws.j AS INT) AS ord, 'text' AS kind,
+         ws.word AS text, CAST(NULL AS VARCHAR) AS media_ref, ws.page_no,
+         ROUND(72 + 5.0 * ws.pre, 2) AS left_pt, 84.0 AS top_pt,
+         ROUND(5.0 * LENGTH(ws.word), 2) AS width_pt,
+         CAST(NULL AS DOUBLE) AS height_pt,
+         10.0 AS line_height, 10.0 AS font_size,
+         '#000000' AS color, 'Mono' AS font_family
+  FROM ws JOIN pgo p USING (doc_id, page_no)
+),
+fonts AS (
+  SELECT doc_id, CAST(SUM(m + 2) AS INT) AS ord, 'font' AS kind,
+         'Mono' AS text, 'font:Mono' AS media_ref, CAST(NULL AS INT) AS page_no,
+         CAST(NULL AS DOUBLE) AS left_pt, CAST(NULL AS DOUBLE) AS top_pt,
+         CAST(NULL AS DOUBLE) AS width_pt, CAST(NULL AS DOUBLE) AS height_pt,
+         CAST(NULL AS DOUBLE) AS line_height, CAST(NULL AS DOUBLE) AS font_size,
+         CAST(NULL AS VARCHAR) AS color, CAST(NULL AS VARCHAR) AS font_family
+  FROM pgo GROUP BY doc_id
+)
+SELECT * FROM pages UNION ALL SELECT * FROM hdrs
+UNION ALL SELECT * FROM body UNION ALL SELECT * FROM fonts
+"""
+
+
+@_reg("extract_spans_forms", _FORMS_SQL)
+def extract_spans_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _oracle_proj(_extract_flat(spark, sf_dir, mode="forms"))
+
+
 # 1b. page-range gate (S2; PDFBoxTree.java:200-210 — 1-based, inclusive)
 @_reg("extract_page_range", """
 WITH w0 AS (
