@@ -214,8 +214,15 @@ def rich_lite_stream(doc_id: str, text: str) -> list[dict]:
         spans.append(text_span(head, off)); off += 1
         gref = "sha:" + hashlib.md5(f"{doc_id}:rlg".encode()).hexdigest()
         spans.append(image_span(gref, 640, 480, "ImgG", off)); off += 1
+        # device-CMYK fill (k) + stroke (K): naive device formula
+        # ((1-c)(1-k) per channel, interp.cmyk_to_rgb) — 0.2/0.4/0.6/0.1 k
+        # -> #b7895b fill, 0.6/0.2/0/0.2 K -> #51a3cc stroke. The reference
+        # delegates to PDFBox's ICC color management here; the divergence is
+        # pinned in tests/test_cmyk.py.
         spans.append(text_span(
-            "Q 1.5 w 0.1 0.2 0.3 RG 150 480 m 350 480 l S", off)); off += 1
+            "Q 1.5 w 0.1 0.2 0.3 RG 150 480 m 350 480 l S "
+            "0.2 0.4 0.6 0.1 k 150 120 100 40 re f "
+            "2 w 0.6 0.2 0 0.2 K 150 200 m 350 200 l S", off)); off += 1
     return spans
 
 

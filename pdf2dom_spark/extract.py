@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 
 from . import graphics, textpipe
-from .interp import DocInterp, doc_tokens
+from .interp import DocInterp, doc_cmaps, doc_tokens
 from .schema import SPAN_FLAT_COLUMNS, STYLE_FIELDS
 
 
@@ -76,6 +76,7 @@ def extract_doc_columnar(doc_id: str, spans: list[dict],
         collect_fonts=cfg.font_handler != "ignore",  # PDFDomTree.java:456-462
         page_offset=page_offset, font_seed=font_seed,
         raster_paths=cfg.raster_paths,
+        cmaps=doc_cmaps(spans),
     )
     glyphs, events, font_table, end_key, page_flush = interp.run(tokens)
 

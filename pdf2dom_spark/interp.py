@@ -185,6 +185,30 @@ GLYPH_COLS = [
 ]
 
 
+def doc_cmaps(spans: list[dict]) -> dict[str, dict[int, str]]:
+    """Collect per-font code->unicode maps from ``kind='cmap'`` spans
+    (media_ref='cmap:<FontName>', text='<code>:<hex cp>[ ...]'; code is the
+    decimal glyph code, cp the hex unicode codepoint, single char per code).
+
+    Models the font-encoding / ToUnicode tables PDFBox resolves per font and
+    applies at showText time (PDFBoxTree.java:592-656 receives the decoded
+    TextPosition). Multi-char expansions (ligature ToUnicode entries) are
+    out of scope: glyph arrays here are strictly 1:1 code->char.
+    """
+    maps: dict[str, dict[int, str]] = {}
+    for sp in spans:
+        if sp.get("kind") != "cmap":
+            continue
+        name = (sp.get("media_ref") or "")
+        name = name[5:] if name.startswith("cmap:") else name
+        m = maps.setdefault(name, {})
+        for pair in (sp.get("text") or "").replace(",", " ").split():
+            code, _, cp = pair.partition(":")
+            if code and cp:
+                m[int(code)] = chr(int(cp, 16))
+    return maps
+
+
 class DocInterp:
     """Interprets one document's token list. Produces:
 
@@ -203,7 +227,14 @@ class DocInterp:
                  disable_graphics: bool = False, disable_images: bool = False,
                  collect_fonts: bool = True, page_offset: int = 0,
                  font_seed: list[str] | None = None,
-                 raster_paths: bool = False):
+                 raster_paths: bool = False,
+                 cmaps: dict[str, dict[int, str]] | None = None):
+        # per-font code->unicode maps (the PDFBox font-encoding / ToUnicode
+        # resolution that feeds processTextPosition, PDFBoxTree.java:592-656,
+        # transposed: metrics stay indexed by the ORIGINAL glyph code, the
+        # span text and all unicode-derived semantics — whitespace drop, RTL,
+        # diacritics — use the mapped character). See doc_cmaps().
+        self.cmaps = cmaps or {}
         self.start_page = start_page
         self.end_page = end_page
         self.disable_graphics = disable_graphics
@@ -318,6 +349,14 @@ class DocInterp:
                 adv += g.tc * g.th
             if g.tw != 0.0:
                 adv[codes == 32] += g.tw * g.th
+            # font encoding: advances above use the raw glyph codes (the
+            # reference reads metrics by code); everything downstream sees
+            # the decoded unicode (PDFBox decodes at showText time)
+            enc = self.cmaps.get(g.font)
+            if enc is not None:
+                s = "".join([enc.get(c, ch)
+                             for c, ch in zip(codes.tolist(), s)])
+                codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
             # Tm x CTM — identity-CTM fast path skips the matrix multiply
             tmctm = tm if g.ctm_ident else compose(tm, g.ctm)
             m00, m01 = tmctm[0, 0], tmctm[0, 1]
@@ -768,8 +807,8 @@ def doc_tokens(spans: list[dict]) -> list[tuple[str, list]]:
 
     for sp in ordered:
         kind = sp["kind"]
-        if kind in ("form", "meta"):
-            continue  # definitions/document-info are not content
+        if kind in ("form", "meta", "cmap"):
+            continue  # definitions/document-info/encodings are not content
         if kind == "image":
             meta = (sp.get("text") or "").split()
             w = float(meta[0]) if len(meta) > 0 else 1.0

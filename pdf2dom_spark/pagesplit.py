@@ -97,8 +97,10 @@ def split_doc(doc_id: str, spans: list[dict], pages_per_group: int,
 
     # form XObject DEFINITIONS are position-independent (doc_tokens collects
     # them before splicing): replicate them into every page-group so /Name Do
-    # expands identically on both paths
-    form_spans = [sp for sp in spans if sp["kind"] == "form"]
+    # expands identically on both paths; cmap (font-encoding) spans are the
+    # same kind of definition (doc_cmaps collects them before the run)
+    form_spans = [sp for sp in spans
+                  if sp["kind"] in ("form", "cmap")]
     # document-info spans emit only at endDocument -> last group only
     meta_spans = [sp for sp in spans if sp["kind"] == "meta"]
 
@@ -106,7 +108,7 @@ def split_doc(doc_id: str, spans: list[dict], pages_per_group: int,
     pieces: list[tuple[str, dict | str]] = []
     n_pages = 0
     for sp in spans:
-        if sp["kind"] in ("form", "meta"):
+        if sp["kind"] in ("form", "meta", "cmap"):
             continue
         if sp["kind"] == "image":
             pieces.append(("image", sp))

@@ -427,8 +427,44 @@ glines AS (
          CAST(NULL AS VARCHAR) AS font_family
   FROM gd
 ),
+gcmykrects AS (
+  -- device-CMYK fill 0.2/0.4/0.6/0.1 k -> naive device formula #b7895b;
+  -- user rect (150,120)+(100,40) through the quadrant transform
+  SELECT doc_id, base + 4 AS ord, 'rect' AS kind,
+         CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS media_ref,
+         gpno AS page_no,
+         CAST(CASE rot WHEN 90 THEN 120 WHEN 180 THEN 362 ELSE 632 END
+              AS DOUBLE) AS left_pt,
+         CAST(CASE rot WHEN 90 THEN 150 WHEN 180 THEN 120 ELSE 362 END
+              AS DOUBLE) AS top_pt,
+         CAST(CASE rot WHEN 180 THEN 100 ELSE 40 END AS DOUBLE) AS width_pt,
+         CAST(CASE rot WHEN 180 THEN 40 ELSE 100 END AS DOUBLE) AS height_pt,
+         CAST(NULL AS DOUBLE) AS line_height, CAST(NULL AS DOUBLE) AS font_size,
+         '#b7895b' AS color, CAST(NULL AS VARCHAR) AS stroke_color,
+         CAST(NULL AS DOUBLE) AS wsp, CAST(NULL AS DOUBLE) AS lsp,
+         CAST(NULL AS VARCHAR) AS font_family
+  FROM gd
+),
+gcmyklines AS (
+  -- device-CMYK stroke 0.6/0.2/0/0.2 K -> #51a3cc; user segment
+  -- (150,200)-(350,200)
+  SELECT doc_id, base + 5 AS ord, 'line' AS kind,
+         CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS media_ref,
+         gpno AS page_no,
+         CAST(CASE rot WHEN 90 THEN 200 WHEN 180 THEN 262 ELSE 592 END
+              AS DOUBLE) AS left_pt,
+         CAST(CASE rot WHEN 90 THEN 150 WHEN 180 THEN 200 ELSE 262 END
+              AS DOUBLE) AS top_pt,
+         CAST(CASE rot WHEN 180 THEN 200 ELSE 0 END AS DOUBLE) AS width_pt,
+         CAST(CASE rot WHEN 180 THEN 0 ELSE 200 END AS DOUBLE) AS height_pt,
+         CAST(NULL AS DOUBLE) AS line_height, CAST(NULL AS DOUBLE) AS font_size,
+         CAST(NULL AS VARCHAR) AS color, '#51a3cc' AS stroke_color,
+         CAST(NULL AS DOUBLE) AS wsp, CAST(NULL AS DOUBLE) AS lsp,
+         CAST(NULL AS VARCHAR) AS font_family
+  FROM gd
+),
 fonts AS (
-  SELECT doc_id, CAST(SUM(nb + 4) + 4 AS INT) AS ord, 'font' AS kind,
+  SELECT doc_id, CAST(SUM(nb + 4) + 6 AS INT) AS ord, 'font' AS kind,
          'Mono' AS text, 'font:Mono' AS media_ref, CAST(NULL AS INT) AS page_no,
          CAST(NULL AS DOUBLE) AS left_pt, CAST(NULL AS DOUBLE) AS top_pt,
          CAST(NULL AS DOUBLE) AS width_pt, CAST(NULL AS DOUBLE) AS height_pt,
@@ -443,6 +479,7 @@ UNION ALL SELECT * FROM pagespans UNION ALL SELECT * FROM rects
 UNION ALL SELECT * FROM imgs UNION ALL SELECT * FROM linespans
 UNION ALL SELECT * FROM gpages UNION ALL SELECT * FROM grects
 UNION ALL SELECT * FROM gimgs UNION ALL SELECT * FROM glines
+UNION ALL SELECT * FROM gcmykrects UNION ALL SELECT * FROM gcmyklines
 UNION ALL SELECT * FROM fonts
 """
 
