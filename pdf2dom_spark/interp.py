@@ -110,6 +110,21 @@ def page_transform(w: float, h: float, rot: int) -> np.ndarray:
     return m
 
 
+_PAGE_M_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def page_transform_cached(w: float, h: float, rot: int) -> np.ndarray:
+    """Read-only cached page matrix: real corpora use a handful of page
+    geometries across millions of pages (callers never mutate it)."""
+    key = (w, h, rot)
+    hit = _PAGE_M_CACHE.get(key)
+    if hit is None:
+        hit = page_transform(w, h, rot)
+        if len(_PAGE_M_CACHE) < 4096:
+            _PAGE_M_CACHE[key] = hit
+    return hit
+
+
 # --- colors ------------------------------------------------------------------
 
 _HEX_CACHE: dict[tuple, str] = {}
@@ -228,7 +243,11 @@ class DocInterp:
                  collect_fonts: bool = True, page_offset: int = 0,
                  font_seed: list[str] | None = None,
                  raster_paths: bool = False,
-                 cmaps: dict[str, dict[int, str]] | None = None):
+                 cmaps: dict[str, dict[int, str]] | None = None,
+                 batch_runs: bool = True):
+        # batch_runs=False forces the scalar Tm/Tj path — the equivalence
+        # knob tests/test_kernels_ext.py uses to pin show_run == show
+        self.batch_runs = batch_runs
         # per-font code->unicode maps (the PDFBox font-encoding / ToUnicode
         # resolution that feeds processTextPosition, PDFBoxTree.java:592-656,
         # transposed: metrics stay indexed by the ORIGINAL glyph code, the
@@ -405,6 +424,71 @@ class DocInterp:
             tm[2, 0] += total * tm[0, 0]
             tm[2, 1] += total * tm[0, 1]
 
+        def show_run(bases: list, strs: list, xs: list, ys: list) -> None:
+            """Batched fast path for a maximal run of
+            ``1 0 0 1 x y Tm (s) Tj`` pairs under an identity CTM — the
+            dominant shape of real text pages (one positioning + one show
+            per line/word). Semantically identical to interleaved
+            Tm-handler + show() calls: the per-pair matrix rebuild collapses
+            to two multiply-adds (the page transform is the only non-
+            translation left), and the whole run's advances come from ONE
+            frombuffer + ONE advance_widths call. Text state is constant
+            across the run by construction (no other ops inside it)."""
+            nonlocal tm, tlm
+            joined = "".join(strs)
+            codes_all = np.frombuffer(joined.encode("utf-32-le"),
+                                      dtype=np.uint32)
+            adv_all = F.advance_widths(codes_all, g.font,
+                                       g.fsize * g.th / 1000.0)
+            if g.tc != 0.0:
+                adv_all += g.tc * g.th
+            if g.tw != 0.0:
+                adv_all[codes_all == 32] += g.tw * g.th
+            nrun = len(strs)
+            offs = np.zeros(nrun + 1, dtype=np.int64)
+            np.cumsum(np.fromiter((len(s) for s in strs), dtype=np.int64,
+                                  count=nrun), out=offs[1:])
+            p00, p01 = page_m[0, 0], page_m[0, 1]
+            p10, p11 = page_m[1, 0], page_m[1, 1]
+            p20, p21 = page_m[2, 0], page_m[2, 1]
+            fam, weight, fstyle = _font_style(g.font)
+            yscale = g.fsize                       # sx = sy = 1 (translate Tm)
+            fill = (color_hex(g.fill_rgb) if g.tr in FILL_MODES
+                    else TRANSPARENT)
+            stroke = (color_hex(g.stroke_rgb) if g.tr in STROKE_MODES
+                      else TRANSPARENT)
+            height = F.CAP_HEIGHT / 1000.0 * yscale
+            xsc = g.fsize * g.th
+            asc = F.ASCENT / 1000.0 * yscale
+            dsc = F.DESCENT / 1000.0 * yscale
+            ts = g.ts
+            enc = self.cmaps.get(g.font)
+            append = glyph_chunks.append
+            for idx in range(nrun):
+                s = strs[idx]
+                if not s:
+                    continue
+                a, b = int(offs[idx]), int(offs[idx + 1])
+                codes = codes_all[a:b]
+                adv = adv_all[a:b]
+                if enc is not None:
+                    s = "".join([enc.get(c, ch)
+                                 for c, ch in zip(codes.tolist(), s)])
+                    codes = np.frombuffer(s.encode("utf-32-le"),
+                                          dtype=np.uint32)
+                x = xs[idx]
+                oy = ys[idx] + ts
+                append((bases[idx], s, codes, adv,
+                        p00, x * p00 + oy * p10 + p20,
+                        p01, x * p01 + oy * p11 + p21,
+                        1.0, page_no,
+                        height, xsc, yscale, asc, dsc, fam, weight, fstyle,
+                        fill, stroke, sticky_tw, sticky_tc))
+            # text state after the run == after the last Tm + show
+            tlm = mat(1.0, 0.0, 0.0, 1.0, xs[-1], ys[-1])
+            tm = tlm.copy()
+            tm[2, 0] += float(adv_all[offs[-2]:].sum())  # tm[0,0] == 1
+
         def do_image(key: int, media_ref: str, iw: float, ih: float,
                      name: str) -> None:
             """processImageOperation + calculateImagePosition
@@ -450,7 +534,7 @@ class DocInterp:
                 page_w = float(args[0]) if len(args) > 0 else 612.0
                 page_h = float(args[1]) if len(args) > 1 else 792.0
                 page_rot = int(args[2]) if len(args) > 2 else 0
-                page_m = page_transform(page_w, page_h, page_rot)
+                page_m = page_transform_cached(page_w, page_h, page_rot)
                 # fresh per-page graphics state including text state —
                 # PDFBox builds a new PDGraphicsState per page, so the font
                 # does NOT carry across pages; the *path* and lastText
@@ -472,6 +556,37 @@ class DocInterp:
                 if args:
                     show(base, str(args[-1]))
             elif op == "Tm" and len(args) >= 6:
+                # batched fast path: a maximal run of translate-only Tm + Tj
+                # pairs under an identity CTM (see show_run)
+                if (self.batch_runs and g.ctm_ident
+                        and i < ntok and tokens[i][0] == "Tj"
+                        and tokens[i][1]
+                        and args[0] == 1.0 and args[1] == 0.0
+                        and args[2] == 0.0 and args[3] == 1.0):
+                    run_b = [i * KEY_STRIDE]
+                    run_s = [str(tokens[i][1][-1])]
+                    run_x = [float(args[4])]
+                    run_y = [float(args[5])]
+                    j = i + 1
+                    while j + 1 < ntok:
+                        tj_op, tj_args = tokens[j]
+                        if tj_op != "Tm" or len(tj_args) < 6:
+                            break
+                        if (tj_args[0] != 1.0 or tj_args[1] != 0.0
+                                or tj_args[2] != 0.0 or tj_args[3] != 1.0):
+                            break
+                        nx_op, nx_args = tokens[j + 1]
+                        if nx_op != "Tj" or not nx_args:
+                            break
+                        run_b.append((j + 1) * KEY_STRIDE)
+                        run_s.append(str(nx_args[-1]))
+                        run_x.append(float(tj_args[4]))
+                        run_y.append(float(tj_args[5]))
+                        j += 2
+                    if len(run_s) >= 2:
+                        show_run(run_b, run_s, run_x, run_y)
+                        i = j
+                        continue
                 tlm = mat(*[float(a) for a in args[:6]])
                 tm = tlm.copy()
             elif op == "TJ" and args:

@@ -262,3 +262,48 @@ def test_dia_gap_splits_box():
                               "media_ref": None, "offset": 0}])
     texts = [r["text"] for r in rows if r["kind"] == "text"]
     assert texts == ["xe", "y"]
+
+
+def test_show_run_batched_equals_scalar():
+    """The Tm/Tj run-batched fast path (interp.show_run) must be
+    bit-identical to the scalar interpreter on every corpus class and
+    every fixture — glyph arrays, events, and font tables."""
+    import duckdb
+    import numpy as np
+
+    from pdf2dom_spark.corpus import (fixture_docs, forms_stream,
+                                      oracle_stream, rich_lite_stream,
+                                      rich_stream, rot_text_stream)
+    from pdf2dom_spark.interp import DocInterp, doc_cmaps, doc_tokens
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, text FROM read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet') LIMIT 80").fetchall()
+
+    def run_one(spans, batch):
+        interp = DocInterp(cmaps=doc_cmaps(spans), batch_runs=batch)
+        glyphs, events, ft, ek, pf = interp.run(doc_tokens(spans))
+        return glyphs, events, tuple(ft.entries)
+
+    def assert_eq(a, b, ctx):
+        ga, ea, fa = a
+        gb, eb, fb = b
+        assert fa == fb and ea == eb, ctx
+        for k in ga:
+            va, vb = ga[k], gb[k]
+            assert len(va) == len(vb), (ctx, k)
+            if getattr(va, "dtype", None) is not None and va.dtype == object:
+                assert all(x == y for x, y in zip(va, vb)), (ctx, k)
+            else:
+                assert np.array_equal(va, vb), (ctx, k)
+
+    gens = (rich_stream, oracle_stream, rich_lite_stream, rot_text_stream,
+            forms_stream)
+    for gen in gens:
+        for d, t in rows:
+            spans = gen(str(d), t)
+            assert_eq(run_one(spans, True), run_one(spans, False),
+                      (gen.__name__, d))
+    for name, spans in fixture_docs().items():
+        assert_eq(run_one(spans, True), run_one(spans, False), name)
