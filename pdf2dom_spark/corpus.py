@@ -282,6 +282,33 @@ def forms_stream(doc_id: str, text: str) -> list[dict]:
 
 
 # ---------------------------------------------------------------------------
+# 2e. font-encoding corpus: a kind='cmap' span maps Mono codes a/e/o to
+# Greek alpha/epsilon/omicron (PDFBox font-encoding/ToUnicode resolution,
+# PDFBoxTree.java:592-656). Advances stay keyed by the RAW code (Mono 5pt —
+# so geometry is unchanged), span text is the decoded unicode: the oracle is
+# the plain word grid with translate().
+# ---------------------------------------------------------------------------
+
+ENC_MAP = {97: "α", 101: "ε", 111: "ο"}  # a/e/o -> Greek (LTR, 1:1)
+
+
+def enc_stream(doc_id: str, text: str) -> list[dict]:
+    words = [w for w in (text.split(" ") if text else []) if w]
+    if not words:
+        return []
+    body = " ".join(f"{c}:{ord(u):04x}" for c, u in ENC_MAP.items())
+    spans: list[dict] = [{"kind": "cmap", "text": body,
+                          "media_ref": "cmap:Mono", "offset": 0}]
+    n_pages = (len(words) + RT_WPL - 1) // RT_WPL
+    for pi in range(n_pages):
+        pw = words[pi * RT_WPL:(pi + 1) * RT_WPL]
+        spans.append(text_span(
+            f"{PAGE_W:g} {PAGE_H:g} 0 PG BT /Mono 10 Tf "
+            f"1 0 0 1 72 700 Tm ({_esc(' '.join(pw))}) Tj ET", pi + 1))
+    return spans
+
+
+# ---------------------------------------------------------------------------
 # 3. rich interleaved corpus
 # ---------------------------------------------------------------------------
 
@@ -534,6 +561,8 @@ def build_docs_df(spark, sf_dir: str, mode: str = "rich", replicate: int = 1,
                     spans = rot_text_stream(did, text)
                 elif mode == "forms":
                     spans = forms_stream(did, text)
+                elif mode == "enc":
+                    spans = enc_stream(did, text)
                 else:
                     spans = rich_stream(did, text)
                 rows.append({"doc_id": did, "spans": spans})

@@ -716,6 +716,98 @@ def extract_spans_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _oracle_proj(_extract_flat(spark, sf_dir, mode="forms"))
 
 
+# 1a-enc. FULL kernel vs closed-form SQL on the font-encoding corpus: a
+# kind='cmap' span remaps Mono codes a/e/o -> Greek at show time (PDFBox
+# font-encoding/ToUnicode resolution, PDFBoxTree.java:592-656). Advances
+# stay keyed by the RAW glyph code (Mono: geometry unchanged); the span
+# text is the decoded unicode — the oracle is the plain grid + translate().
+
+_ENC_SQL = """
+WITH w0 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         unnest(string_split(text,' ')) AS word,
+         generate_subscripts(string_split(text,' '), 1) AS sidx
+  FROM documents WHERE length(text) > 0
+),
+w AS (
+  SELECT doc_id, word,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sidx) - 1 AS widx
+  FROM w0 WHERE word <> ''
+),
+ws AS (
+  SELECT doc_id, word, widx,
+         CAST(widx // 4 + 1 AS INT) AS page_no,
+         CAST(widx % 4 AS INT) AS j,
+         COALESCE(SUM(LENGTH(word)) OVER (PARTITION BY doc_id, widx // 4
+             ORDER BY widx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) + (widx % 4) AS pre
+  FROM w
+),
+pg AS (
+  SELECT doc_id, page_no, COUNT(*) AS m FROM ws GROUP BY doc_id, page_no
+),
+pgo AS (
+  SELECT doc_id, page_no, m,
+         CAST(COALESCE(SUM(m + 1) OVER (PARTITION BY doc_id ORDER BY page_no
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+           AS base
+  FROM pg
+),
+pages AS (
+  SELECT doc_id, base AS ord, 'page' AS kind,
+         CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS media_ref,
+         page_no,
+         CAST(NULL AS DOUBLE) AS left_pt, CAST(NULL AS DOUBLE) AS top_pt,
+         612.0 AS width_pt, 792.0 AS height_pt,
+         CAST(NULL AS DOUBLE) AS line_height, CAST(NULL AS DOUBLE) AS font_size,
+         CAST(NULL AS VARCHAR) AS color, CAST(NULL AS VARCHAR) AS font_family
+  FROM pgo
+),
+body AS (
+  SELECT ws.doc_id, CAST(p.base + 1 + ws.j AS INT) AS ord, 'text' AS kind,
+         translate(ws.word, 'aeo', 'αεο') AS text,
+         CAST(NULL AS VARCHAR) AS media_ref, ws.page_no,
+         ROUND(72 + 5.0 * ws.pre, 2) AS left_pt, 84.0 AS top_pt,
+         ROUND(5.0 * LENGTH(ws.word), 2) AS width_pt,
+         CAST(NULL AS DOUBLE) AS height_pt,
+         10.0 AS line_height, 10.0 AS font_size,
+         '#000000' AS color, 'Mono' AS font_family
+  FROM ws JOIN pgo p USING (doc_id, page_no)
+),
+fonts AS (
+  SELECT doc_id, CAST(SUM(m + 1) AS INT) AS ord, 'font' AS kind,
+         'Mono' AS text, 'font:Mono' AS media_ref, CAST(NULL AS INT) AS page_no,
+         CAST(NULL AS DOUBLE) AS left_pt, CAST(NULL AS DOUBLE) AS top_pt,
+         CAST(NULL AS DOUBLE) AS width_pt, CAST(NULL AS DOUBLE) AS height_pt,
+         CAST(NULL AS DOUBLE) AS line_height, CAST(NULL AS DOUBLE) AS font_size,
+         CAST(NULL AS VARCHAR) AS color, CAST(NULL AS VARCHAR) AS font_family
+  FROM pgo GROUP BY doc_id
+)
+SELECT * FROM pages UNION ALL SELECT * FROM body
+UNION ALL SELECT * FROM fonts
+"""
+
+
+@_reg("extract_spans_encoded", _ENC_SQL)
+def extract_spans_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _oracle_proj(_extract_flat(spark, sf_dir, mode="enc"))
+
+
+# 1a-paged. The page-split (monster-doc) path against the SAME closed-form
+# oracle as the unsplit mono-grid kernel: puts pagesplit.extract_spans_paged
+# under the cross-engine value-hash gate, not just the pytest equality gate.
+
+@_reg("extract_spans_paged_oracle", _ORACLE_SPANS_SQL)
+def extract_spans_paged_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pagesplit import extract_spans_paged
+
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = build_docs_df(spark, sf_dir, mode="oracle", num_partitions=p)
+    flat = extract_spans_paged(docs, ExtractConfig(), num_partitions=p,
+                               pages_per_group=2, min_bytes=0)
+    return _oracle_proj(flat)
+
+
 # 1b. page-range gate (S2; PDFBoxTree.java:200-210 — 1-based, inclusive)
 @_reg("extract_page_range", """
 WITH w0 AS (
