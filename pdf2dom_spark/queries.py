@@ -1449,11 +1449,13 @@ FROM documents GROUP BY 1
 """)
 def lineage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # digest projected once; min+max aggregates share it
+    d = d.select("doc_id", "n_chars", F.md5("text").alias("h"))
     return (d.groupBy((F.col("doc_id") % 16).cast("int").alias("part_id"))
             .agg(F.count(F.lit(1)).alias("doc_count"),
                  F.sum("n_chars").cast("long").alias("total_chars"),
-                 F.min(F.md5("text")).alias("checksum_lo"),
-                 F.max(F.md5("text")).alias("checksum_hi")))
+                 F.min("h").alias("checksum_lo"),
+                 F.max("h").alias("checksum_hi")))
 
 
 # ---------------------------------------------------------------------------

@@ -271,11 +271,17 @@ def _minhash_lsh_build(spark: SparkSession, sf_dir: str):
     # 8 permutations from TWO salted digests (4 disjoint 8-hex-char = 32-bit
     # windows each): the op is md5-bound at scale, and a digest window is as
     # valid a uniform hash as a whole digest — 4x less hashing than one
-    # salted md5 per permutation
+    # salted md5 per permutation. Project the two digests ONCE before the
+    # groupBy: an md5 inside each aggregate expression would re-hash every
+    # shingle 4x per digest (the same defect class as the r2 simhash16
+    # regression).
+    e = e.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("0|"), F.col("g"))).alias("h0"),
+        F.md5(F.concat(F.lit("1|"), F.col("g"))).alias("h1"))
     sig = e.groupBy("doc_id").agg(
-        *[F.min(F.substring(
-            F.md5(F.concat(F.lit(f"{k // 4}|"), F.col("g"))),
-            (k % 4) * 8 + 1, 8)).alias(f"m{k}")
+        *[F.min(F.substring(F.col(f"h{k // 4}"),
+                            (k % 4) * 8 + 1, 8)).alias(f"m{k}")
           for k in _MH_KS])
     # materialize the signatures for the self-join: the shingle-explode +
     # 8x md5 aggregate dominates the query ~8:1 and Spark does not reuse
@@ -531,7 +537,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(F.split("text", " ")).alias("w"))
+    # digest projected once; min+max aggregates share it
+    d = d.select("doc_id", "w", F.md5("w").alias("h"))
     return d.groupBy("doc_id").agg(
-        F.min(F.md5("w")).alias("fp_min"),
-        F.max(F.md5("w")).alias("fp_max"),
+        F.min("h").alias("fp_min"),
+        F.max("h").alias("fp_max"),
         F.countDistinct("w").alias("vocab"))
