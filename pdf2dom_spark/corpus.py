@@ -526,6 +526,17 @@ def fixture_docs() -> dict[str, list[dict]]:
 # Spark-facing builders
 # ---------------------------------------------------------------------------
 
+def stream_fn(mode: str):
+    """Corpus mode -> per-document stream generator."""
+    return {
+        "oracle": oracle_stream,
+        "rich_lite": rich_lite_stream,
+        "rot_text": rot_text_stream,
+        "forms": forms_stream,
+        "enc": enc_stream,
+    }.get(mode, rich_stream)
+
+
 def build_docs_df(spark, sf_dir: str, mode: str = "rich", replicate: int = 1,
                   num_partitions: int | None = None):
     """documents.parquet -> DataFrame[DOC_SCHEMA] via a distributed,
@@ -548,24 +559,14 @@ def build_docs_df(spark, sf_dir: str, mode: str = "rich", replicate: int = 1,
         from pyspark.sql import functions as F
         src = src.repartition(num_partitions, F.xxhash64("doc_id"))
 
+    sgen = stream_fn(mode)
+
     def gen(batches):
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 did = str(doc_id)
-                if mode == "oracle":
-                    spans = oracle_stream(did, text)
-                elif mode == "rich_lite":
-                    spans = rich_lite_stream(did, text)
-                elif mode == "rot_text":
-                    spans = rot_text_stream(did, text)
-                elif mode == "forms":
-                    spans = forms_stream(did, text)
-                elif mode == "enc":
-                    spans = enc_stream(did, text)
-                else:
-                    spans = rich_stream(did, text)
-                rows.append({"doc_id": did, "spans": spans})
+                rows.append({"doc_id": did, "spans": sgen(did, text)})
             yield pd.DataFrame(rows, columns=["doc_id", "spans"])
 
     return src.select("doc_id", "text").mapInPandas(gen, DOC_SCHEMA)

@@ -27,7 +27,7 @@ from pyspark.sql.window import Window
 
 from . import multimodal, simsearch, textops
 from .corpus import build_docs_df
-from .extract import ExtractConfig, make_extract_batch
+from .extract import ExtractConfig
 from .fonts import CSS_FONT_FAMILY, CSS_FONT_STYLE, CSS_FONT_WEIGHT, PD_FONT_TYPE
 from .schema import SPAN_FLAT_SCHEMA
 
@@ -47,17 +47,35 @@ def _reg(name: str, sql: str | None):
 def _extract_flat(spark: SparkSession, sf_dir: str,
                   cfg: ExtractConfig | None = None,
                   mode: str = "oracle") -> DataFrame:
+    """ONE shuffle of the SMALL (doc_id, text) rows on the raw 64-bit hash
+    (pmod into p values would leave ~1/e of tasks empty — Poisson
+    occupancy), then ONE fused Python kernel that synthesizes the span
+    stream and extracts it in the same worker call. Fusing matters: two
+    chained mapInPandas nodes run in one stage but pay a full Arrow
+    round-trip of the nested spans payload between them (worker -> JVM ->
+    worker) — measured 34% of the sf0.1 query wall time."""
+    import pandas as pd
+
+    from .corpus import stream_fn
+    from .extract import docs_frame_to_spans
+
     p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # ONE shuffle, of the SMALL pre-synthesis rows, on the raw 64-bit hash
-    # (pmod into p values would leave ~1/e of tasks empty — Poisson
-    # occupancy): the testdata table is one parquet file = one input split,
-    # so the pre-shuffle is what parallelizes the synthesis generator, and
-    # synthesis + extraction then run fused in a single narrow stage
-    # (mirrors pipeline.extract_spans presalted=True)
-    docs = build_docs_df(spark, sf_dir, mode=mode, num_partitions=p)
-    return docs.mapInPandas(
-        make_extract_batch(cfg or ExtractConfig(), nested=False),
-        SPAN_FLAT_SCHEMA)
+    kcfg = cfg or ExtractConfig()
+    sgen = stream_fn(mode)
+    src = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .select("doc_id", "text")
+           .repartition(p, F.xxhash64("doc_id")))
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "spans": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = str(doc_id)
+                rows["doc_id"].append(did)
+                rows["spans"].append(sgen(did, text))
+            yield docs_frame_to_spans(pd.DataFrame(rows), kcfg)
+
+    return src.mapInPandas(kernel, SPAN_FLAT_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
