@@ -102,3 +102,18 @@ def test_form_name_without_prefix_seeds_fonts():
     assert len(groups) == 2
     # group 1's seed must include the form's font first (first-use order)
     assert groups[1]["font_seed"] == ["FormFont", "Main"]
+
+
+def test_paged_enc_corpus_replicates_cmaps(spark):
+    """kind='cmap' definitions must replicate into every page-group exactly
+    like form definitions — otherwise groups after the first would decode
+    with the identity map."""
+    docs = build_docs_df(spark, SF_SMOKE, mode="enc").limit(100).cache()
+    base = extract_spans(docs, num_partitions=8, nested=False)
+    paged = extract_spans_paged(docs, num_partitions=8,
+                                pages_per_group=2, min_bytes=0)
+    cols = [c for c in base.columns if c != "part_id"]
+    assert base.select(cols).exceptAll(paged.select(cols)).count() == 0
+    assert paged.select(cols).exceptAll(base.select(cols)).count() == 0
+    # non-vacuous: the decoded Greek actually appears in the split output
+    assert paged.where("kind = 'text' AND text LIKE '%α%'").count() > 0
