@@ -543,3 +543,133 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("h").alias("fp_min"),
         F.max("h").alias("fp_max"),
         F.countDistinct("w").alias("vocab"))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms: the classic corpus-scoring op a training-data pipeline
+# uses for term-based quality/topic filters. Raw term counts + smoothed
+# ln((N+1)/(df+1)) idf; top-3 terms per doc with a total order
+# (score DESC, term ASC) so the result is deterministic cross-engine.
+# Scale shape: two hash aggregates (term counts; document frequencies) and
+# one broadcast-sized join on the df table — no all-pairs anything.
+# ---------------------------------------------------------------------------
+
+@_reg("tfidf_top_terms", """
+WITH e AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(string_split(text,' ')) AS w
+  FROM documents WHERE length(text) > 0
+),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM e WHERE w <> '' GROUP BY 1, 2),
+df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM e WHERE w <> '' GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM e),
+scored AS (
+  SELECT tf.doc_id, tf.w AS term,
+         ROUND(tf.tf * LN((n.n + 1.0) / (df.df + 1.0)), 4) AS score
+  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, term, score, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 3
+""")
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = (_docs(spark, sf_dir)
+         .where(F.length("text") > 0)
+         .select(F.col("doc_id").cast("long").alias("doc_id"),
+                 F.explode(F.split("text", " ")).alias("w"))
+         .where(F.col("w") != ""))
+    tf = e.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = e.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n = e.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (tf.join(F.broadcast(df), "w")
+              .crossJoin(F.broadcast(n))
+              .select("doc_id", F.col("w").alias("term"),
+                      F.round(F.col("tf") * F.log((F.col("n") + 1.0)
+                                                  / (F.col("df") + 1.0)), 4)
+                      .alias("score")))
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (scored.withColumn("rk", F.row_number().over(win).cast("int"))
+            .where(F.col("rk") <= 3)
+            .select("doc_id", "term", "score", "rk"))
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling: deterministic per-language sampling rates via md5
+# string-order buckets (md5 hex is uniform; `md5(doc_id) < '1999...'`
+# selects ~10%). Portable across engines (pure string compare — no
+# engine-specific hash), reproducible across runs/cluster sizes, and a
+# single narrow filter at any scale: the canonical way to cut a training
+# mix from a 10^12-doc corpus without a shuffle.
+# ---------------------------------------------------------------------------
+
+_STRATA = {"en": "19", "es": "33", "de": "4c", "fr": "66", "zh": "80"}
+# hex prefix -> rate: 0x19/0x100 ~ 10%, 0x33 ~ 20%, 0x4c ~ 30%, ...
+
+
+def _strat_threshold(prefix: str) -> str:
+    return prefix + "0" * 30
+
+
+@_reg("stratified_sample", f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+FROM documents
+WHERE md5('smp|' || CAST(doc_id AS VARCHAR)) <
+      CASE lang {' '.join(f"WHEN '{k}' THEN '{_strat_threshold(v)}'" for k, v in _STRATA.items())}
+           ELSE '00' END
+""")
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    thr = F.lit(None).cast("string")
+    expr = None
+    for k, v in _STRATA.items():
+        cond = (F.col("lang") == k, F.lit(_strat_threshold(v)))
+        expr = F.when(*cond) if expr is None else expr.when(*cond)
+    thr = expr.otherwise(F.lit("00"))
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang")
+    h = F.md5(F.concat(F.lit("smp|"), F.col("doc_id").cast("string")))
+    return d.where(h < thr)
+
+
+# ---------------------------------------------------------------------------
+# Context-window packing: assign documents to fixed-token-budget bins per
+# language (pretraining batch packing). Deterministic first-fit-by-order:
+# bin = floor(exclusive-running-sum(tokens) / budget) over doc_id order.
+# One window per lang partition — at 10^12 docs this is run per date/shard
+# partition in production; the shape (single partitioned running sum, no
+# join) is the scale story.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 4096
+
+
+@_reg("pack_bins", f"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS tokens
+  FROM documents
+)
+SELECT doc_id, lang, CAST(tokens AS INT) AS tokens,
+       CAST(FLOOR(COALESCE(SUM(tokens) OVER (PARTITION BY lang
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) / {_PACK_BUDGET}) AS INT) AS bin_id
+FROM t
+""")
+def pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang",
+        F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+        .alias("tokens"))
+    win = (Window.partitionBy("lang").orderBy("doc_id")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    run = F.coalesce(F.sum("tokens").over(win), F.lit(0))
+    return t.select("doc_id", "lang", F.col("tokens").cast("int"),
+                    F.floor(run / _PACK_BUDGET).cast("int").alias("bin_id"))
