@@ -44,6 +44,9 @@ HEADLINE = [
     "knn_brute",
     "broadcast_dim_join",
     "window_rownum_dedup",
+    "extract_spans_paged_oracle",  # monster-doc split path (round 3)
+    "tfidf_top_terms",             # corpus scoring (round 3)
+    "pack_bins",                   # context-window packing (round 3)
 ]
 
 

@@ -224,6 +224,14 @@ def docs_frame_to_spans(pdf: pd.DataFrame,
         doc_ids.append(str(doc_id))
         doc_parts.append(int(parts[i]) if parts is not None else part_id)
 
+    return assemble_flat(per_doc, doc_ids, doc_parts)
+
+
+def assemble_flat(per_doc: list[dict], doc_ids: list[str],
+                  doc_parts: list) -> pd.DataFrame:
+    """Per-document columnar arrays -> ONE flat pandas frame with the
+    SPAN_FLAT schema dtypes (shared by the batch kernel and the page-split
+    group kernel)."""
     if not per_doc:
         return pd.DataFrame({c: [] for c in SPAN_FLAT_COLUMNS})
 

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from .extract import DEFAULT_CONFIG, ExtractConfig, docs_frame_to_spans
+from .extract import DEFAULT_CONFIG, ExtractConfig
 from .fonts import FontTable
 from .schema import IN_SPAN_STRUCT, SPAN_FLAT_SCHEMA
 
@@ -240,25 +240,35 @@ def extract_spans_paged(docs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
         SPAN_FLAT_SCHEMA.fields + [T.StructField("grp", T.IntegerType())])
 
     def extract_group(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # columnar batch path (mirrors extract.docs_frame_to_spans): one
+        # extract_doc_columnar call per page-group row, ONE frame assembly
+        # per Arrow batch — the earlier per-row iloc + one-row-frame path
+        # paid ~5x pandas overhead on group-heavy corpora
+        from pdf2dom_spark.extract import assemble_flat, extract_doc_columnar
+
         for pdf in batches:
-            outs = []
-            for i in range(len(pdf)):
-                row = pdf.iloc[i]
-                sub_cfg = ExtractConfig(**{**cfg.__dict__})
-                one = pd.DataFrame({
-                    "doc_id": [row["doc_id"]],
-                    "spans": [list(row["spans"])],
-                    "part_id": [row["part_id"]],
-                })
-                flat = docs_frame_to_spans(
-                    one, sub_cfg, part_id=None,
-                    page_offset=int(row["page_offset"]),
-                    font_seed=list(row["font_seed"]),
-                    emit_fonts=bool(row["emit_fonts"]))
-                flat["grp"] = np.int32(row["grp"])
-                outs.append(flat)
-            yield (pd.concat(outs) if outs
-                   else pd.DataFrame({f.name: [] for f in out_schema.fields}))
+            per_doc, doc_ids, doc_parts, grps = [], [], [], []
+            for did, spans, pid, po, seed, emit, grp in zip(
+                    pdf["doc_id"], pdf["spans"], pdf["part_id"],
+                    pdf["page_offset"], pdf["font_seed"],
+                    pdf["emit_fonts"], pdf["grp"]):
+                if isinstance(spans, np.ndarray):
+                    spans = list(spans)
+                cols = extract_doc_columnar(
+                    str(did), spans, cfg, page_offset=int(po),
+                    font_seed=list(seed), emit_fonts=bool(emit))
+                per_doc.append(cols)
+                doc_ids.append(str(did))
+                doc_parts.append(int(pid))
+                grps.append((int(grp), len(cols["order"])))
+            if not per_doc:
+                yield pd.DataFrame({f.name: [] for f in out_schema.fields})
+                continue
+            flat = assemble_flat(per_doc, doc_ids, doc_parts)
+            flat["grp"] = np.repeat(
+                np.array([g for g, _ in grps], dtype=np.int32),
+                [n for _, n in grps])
+            yield flat
 
     spans = salted.mapInPandas(extract_group, out_schema)
     win = Window.partitionBy("doc_id").orderBy("grp", "order")

@@ -585,8 +585,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.explode(F.split("text", " ")).alias("w"))
          .where(F.col("w") != ""))
     tf = e.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    df = e.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
-    n = e.agg(F.countDistinct("doc_id").alias("n"))
+    # df and N derive from the (already-distinct) tf pairs — one exploded
+    # scan feeds all three aggregates instead of three
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n"))
     scored = (tf.join(F.broadcast(df), "w")
               .crossJoin(F.broadcast(n))
               .select("doc_id", F.col("w").alias("term"),
