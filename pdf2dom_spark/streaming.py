@@ -146,3 +146,28 @@ def windowed_event_counts(spark: SparkSession, events_dir: str,
             .outputMode("append")
             .trigger(availableNow=True)
             .start())
+
+
+def stream_dedup_events(spark: SparkSession, events_dir: str,
+                        out_dir: str, checkpoint_dir: str,
+                        watermark: str = "10 minutes"):
+    """Watermarked streaming ingest dedup: drop re-delivered events by id
+    (at-least-once sources -> exactly-once sink), holding state only within
+    the event-time watermark — the canonical ingest-dedup shape for a
+    training-data pipeline (a plain dropDuplicates on an unbounded stream
+    pins state forever; the watermark bounds it). Exact-dedup twin of the
+    batch ``dedup_exact`` operator on the events shape."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4)
+              .parquet(events_dir))
+    # parquet TIMESTAMP_NTZ -> session-tz timestamp (watermarks require it)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = (stream.withWatermark("ts", watermark)
+               .dropDuplicatesWithinWatermark(["event_id"]))
+    return (deduped.writeStream
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -101,3 +101,27 @@ def test_windowed_event_counts(spark, tmp_path):
     joined = out.join(truth, ["win_start", "event_type"], "inner")
     assert joined.where(out["n"] != truth["n"]).count() == 0
     assert out.count() > 0
+
+
+def test_stream_dedup_events_matches_batch(spark, tmp_path):
+    """At-least-once delivery simulated by writing the events table twice;
+    the watermarked stream dedup must converge to the batch
+    dropDuplicates twin (row-exact)."""
+    from pdf2dom_spark.streaming import stream_dedup_events
+
+    src = str(tmp_path / "src")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.write.mode("append").parquet(src)
+    ev.write.mode("append").parquet(src)          # duplicate delivery
+    assert spark.read.parquet(src).count() == 2 * ev.count()
+
+    q = stream_dedup_events(spark, src, str(tmp_path / "out"),
+                            str(tmp_path / "ck"))
+    q.awaitTermination()
+    got = spark.read.parquet(str(tmp_path / "out"))
+    twin = (spark.read.parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .dropDuplicates(["event_id"]))
+    assert got.count() == twin.count() == ev.count()
+    cols = sorted(got.columns)
+    assert got.select(cols).exceptAll(twin.select(cols)).count() == 0
