@@ -117,3 +117,17 @@ def test_paged_enc_corpus_replicates_cmaps(spark):
     assert paged.select(cols).exceptAll(base.select(cols)).count() == 0
     # non-vacuous: the decoded Greek actually appears in the split output
     assert paged.where("kind = 'text' AND text LIKE '%α%'").count() > 0
+
+
+def test_paged_rot_text_and_forms_corpora_too(spark):
+    """Rotated-page splits and per-page form re-expansion must survive the
+    page-split path bit-exactly (forms replicate into every group; page
+    transforms reset at PG)."""
+    for mode in ("rot_text", "forms"):
+        docs = build_docs_df(spark, SF_SMOKE, mode=mode).limit(80).cache()
+        base = extract_spans(docs, num_partitions=8, nested=False)
+        paged = extract_spans_paged(docs, num_partitions=8,
+                                    pages_per_group=3, min_bytes=0)
+        cols = [c for c in base.columns if c != "part_id"]
+        assert base.select(cols).exceptAll(paged.select(cols)).count() == 0, mode
+        assert paged.select(cols).exceptAll(base.select(cols)).count() == 0, mode
