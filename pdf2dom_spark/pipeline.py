@@ -137,12 +137,25 @@ def run_checkpointed(
         spans_dir = f"{out_dir}/spans"
         lineage_dir = f"{out_dir}/lineage"
 
-    salted = with_part_id(docs, num_partitions)
     try:
-        done = tables.read_table(spark, lineage_dir).select(
-            "part_id").distinct()
-        pending = salted.join(F.broadcast(done), "part_id", "left_anti")
+        prior = tables.read_table(spark, lineage_dir)
     except Exception:  # no lineage yet -> everything pending
+        prior = None
+
+    if prior is not None and "num_partitions" in prior.columns:
+        # part_id = pmod(xxhash64(doc_id), P): resuming with a different P
+        # would remap every part_id, defeat the anti-join, and double-write
+        # already-extracted documents — so the salt modulus is pinned by the
+        # first run's lineage and silently reused on resume.
+        stored = prior.select(F.max("num_partitions")).first()[0]
+        if stored is not None and int(stored) != num_partitions:
+            num_partitions = int(stored)
+
+    salted = with_part_id(docs, num_partitions)
+    if prior is not None:
+        done = prior.select("part_id").distinct()
+        pending = salted.join(F.broadcast(done), "part_id", "left_anti")
+    else:
         pending = salted
 
     # partition ids this run is responsible for (BEFORE extraction, so a
@@ -194,6 +207,7 @@ def run_checkpointed(
         .fillna(0, subset=[c for c in stats.columns if c != "part_id"])
         .withColumn("run_id", F.lit(run_id))
         .withColumn("completed_at", F.current_timestamp())
+        .withColumn("num_partitions", F.lit(num_partitions))
     )
     tables.append_table(new_lineage, lineage_dir, spark)
 
