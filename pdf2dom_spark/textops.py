@@ -207,7 +207,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MH_BANDS = 4  # rows per band = len(_MH_KS) // _MH_BANDS = 2
 
-@_reg("dedup_minhash_lsh", f"""
+# The full near-dup pair query as one reusable SQL text: dedup_minhash_lsh's
+# oracle, and the edge source inside dedup_cluster's recursive-CTE oracle.
+_LSH_PAIRS_SQL = f"""
 WITH s AS ({{shingles}}),
 e AS (SELECT doc_id, unnest(sh) AS g FROM s),
 sig AS (
@@ -232,7 +234,10 @@ SELECT c.doc_a, c.doc_b,
        CAST({' + '.join(f'(sa.m{k} = sb.m{k})::INT' for k in range(8))} AS INT) AS n_match
 FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
 WHERE {' + '.join(f'(sa.m{k} = sb.m{k})::INT' for k in range(8))} >= 4
-""".replace("{shingles}", _SHINGLES_SQL))
+""".replace("{shingles}", _SHINGLES_SQL)
+
+
+@_reg("dedup_minhash_lsh", _LSH_PAIRS_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     out, sig = _minhash_lsh_build(spark, sf_dir)
     # Materialize the (tiny — near-dup pairs only) result eagerly so the
@@ -316,6 +321,99 @@ def _minhash_lsh_build(spark: SparkSession, sf_dir: str):
                    n_match.cast("int").alias("n_match"))
            .distinct())
     return out, sig
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the LSH pair graph.
+# Pairwise output under-deduplicates chains (A~B, B~C but A!~C keeps two of
+# the three docs if handled pairwise); production pipelines cluster the
+# edge set transitively and keep one doc per component.
+# ---------------------------------------------------------------------------
+
+CC_MAX_ROUNDS = 20
+
+
+def connected_components(edges: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected edge list (u, v) ->
+    (node, cluster_id = min node id reachable).
+
+    Iterative driver-coordinated loop (the legitimate exception to the
+    no-driver-loop rule: CC has no fixed-depth SQL form). Per round: one
+    shuffle to aggregate neighbor minima, converging in O(graph diameter)
+    rounds — near-dup graphs are unions of small cliques/chains, so the
+    diameter is tiny regardless of corpus size. Each round's labels are
+    ``localCheckpoint``-ed: without truncation the plan doubles per
+    iteration and the job dies of lineage, not data. At 10^12-doc scale the
+    same loop holds because every round's work is O(|edges|) with the same
+    partitioning; for adversarial long-chain graphs swap in the
+    large-star/small-star contraction (Kiveris et al., MapReduce CC) which
+    converges in O(log n) rounds — same per-round shape.
+    """
+    sym = edges.select(F.col("u").alias("n"), F.col("v").alias("m")).unionAll(
+        edges.select(F.col("v").alias("n"), F.col("u").alias("m")))
+    sym = sym.localCheckpoint(eager=True)  # reused every round
+    # round 0 folded into init: label(n) = min(n, neighbors)
+    labels = sym.groupBy("n").agg(
+        F.least(F.min("m"), F.col("n")).alias("lbl"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(CC_MAX_ROUNDS):
+        nb = (sym.join(labels.withColumnRenamed("n", "m"), "m")
+              .groupBy("n").agg(F.min("lbl").alias("nb_lbl")))
+        new = (labels.join(nb, "n", "left")
+               .select("n", F.least("lbl", "nb_lbl").alias("lbl")))
+        new = new.localCheckpoint(eager=True)
+        changed = (new.join(labels.withColumnRenamed("lbl", "old"), "n")
+                   .where(F.col("lbl") != F.col("old")).count())
+        labels = new
+        if changed == 0:
+            return labels.select(F.col("n").alias("node"),
+                                 F.col("lbl").alias("cluster_id"))
+    raise ValueError(
+        f"connected_components did not converge in {CC_MAX_ROUNDS} rounds "
+        "(graph diameter too large for min-label propagation; use a "
+        "star-contraction variant)")
+
+
+@_reg("dedup_cluster", f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_LSH_PAIRS_SQL}) lsh
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+  UNION
+  SELECT w.u, e.v FROM walk w JOIN edges e ON e.u = w.r
+),
+cc AS (
+  SELECT u AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY u
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+           AS cluster_size,
+       (doc_id = cluster_id) AS is_keeper
+FROM cc
+""")
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters from the banded-LSH pair graph: one row
+    per clustered doc with its component id (min doc_id reachable), the
+    component size, and the keeper flag (keep-min policy). Docs with no
+    near-dup edge are absent (they are their own trivial cluster)."""
+    pairs, sig = _minhash_lsh_build(spark, sf_dir)
+    pairs = pairs.localCheckpoint(eager=True)
+    sig.unpersist(blocking=False)
+    cc = connected_components(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")))
+    from pyspark.sql.window import Window
+    size = Window.partitionBy("cluster_id")
+    return (cc.select(F.col("node").alias("doc_id"), "cluster_id")
+            .withColumn("cluster_size",
+                        F.count(F.lit(1)).over(size).cast("long"))
+            .withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id")))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,73 @@
+"""Connected-components near-dup clustering: min-label propagation over the
+LSH pair graph (transitive closure — pairwise near-dup output alone
+under-deduplicates chains)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf2dom_spark.textops import connected_components, dedup_cluster
+from tests.conftest import SF_SMOKE
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "u long, v long")
+
+
+def test_cc_chain_clique_and_island(spark):
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, isolated pair 20-21
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4),
+                           (10, 11), (11, 12), (10, 12),
+                           (20, 21)])
+    got = {(r.node, r.cluster_id)
+           for r in connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10), (12, 10),
+                   (20, 20), (21, 20)}
+
+
+def test_cc_long_chain_converges(spark):
+    # diameter 15 — propagation needs many rounds but stays < CC_MAX_ROUNDS
+    n = 16
+    edges = _edges(spark, [(i, i + 1) for i in range(n)])
+    rows = connected_components(edges).collect()
+    assert len(rows) == n + 1
+    assert {r.cluster_id for r in rows} == {0}
+
+
+def test_cc_direction_insensitive(spark):
+    # same component regardless of (u, v) orientation
+    a = connected_components(_edges(spark, [(5, 9), (9, 7)])).collect()
+    b = connected_components(_edges(spark, [(9, 5), (7, 9)])).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_cc_nonconvergence_raises(spark, monkeypatch):
+    from pdf2dom_spark import textops
+
+    monkeypatch.setattr(textops, "CC_MAX_ROUNDS", 2)
+    edges = _edges(spark, [(i, i + 1) for i in range(8)])
+    with pytest.raises(ValueError, match="did not converge"):
+        textops.connected_components(edges)
+
+
+def test_dedup_cluster_covers_lsh_pairs(spark):
+    """Every doc in an LSH near-dup pair lands in a cluster; cluster ids are
+    component minima; exactly one keeper per cluster."""
+    from pdf2dom_spark.textops import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, SF_SMOKE).collect()
+    clusters = dedup_cluster(spark, SF_SMOKE).collect()
+    by_doc = {r.doc_id: r for r in clusters}
+    assert set(by_doc) == {d for p in pairs for d in (p.doc_a, p.doc_b)}
+    for p in pairs:  # paired docs always share a component
+        assert by_doc[p.doc_a].cluster_id == by_doc[p.doc_b].cluster_id
+    from collections import Counter
+
+    sizes = Counter(r.cluster_id for r in clusters)
+    for r in clusters:
+        assert r.cluster_id == min(
+            d.doc_id for d in clusters if d.cluster_id == r.cluster_id)
+        assert r.cluster_size == sizes[r.cluster_id]
+        assert r.is_keeper == (r.doc_id == r.cluster_id)
+    assert sum(1 for r in clusters if r.is_keeper) == len(sizes)
