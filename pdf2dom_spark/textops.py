@@ -537,6 +537,105 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PII scrubbing: regex redaction of emails / phones / IPs. The synthetic
+# corpus is PII-free word soup, so the op would be vacuous on raw text —
+# both engines first plant identical deterministic PII tokens derived from
+# doc_id (same device as the planted near-dup twins), then the scrub
+# semantics are value-checked through counts + a hash of the redacted text.
+# Patterns are kept in the Java-regex / RE2 common subset.
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = "[A-Za-z0-9]+@[a-z0-9]+\\.[a-z]+"
+_PII_PHONE = "\\+1-555-[0-9]{4}"
+_PII_IP = "10\\.[0-9]{1,3}\\.0\\.[0-9]{1,3}"
+
+@_reg("pii_scrub", f"""
+WITH aug AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         text || ' mail user' || CAST(doc_id AS VARCHAR)
+              || '@m' || CAST(doc_id % 7 AS VARCHAR) || '.com tel +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+              || CAST(doc_id % 97 AS VARCHAR) AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS INT) AS n_ip,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IP}', '<IP>', 'g')) AS scrubbed_hash
+FROM aug
+""")
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    t = F.concat(
+        F.col("text"), F.lit(" mail user"),
+        F.col("doc_id").cast("string"), F.lit("@m"),
+        (F.col("doc_id") % 7).cast("string"), F.lit(".com tel +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 97).cast("string"))
+    d = d.select("doc_id", t.alias("t"))
+    scrubbed = F.regexp_replace(F.regexp_replace(F.regexp_replace(
+        F.col("t"),
+        _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"), _PII_IP, "<IP>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(
+            "t", F.lit(_PII_EMAIL), F.lit(0))).alias("n_email"),
+        F.size(F.regexp_extract_all(
+            "t", F.lit(_PII_PHONE), F.lit(0))).alias("n_phone"),
+        F.size(F.regexp_extract_all(
+            "t", F.lit(_PII_IP), F.lit(0))).alias("n_ip"),
+        F.md5(scrubbed).alias("scrubbed_hash"))
+
+
+# ---------------------------------------------------------------------------
+# Repetition scoring (Gopher-style repetition rules): fraction of the doc
+# covered by its most frequent word, distinct-word fraction, and
+# singleton-word fraction — one explode + two hash aggregates, fixed-point
+# integers for exact cross-engine parity.
+# ---------------------------------------------------------------------------
+
+@_reg("repetition_score", """
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(string_split(text, ' ')) AS g
+  FROM documents
+),
+c AS (
+  SELECT doc_id, g, COUNT(*) AS cnt FROM w GROUP BY doc_id, g
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(FLOOR(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) * 10000 + 0.5)
+            AS BIGINT) AS top_frac_x10k,
+       CAST(FLOOR(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*) * 10000 + 0.5) AS BIGINT) AS singleton_frac_x10k
+FROM c GROUP BY doc_id
+""")
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.split("text", " ")).alias("g"))
+    c = e.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    n_words = F.sum("cnt")
+    n_distinct = F.count(F.lit(1))
+    singles = F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+    return c.groupBy("doc_id").agg(
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct"),
+        F.floor(F.max("cnt").cast("double") / n_words * 10000 + 0.5)
+         .cast("long").alias("top_frac_x10k"),
+        F.floor(singles.cast("double") / n_distinct * 10000 + 0.5)
+         .cast("long").alias("singleton_frac_x10k"))
+
+
+# ---------------------------------------------------------------------------
 # token counting: whitespace + BPE-ish (ceil(len/4) per word)
 # ---------------------------------------------------------------------------
 
