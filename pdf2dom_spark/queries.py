@@ -1457,6 +1457,101 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n", "total_milli", "grouping_lvl"))
 
 
+# pivot: long->wide per-type counts (Spark .pivot with an explicit value
+# list so the plan is a single pass — no extra distinct-scan job; oracle is
+# the equivalent conditional-aggregate form)
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+@_reg("pivot_event_counts", f"""
+SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+       {', '.join(
+           "CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
+           "AS BIGINT) AS n_{t}".format(t=t) for t in _EVENT_TYPES)}
+FROM events GROUP BY 1
+""")
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("user_id") % 10).alias("user_bucket"), "event_type")
+    wide = (ev.groupBy("user_bucket")
+            .pivot("event_type", _EVENT_TYPES)
+            .agg(F.count(F.lit(1))))
+    # pivot leaves NULL for empty cells; counts must read 0
+    return wide.select(
+        "user_bucket",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+          for t in _EVENT_TYPES])
+
+
+# exact percentiles (linear interpolation — Spark `percentile` and DuckDB
+# `quantile_cont` share the definition; fixed-point for cross-engine parity)
+@_reg("percentile_value", """
+SELECT event_type,
+       CAST(FLOOR(quantile_cont(value, 0.25) * 1000 + 0.5) AS BIGINT) AS p25_milli,
+       CAST(FLOOR(quantile_cont(value, 0.50) * 1000 + 0.5) AS BIGINT) AS p50_milli,
+       CAST(FLOOR(quantile_cont(value, 0.75) * 1000 + 0.5) AS BIGINT) AS p75_milli
+FROM events GROUP BY event_type
+""")
+def percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("q1"),
+        F.percentile("value", 0.50).alias("q2"),
+        F.percentile("value", 0.75).alias("q3"))
+    return agg.select(
+        "event_type",
+        F.floor(F.col("q1") * 1000 + 0.5).cast("long").alias("p25_milli"),
+        F.floor(F.col("q2") * 1000 + 0.5).cast("long").alias("p50_milli"),
+        F.floor(F.col("q3") * 1000 + 0.5).cast("long").alias("p75_milli"))
+
+
+# histogram binning: explicit floor arithmetic (not width_bucket — its edge
+# conventions differ across engines), clamped to [0, nbins+1] like the SQL
+# width_bucket contract (underflow 0, overflow nbins+1)
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 500.0, 20
+
+@_reg("histogram_value", f"""
+WITH b AS (
+  SELECT CASE WHEN value < {_HIST_LO} THEN 0
+              WHEN value >= {_HIST_HI} THEN {_HIST_BINS} + 1
+              ELSE CAST(FLOOR((value - {_HIST_LO})
+                   / (({_HIST_HI} - {_HIST_LO}) / {_HIST_BINS})) AS INT) + 1
+         END AS bucket
+  FROM events
+)
+SELECT CAST(bucket AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY 1
+""")
+def histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    step = (_HIST_HI - _HIST_LO) / _HIST_BINS
+    bucket = (F.when(F.col("value") < _HIST_LO, 0)
+               .when(F.col("value") >= _HIST_HI, _HIST_BINS + 1)
+               .otherwise(F.floor((F.col("value") - _HIST_LO) / step)
+                          .cast("int") + 1))
+    return (ev.select(bucket.cast("int").alias("bucket"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
+
+
+# correlated EXISTS (semi-join): pairs with the anti-join resume shape;
+# Spark expresses it as a left_semi hash join (broadcast when the filtered
+# orders side is small)
+@_reg("exists_semi_join", """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 400000)
+""")
+def exists_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_totalprice") > 400000)
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                      "left_semi")
+            .select(F.col("c_custkey").cast("long").alias("c_custkey"),
+                    "c_name"))
+
+
 # lineage aggregation shape (per-partition counters + checksums)
 @_reg("lineage_agg", """
 SELECT CAST(doc_id % 16 AS INT) AS part_id,
