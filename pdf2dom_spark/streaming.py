@@ -148,6 +148,81 @@ def windowed_event_counts(spark: SparkSession, events_dir: str,
             .start())
 
 
+def _lineage_batch_writer(spark: SparkSession, out_dir: str,
+                          cfg: ExtractConfig = DEFAULT_CONFIG,
+                          num_partitions: int = 8):
+    """The foreachBatch body of ``extract_spans_stream_lineage``, exposed so
+    tests can replay a batch_id directly. Contract per micro-batch:
+
+    1. If lineage rows for this ``batch_id`` exist, the batch was fully
+       committed by an earlier attempt — skip (foreachBatch is
+       at-least-once; this makes the sink effectively-once).
+    2. Extract with the same salted shape as ``pipeline.extract_spans``.
+    3. Dynamic-overwrite ``(batch_id, part_id)`` partitions: each batch owns
+       its own partition space, so a replayed attempt replaces exactly its
+       own files and can never clobber other batches.
+    4. Append per-partition lineage (doc/span counts + bit_xor checksum)
+       tagged with the batch_id — the same table the batch job's
+       checkpoint-resume reads.
+
+    Crash windows: after (3) before (4) -> replay overwrites the same
+    partitions and appends lineage once; after (4) before the stream
+    checkpoint commit -> replay sees lineage and skips. Either way the
+    final table is identical."""
+    from . import tables
+    from .pipeline import lineage, with_part_id
+
+    spans_dir = f"{out_dir}/spans"
+    lineage_dir = f"{out_dir}/lineage"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bid = int(batch_id)
+        try:
+            done = (spark.read.parquet(lineage_dir)
+                    .where(F.col("batch_id") == bid).limit(1).count())
+        except Exception:  # no lineage table yet
+            done = 0
+        if done:
+            return
+        salted = with_part_id(batch_df, num_partitions).repartition(
+            num_partitions, F.xxhash64("doc_id"))
+        spans = (salted.mapInPandas(make_extract_batch(cfg, nested=False),
+                                    SPAN_FLAT_SCHEMA)
+                 .withColumn("batch_id", F.lit(bid)))
+        tables.write_partitioned(spans, spans_dir, ["batch_id", "part_id"],
+                                 spark)
+        # lineage from the read-back pruned to THIS batch's partitions
+        # (static partition prune — never a scan of the cumulative table)
+        written = (spark.read.parquet(spans_dir)
+                   .where(F.col("batch_id") == bid))
+        lin = (lineage(written.drop("batch_id"))
+               .withColumn("batch_id", F.lit(bid))
+               .withColumn("completed_at", F.current_timestamp()))
+        tables.append_table(lin, lineage_dir, spark)
+
+    return write_batch
+
+
+def extract_spans_stream_lineage(spark: SparkSession, docs_dir: str,
+                                 out_dir: str, checkpoint_dir: str,
+                                 cfg: ExtractConfig = DEFAULT_CONFIG,
+                                 num_partitions: int = 8):
+    """Streaming extraction through the SAME idempotent partitioned-write +
+    lineage contract as the batch ``pipeline.run_checkpointed`` — the
+    live-ingest twin of the north rule's checkpoint-resume: a foreachBatch
+    sink whose batches land as (batch_id, part_id) partitions with lineage
+    rows, replay-safe under foreachBatch's at-least-once semantics."""
+    stream = (spark.readStream.schema(DOC_SCHEMA)
+              .option("maxFilesPerTrigger", 4)
+              .parquet(docs_dir))
+    writer = _lineage_batch_writer(spark, out_dir, cfg, num_partitions)
+    return (stream.writeStream
+            .foreachBatch(writer)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def stream_dedup_events(spark: SparkSession, events_dir: str,
                         out_dir: str, checkpoint_dir: str,
                         watermark: str = "10 minutes"):

@@ -55,12 +55,17 @@ def read_table(spark: SparkSession, source: str) -> DataFrame:
     return spark.read.parquet(source)
 
 
-def write_partitioned(df: DataFrame, target: str, partition_col: str,
+def write_partitioned(df: DataFrame, target: str,
+                      partition_col: str | list[str],
                       spark: SparkSession | None = None) -> None:
     """Idempotent partition-replacing write: Iceberg overwritePartitions
     (dynamic overwrite of exactly the partitions present in ``df``) or the
-    parquet dynamic-partition-overwrite equivalent."""
+    parquet dynamic-partition-overwrite equivalent. ``partition_col`` may
+    be one column or a list (e.g. ["batch_id", "part_id"] for the
+    streaming sink, where each micro-batch owns its own partition space)."""
     spark = spark or df.sparkSession
+    cols = ([partition_col] if isinstance(partition_col, str)
+            else list(partition_col))
     if is_table_identifier(target):
         if not iceberg_available(spark):
             raise RuntimeError(
@@ -70,14 +75,15 @@ def write_partitioned(df: DataFrame, target: str, partition_col: str,
             # first write must CREATE the partitioned table —
             # overwritePartitions requires an existing one
             from pyspark.sql import functions as F
-            df.writeTo(target).partitionedBy(F.col(partition_col)).create()
+            df.writeTo(target).partitionedBy(
+                *[F.col(c) for c in cols]).create()
             return
         df.writeTo(target).overwritePartitions()
         return
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        df.write.mode("overwrite").partitionBy(partition_col).parquet(target)
+        df.write.mode("overwrite").partitionBy(cols).parquet(target)
     finally:
         # restore the session-global setting (other writers in the same
         # session may rely on the default static semantics)

@@ -125,3 +125,49 @@ def test_stream_dedup_events_matches_batch(spark, tmp_path):
     assert got.count() == twin.count() == ev.count()
     cols = sorted(got.columns)
     assert got.select(cols).exceptAll(twin.select(cols)).count() == 0
+
+
+def test_stream_lineage_sink_matches_batch_and_replays(spark, tmp_path):
+    """foreachBatch lineage sink: final table equals the batch extraction,
+    lineage accounts for every span, and a replayed batch_id is a no-op
+    (effectively-once under foreachBatch's at-least-once contract)."""
+    from pdf2dom_spark.streaming import (_lineage_batch_writer,
+                                         extract_spans_stream_lineage)
+
+    docs = build_docs_df(spark, SF_SMOKE, mode="rich").limit(120).cache()
+    docs_dir = str(tmp_path / "docs")
+    docs.write.parquet(docs_dir)
+    out = str(tmp_path / "out")
+
+    q = extract_spans_stream_lineage(spark, docs_dir, out,
+                                     str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(f"{out}/spans")
+    batch = extract_spans(docs, num_partitions=8, nested=False)
+    cols = [c for c in batch.columns if c != "part_id"]
+    assert streamed.count() == batch.count()
+    assert streamed.select(cols).exceptAll(batch.select(cols)).count() == 0
+
+    lin = spark.read.parquet(f"{out}/lineage")
+    total = lin.agg(F.sum("span_count")).collect()[0][0]
+    assert total == batch.count()
+    n_before = streamed.count()
+    batches = sorted(r.batch_id for r in
+                     lin.select("batch_id").distinct().collect())
+
+    # replaying an already-committed batch_id must change nothing
+    writer = _lineage_batch_writer(spark, out, num_partitions=8)
+    writer(docs.limit(10), batches[0])
+    assert spark.read.parquet(f"{out}/spans").count() == n_before
+    assert (spark.read.parquet(f"{out}/lineage")
+            .where(F.col("batch_id") == batches[0]).count()
+            == lin.where(F.col("batch_id") == batches[0]).count())
+
+    # a NEW batch_id appends its own partitions + lineage
+    writer(docs.limit(10), 9999)
+    extra = extract_spans(docs.limit(10), num_partitions=8,
+                          nested=False).count()
+    assert spark.read.parquet(f"{out}/spans").count() == n_before + extra
+    assert (spark.read.parquet(f"{out}/lineage")
+            .where(F.col("batch_id") == 9999).count() > 0)
