@@ -47,6 +47,8 @@ HEADLINE = [
     "extract_spans_paged_oracle",  # monster-doc split path (round 3)
     "tfidf_top_terms",             # corpus scoring (round 3)
     "pack_bins",                   # context-window packing (round 3)
+    "dedup_cluster",               # CC over the LSH pair graph (round 3)
+    "pii_scrub",                   # regex redaction pass (round 3)
 ]
 
 

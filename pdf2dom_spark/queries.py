@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from . import multimodal, simsearch, textops
+from . import htmlops, multimodal, simsearch, textops
 from .corpus import build_docs_df
 from .extract import ExtractConfig
 from .fonts import CSS_FONT_FAMILY, CSS_FONT_STYLE, CSS_FONT_WEIGHT, PD_FONT_TYPE
@@ -1594,9 +1594,9 @@ def _merge(*regs: dict) -> dict:
 
 def all_queries() -> dict:
     return _merge(REGISTRY, textops.REGISTRY, simsearch.REGISTRY,
-                  multimodal.REGISTRY)
+                  multimodal.REGISTRY, htmlops.REGISTRY)
 
 
 def all_oracles() -> dict[str, str]:
     return _merge(ORACLES, textops.ORACLES, simsearch.ORACLES,
-                  multimodal.ORACLES)
+                  multimodal.ORACLES, htmlops.ORACLES)

@@ -157,3 +157,13 @@ def test_knn_lsh_no_exchange_on_embedding(spark):
     bad = [ln for ln in plan.splitlines()
            if "Exchange hashpartitioning" in ln and "embedding" in ln]
     assert not bad, bad
+
+
+def test_html_main_content_is_narrow(spark):
+    """Boilerplate strip must stay a pure narrow JVM map: no Exchange, no
+    Python eval — the whole operator is higher-order array functions."""
+    from pdf2dom_spark.htmlops import html_main_content
+    plan = _plan(html_main_content(spark, SF_SMOKE))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert plan.lstrip().startswith("*(")  # whole-stage codegen root
