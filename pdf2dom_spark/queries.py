@@ -1457,6 +1457,58 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n", "total_milli", "grouping_lvl"))
 
 
+# DOM-heuristic outline: the reference's DOM implies a heading hierarchy
+# (font-size tiers -> h1/h2/body); this operator rebuilds the document
+# outline from a span stream — classify each span by size tier, then
+# assign hierarchical section numbers with two running counts (the same
+# gaps-and-islands window machinery as the chunk merge). Span stream is
+# synthesized deterministically per doc (12 spans, integer-math sizes) so
+# the oracle is closed-form.
+@_reg("doc_outline", """
+WITH s AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, i AS idx,
+         CASE (doc_id * 7 + i * 3) % 7
+              WHEN 0 THEN 24 WHEN 1 THEN 18 ELSE 10 END AS font_size
+  FROM documents, (SELECT unnest(generate_series(0, 11)) AS i)
+),
+lv AS (
+  SELECT doc_id, idx, font_size,
+         CASE font_size WHEN 24 THEN 1 WHEN 18 THEN 2 ELSE 0 END AS level
+  FROM s
+)
+SELECT doc_id, CAST(idx AS INT) AS idx, CAST(font_size AS INT) AS font_size,
+       CAST(level AS INT) AS level,
+       CAST(SUM(CASE WHEN level = 1 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY idx) AS INT) AS section,
+       CAST(SUM(CASE WHEN level = 2 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY idx) AS INT) AS subsection
+FROM lv
+""")
+def doc_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    s = d.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(11)))
+                 .alias("idx"))
+    size = (F.when((F.col("doc_id") * 7 + F.col("idx") * 3) % 7 == 0, 24)
+             .when((F.col("doc_id") * 7 + F.col("idx") * 3) % 7 == 1, 18)
+             .otherwise(10))
+    s = s.withColumn("font_size", size)
+    level = (F.when(F.col("font_size") == 24, 1)
+              .when(F.col("font_size") == 18, 2).otherwise(0))
+    s = s.withColumn("level", level)
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    return s.select(
+        "doc_id", F.col("idx").cast("int").alias("idx"),
+        F.col("font_size").cast("int").alias("font_size"),
+        F.col("level").cast("int").alias("level"),
+        F.sum(F.when(F.col("level") == 1, 1).otherwise(0)).over(w)
+         .cast("int").alias("section"),
+        F.sum(F.when(F.col("level") == 2, 1).otherwise(0)).over(w)
+         .cast("int").alias("subsection"))
+
+
 # pivot: long->wide per-type counts (Spark .pivot with an explicit value
 # list so the plan is a single pass — no extra distinct-scan job; oracle is
 # the equivalent conditional-aggregate form)

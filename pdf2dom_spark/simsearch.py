@@ -305,3 +305,46 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (_norm(F.col("embedding")) * _norm(F.col("qv"))), 3)
     return (cand.select("vec_id", score.alias("score"))
             .orderBy(F.desc("score"), F.asc("vec_id")).limit(5))
+
+
+# --- per-label centroids: elementwise vector aggregation ---------------------
+# The vector-average building block (IVF training step / class prototypes).
+# Scale shape: 64 map-side-combinable SUM aggregates over element_at
+# projections — ONE hash aggregate of the scan, no row explosion, no
+# shuffle of the embedding arrays; the 10-row result explodes to
+# (label, dim) only at the very end. Elements are quantized to milli units
+# BEFORE summing: integer sums are exact and associative, so the result is
+# bit-stable under any partial-aggregation order on either engine (a raw
+# float sum is order-dependent and could flip the rounding).
+
+_EMB_DIM = 64
+
+@_reg("embedding_centroids", f"""
+WITH q AS (
+  SELECT label, i AS dim,
+         CAST(SUM(CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000 + 0.5)
+              AS BIGINT)) AS BIGINT) AS sum_milli,
+         CAST(COUNT(*) AS BIGINT) AS n_vecs
+  FROM embeddings, (SELECT unnest(generate_series(0, {_EMB_DIM - 1})) AS i)
+  GROUP BY label, i
+)
+SELECT CAST(label AS INT) AS label, CAST(dim AS INT) AS dim, n_vecs,
+       CAST(FLOOR(CAST(sum_milli AS DOUBLE) / n_vecs + 0.5) AS BIGINT)
+           AS centroid_milli
+FROM q
+""")
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    sums = emb.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        *[F.sum(F.floor(F.element_at("embedding", i + 1).cast("double")
+                        * 1000 + 0.5).cast("long")).alias(f"s{i}")
+          for i in range(_EMB_DIM)])
+    exploded = sums.select(
+        "label", "n_vecs",
+        F.posexplode(F.array(*[F.col(f"s{i}") for i in range(_EMB_DIM)]))
+        .alias("dim", "sum_milli"))
+    return exploded.select(
+        "label", F.col("dim").cast("int").alias("dim"), "n_vecs",
+        F.floor(F.col("sum_milli").cast("double") / F.col("n_vecs") + 0.5)
+         .cast("long").alias("centroid_milli"))
