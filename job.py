@@ -50,6 +50,10 @@ def parse_args(argv):
                         "path (monster-doc skew defense; off by default)")
     p.add_argument("--pages-per-group", type=int, default=8,
                    help="pages per fan-out group on the split path")
+    p.add_argument("--compact", action="store_true",
+                   help="compact the spans table after the run (rewrite "
+                        "each part_id partition to one file; Iceberg "
+                        "rewrite_data_files analog)")
     return p.parse_args(argv)
 
 
@@ -106,6 +110,14 @@ def main(argv=None):
                              split_min_bytes=args.split_min_bytes,
                              pages_per_group=args.pages_per_group)
     print(stats)
+
+    if args.compact:
+        from pdf2dom_spark import tables
+        from pdf2dom_spark.pipeline import compact_spans
+        spans_target = (f"{args.output}_spans"
+                        if tables.is_table_identifier(args.output)
+                        else f"{args.output}/spans")
+        compact_spans(spark, spans_target)
 
     if args.render_html:
         from pdf2dom_spark.render_html import render_html_df

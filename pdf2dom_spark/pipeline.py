@@ -226,3 +226,39 @@ def run_checkpointed(
         "span_count": int(run_spans),                 # THIS run's spans
         "total_span_count": int(agg["total"] or 0),   # from lineage, O(P)
     }
+
+
+def compact_spans(spark: SparkSession, spans_dir: str,
+                  files_per_partition: int = 1) -> dict:
+    """Small-file compaction of the spans table (the maintenance job every
+    long-lived ingest needs: each extraction task writes a file into every
+    part_id dir it holds rows for, so a P-partition table accretes
+    tasks x P files over many runs).
+
+    Rewrites each ``part_id`` partition into exactly ``files_per_partition``
+    files via one shuffle keyed on (part_id[, intra-partition salt]) +
+    dynamic partition overwrite — content is bit-identical (same rows, same
+    columns), so lineage checksums stay valid; only file layout changes.
+    The input is eagerly materialized before the overwrite because source
+    and target are the same location (lazy re-read during its own overwrite
+    would race the delete). On Iceberg this maps to the
+    rewrite_data_files maintenance procedure; the parquet path implements
+    the same contract for the sandbox.
+    """
+    from . import tables
+
+    spans = tables.read_table(spark, spans_dir)
+    n_before = spans.rdd.getNumPartitions()
+    spans = spans.localCheckpoint(eager=True)
+    if files_per_partition <= 1:
+        compacted = spans.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+            F.col("part_id"))
+    else:
+        compacted = spans.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+            * files_per_partition,
+            F.col("part_id"),
+            F.pmod(F.xxhash64("doc_id"), F.lit(files_per_partition)))
+    tables.write_partitioned(compacted, spans_dir, "part_id", spark)
+    return {"input_tasks": int(n_before)}

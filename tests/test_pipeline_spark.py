@@ -198,3 +198,34 @@ def test_bare_dirname_is_a_path_not_a_table(spark, tmp_path):
         assert tables.read_table(spark, "bench_out").count() == 4
     finally:
         os.chdir(cwd)
+
+
+def test_compact_spans_preserves_content(spark, docs, tmp_path):
+    """Compaction rewrites each part_id dir to one file with bit-identical
+    content (lineage checksums stay valid)."""
+    import glob
+
+    from pdf2dom_spark.pipeline import compact_spans
+
+    out = str(tmp_path / "c")
+    run_checkpointed(spark, docs, out, num_partitions=8, run_id="r1")
+    files = lambda: {d: len(glob.glob(f"{d}/*.parquet"))
+                     for d in glob.glob(f"{out}/spans/part_id=*")}
+    before_files = files()
+    assert max(before_files.values()) > 1  # the problem exists
+    before = spark.read.parquet(f"{out}/spans").localCheckpoint(eager=True)
+
+    compact_spans(spark, f"{out}/spans")
+
+    after_files = files()
+    assert set(after_files) == set(before_files)
+    assert all(n == 1 for n in after_files.values()), after_files
+    after = spark.read.parquet(f"{out}/spans")
+    assert after.count() == before.count()
+    cols = before.columns
+    assert after.select(cols).exceptAll(before.select(cols)).count() == 0
+    # lineage checksums still describe the compacted table
+    lin = spark.read.parquet(f"{out}/lineage").select("part_id", "checksum")
+    fresh = lineage(after).select("part_id", "checksum")
+    assert (sorted(map(tuple, lin.collect()))
+            == sorted(map(tuple, fresh.collect())))
