@@ -1457,6 +1457,51 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n", "total_milli", "grouping_lvl"))
 
 
+# Salted skew join: the large-x-large join with hot keys that neither
+# broadcast (both sides big) nor plain SMJ (one task per hot key drowns)
+# survives. Fact rows carry a uniform salt pmod(xxhash64(id), S); the other
+# side replicates S-fold with explode(sequence(0, S-1)); joining on
+# (key, salt) splits every hot key across S tasks. Results are identical to
+# the unsalted join — the oracle IS the plain join — and the fixed-point
+# product terms keep the checksum order-independent. Forced .hint("merge")
+# so the gate exercises the shuffle path, not a broadcast.
+_SALT_S = 8
+
+@_reg("skew_salted_join", """
+WITH f AS (
+  SELECT user_id % 5 AS k,
+         CAST(FLOOR(value + 0.5) AS BIGINT) AS vq
+  FROM events
+),
+d AS (
+  SELECT o_custkey % 5 AS k,
+         CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS pq
+  FROM orders
+)
+SELECT CAST(f.k AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(f.vq * d.pq) AS BIGINT) AS product_sum
+FROM f JOIN d ON f.k = d.k
+GROUP BY f.k
+""")
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    fact = ev.select(
+        (F.col("user_id") % 5).alias("k"),
+        F.floor(F.col("value") + 0.5).cast("long").alias("vq"),
+        F.pmod(F.xxhash64("event_id"), F.lit(_SALT_S)).cast("int")
+        .alias("salt"))
+    dim = orders.select(
+        (F.col("o_custkey") % 5).alias("k"),
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("pq"),
+        F.explode(F.sequence(F.lit(0), F.lit(_SALT_S - 1))).alias("salt"))
+    joined = fact.hint("merge").join(dim, ["k", "salt"])
+    return joined.groupBy(F.col("k").cast("long").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("vq") * F.col("pq")).cast("long").alias("product_sum"))
+
+
 # DOM-heuristic outline: the reference's DOM implies a heading hierarchy
 # (font-size tiers -> h1/h2/body); this operator rebuilds the document
 # outline from a span stream — classify each span by size tier, then

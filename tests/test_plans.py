@@ -167,3 +167,16 @@ def test_html_main_content_is_narrow(spark):
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
     assert plan.lstrip().startswith("*(")  # whole-stage codegen root
+
+
+def test_skew_salted_join_shape(spark):
+    """The salted join must be a SortMergeJoin keyed on (k, salt) — the salt
+    must reach the join keys (that's what splits hot keys across tasks) and
+    no side may degrade to a broadcast."""
+    from pdf2dom_spark.queries import all_queries
+    df = all_queries()["skew_salted_join"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    join_line = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln][0]
+    assert "salt" in join_line
