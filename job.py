@@ -50,6 +50,10 @@ def parse_args(argv):
                         "path (monster-doc skew defense; off by default)")
     p.add_argument("--pages-per-group", type=int, default=8,
                    help="pages per fan-out group on the split path")
+    p.add_argument("--upsert", action="store_true",
+                   help="treat the input docs as changed/new versions: "
+                        "re-extract only them and replace their spans in "
+                        "the existing --output (affected partitions only)")
     p.add_argument("--compact", action="store_true",
                    help="compact the spans table after the run (rewrite "
                         "each part_id partition to one file; Iceberg "
@@ -87,6 +91,14 @@ def main(argv=None):
         # Iceberg table identifier or parquet dir (pdf2dom_spark.tables)
         from pdf2dom_spark import tables
         docs = tables.read_table(spark, args.input)
+
+    if args.upsert:
+        from pdf2dom_spark.pipeline import upsert_docs
+        print(upsert_docs(spark, docs, args.output, cfg=cfg,
+                          run_id=args.run_id))
+        if not pre_existing:
+            spark.stop()
+        return 0
 
     if not args.resume:
         # fresh-run semantics: run_checkpointed always skips partitions with

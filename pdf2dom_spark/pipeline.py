@@ -262,3 +262,82 @@ def compact_spans(spark: SparkSession, spans_dir: str,
             F.pmod(F.xxhash64("doc_id"), F.lit(files_per_partition)))
     tables.write_partitioned(compacted, spans_dir, "part_id", spark)
     return {"input_tasks": int(n_before)}
+
+
+def upsert_docs(
+    spark: SparkSession,
+    updated_docs: DataFrame,
+    out_dir: str,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    run_id: str | None = None,
+) -> dict:
+    """Incremental re-extraction (the MERGE INTO of the spans table): given
+    changed/new document versions, re-extract ONLY them and replace their
+    spans in place.
+
+    Dynamic partition overwrite replaces whole ``part_id`` partitions, and a
+    partition holds unrelated documents too — so each affected partition is
+    rebuilt as (existing spans minus updated doc_ids) UNION (fresh spans),
+    then overwritten. Cost is O(affected partitions), never O(table): the
+    read-back prunes on a literal part_id isin() (static partition
+    pruning), and unaffected partitions' files are untouched. Lineage rows
+    for the affected partitions are recomputed so checksums stay true.
+    On Iceberg the same shape is a MERGE INTO with
+    write.delete.mode=copy-on-write at partition granularity.
+    """
+    from . import tables
+
+    run_id = run_id or uuid.uuid4().hex[:12]
+    if tables.is_table_identifier(out_dir):
+        spans_dir = f"{out_dir}_spans"
+        lineage_dir = f"{out_dir}_lineage"
+    else:
+        spans_dir = f"{out_dir}/spans"
+        lineage_dir = f"{out_dir}/lineage"
+
+    prior = tables.read_table(spark, lineage_dir)
+    num_partitions = int(prior.select(F.max("num_partitions")).first()[0])
+
+    salted = with_part_id(updated_docs, num_partitions)
+    affected = [int(r.part_id) for r in
+                salted.select("part_id").distinct().collect()]
+    if not affected:
+        return {"run_id": run_id, "parts_touched": 0, "docs_updated": 0}
+    updated_ids = salted.select("doc_id").distinct()
+
+    fresh = (salted.repartition(
+        min(num_partitions, max(len(affected), 1)), F.xxhash64("doc_id"))
+        .mapInPandas(make_extract_batch(cfg, nested=False),
+                     SPAN_FLAT_SCHEMA))
+    existing = (tables.read_table(spark, spans_dir)
+                .where(F.col("part_id").isin(affected)))
+    kept = existing.join(F.broadcast(updated_ids), "doc_id", "left_anti")
+    merged = kept.select(fresh.columns).unionByName(fresh)
+    # one materialization: the overwrite deletes the very files `existing`
+    # reads, and the lineage aggregate below must not re-run extraction
+    merged = merged.localCheckpoint(eager=True)
+    tables.write_partitioned(merged, spans_dir, "part_id", spark)
+
+    stats = lineage(merged)
+    new_lineage = (
+        stats.withColumn("run_id", F.lit(run_id))
+        .withColumn("completed_at", F.current_timestamp())
+        .withColumn("num_partitions", F.lit(num_partitions))
+    )
+    # replace the affected partitions' lineage rows (keep the rest):
+    # materialize the merged table BEFORE touching the old files, write to
+    # a sibling dir, swap (Iceberg: one MERGE commit does both)
+    survivors = prior.where(~F.col("part_id").isin(affected))
+    merged_lineage = (survivors.select(new_lineage.columns)
+                      .unionByName(new_lineage)
+                      .localCheckpoint(eager=True))
+    merged_lineage.repartition(1).write.mode("overwrite").parquet(
+        lineage_dir + "_new")
+    import shutil
+    shutil.rmtree(lineage_dir)
+    shutil.move(lineage_dir + "_new", lineage_dir)
+    return {
+        "run_id": run_id,
+        "parts_touched": len(affected),
+        "docs_updated": int(updated_ids.count()),
+    }

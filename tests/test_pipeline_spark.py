@@ -229,3 +229,43 @@ def test_compact_spans_preserves_content(spark, docs, tmp_path):
     fresh = lineage(after).select("part_id", "checksum")
     assert (sorted(map(tuple, lin.collect()))
             == sorted(map(tuple, fresh.collect())))
+
+
+def test_upsert_docs_equals_full_rerun(spark, docs, tmp_path):
+    """Incremental re-extraction: after updating a subset of documents,
+    upsert_docs must produce exactly the table a full re-run over the
+    updated corpus would — touching only the affected partitions — and
+    lineage checksums must describe the merged table."""
+    from pdf2dom_spark.pipeline import upsert_docs
+
+    out = str(tmp_path / "u")
+    run_checkpointed(spark, docs, out, num_partitions=8, run_id="base")
+
+    # new versions for ~1/10th of the corpus: swap their payload with
+    # another doc's spans (deterministic, genuinely different)
+    ids = [r.doc_id for r in docs.select("doc_id").limit(20).collect()]
+    updated = (docs.where(F.col("doc_id").isin(ids))
+               .withColumn("spans", F.reverse("spans")))
+    stats = upsert_docs(spark, updated, out, run_id="up1")
+    assert stats["docs_updated"] == len(ids)
+    assert 0 < stats["parts_touched"] <= 8
+
+    # ground truth: full fresh run over the updated corpus
+    full_docs = (docs.where(~F.col("doc_id").isin(ids))
+                 .unionByName(updated))
+    ref = str(tmp_path / "ref")
+    run_checkpointed(spark, full_docs, ref, num_partitions=8, run_id="full")
+
+    a = spark.read.parquet(f"{ref}/spans")
+    b = spark.read.parquet(f"{out}/spans")
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # lineage still reconciles with the merged table
+    lin = spark.read.parquet(f"{out}/lineage").select("part_id", "checksum")
+    fresh = lineage(b).select("part_id", "checksum")
+    assert (sorted(map(tuple, lin.collect()))
+            == sorted(map(tuple, fresh.collect())))
+    # resume over the upserted table is still a no-op
+    stats2 = run_checkpointed(spark, full_docs, out, num_partitions=8,
+                              run_id="noop")
+    assert stats2["span_count"] == 0
