@@ -361,6 +361,13 @@ def connected_components(edges: DataFrame) -> DataFrame:
               .groupBy("n").agg(F.min("lbl").alias("nb_lbl")))
         new = (labels.join(nb, "n", "left")
                .select("n", F.least("lbl", "nb_lbl").alias("lbl")))
+        # pointer halving: also adopt label(label(u)) — every label IS a
+        # node id in the same component, so one self-join per round doubles
+        # the pointer-jump distance and convergence is O(log diameter)
+        # instead of O(diameter) (plain propagation dies on long chains)
+        par = new.select(F.col("n").alias("p"), F.col("lbl").alias("plbl"))
+        new = (new.join(par, new["lbl"] == par["p"], "left")
+               .select("n", F.least("lbl", "plbl").alias("lbl")))
         new = new.localCheckpoint(eager=True)
         changed = (new.join(labels.withColumnRenamed("lbl", "old"), "n")
                    .where(F.col("lbl") != F.col("old")).count())

@@ -27,8 +27,9 @@ def test_cc_chain_clique_and_island(spark):
 
 
 def test_cc_long_chain_converges(spark):
-    # diameter 15 — propagation needs many rounds but stays < CC_MAX_ROUNDS
-    n = 16
+    # diameter 300: plain O(diameter) propagation would blow the 20-round
+    # cap — only the pointer-halving O(log d) convergence passes this
+    n = 300
     edges = _edges(spark, [(i, i + 1) for i in range(n)])
     rows = connected_components(edges).collect()
     assert len(rows) == n + 1
@@ -46,7 +47,7 @@ def test_cc_nonconvergence_raises(spark, monkeypatch):
     from pdf2dom_spark import textops
 
     monkeypatch.setattr(textops, "CC_MAX_ROUNDS", 2)
-    edges = _edges(spark, [(i, i + 1) for i in range(8)])
+    edges = _edges(spark, [(i, i + 1) for i in range(40)])
     with pytest.raises(ValueError, match="did not converge"):
         textops.connected_components(edges)
 
