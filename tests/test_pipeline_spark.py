@@ -269,3 +269,32 @@ def test_upsert_docs_equals_full_rerun(spark, docs, tmp_path):
     stats2 = run_checkpointed(spark, full_docs, out, num_partitions=8,
                               run_id="noop")
     assert stats2["span_count"] == 0
+
+
+def test_upsert_inserts_new_docs(spark, docs, tmp_path):
+    """Upsert with brand-new doc_ids inserts them (partition rebuild keeps
+    every existing doc); upsert without a prior run fails loudly."""
+    from pyspark.sql import Row
+
+    from pdf2dom_spark.pipeline import upsert_docs
+
+    out = str(tmp_path / "ins")
+    run_checkpointed(spark, docs, out, num_partitions=8, run_id="base")
+    base_count = spark.read.parquet(f"{out}/spans").count()
+
+    tmpl = docs.limit(1).collect()[0]
+    new = spark.createDataFrame(
+        [Row(doc_id="brand-new-doc-1", spans=tmpl.spans),
+         Row(doc_id="brand-new-doc-2", spans=tmpl.spans)],
+        schema=docs.select("doc_id", "spans").schema)
+    stats = upsert_docs(spark, new, out, run_id="ins1")
+    assert stats["docs_updated"] == 2
+
+    after = spark.read.parquet(f"{out}/spans")
+    assert after.where(F.col("doc_id") == "brand-new-doc-1").count() > 0
+    assert after.select("doc_id").distinct().count() == docs.count() + 2
+    assert after.count() > base_count
+
+    # no prior run -> loud failure, not silent table creation
+    with pytest.raises(Exception):
+        upsert_docs(spark, new, str(tmp_path / "missing"), run_id="boom")
