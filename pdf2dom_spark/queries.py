@@ -1649,6 +1649,80 @@ def exists_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "c_name"))
 
 
+# Bucketized range join (interval containment): the naive non-equi join is
+# a nested loop (O(N*W) compares, BroadcastNestedLoop in Spark). The scale
+# path bins the time axis: each window explodes into its <=6 covering
+# 1-hour bins, events carry their single bin, and an EQUI-join on the bin
+# plus an exact containment post-filter finds the same pairs — shuffle-
+# partitionable, skew-free, no nested loop. Each (event, window) pair
+# matches in exactly one bin (the event's), so no dedup is needed.
+# The oracle is the plain BETWEEN join.
+_RJ_T0 = 1704067200  # 2024-01-01 00:00:00 UTC, the corpus epoch
+
+@_reg("range_join_events", f"""
+WITH w AS (
+  SELECT CAST(n_nationkey AS INT) AS window_id,
+         {_RJ_T0} + n_nationkey * 100800 AS start_epoch,
+         {_RJ_T0} + n_nationkey * 100800
+             + (n_nationkey % 5 + 1) * 3600 AS end_epoch
+  FROM nation
+)
+SELECT w.window_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_value_milli
+FROM w JOIN events e
+  ON FLOOR(epoch(e.ts)) >= w.start_epoch
+ AND FLOOR(epoch(e.ts)) < w.end_epoch
+GROUP BY w.window_id
+""")
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    w = nation.select(
+        F.col("n_nationkey").cast("int").alias("window_id"),
+        (F.lit(_RJ_T0) + F.col("n_nationkey") * 100800).alias("start_epoch"),
+        (F.lit(_RJ_T0) + F.col("n_nationkey") * 100800
+         + (F.col("n_nationkey") % 5 + 1) * 3600).alias("end_epoch"))
+    wb = w.withColumn(
+        "bin", F.explode(F.sequence(
+            F.floor(F.col("start_epoch") / 3600),
+            F.floor((F.col("end_epoch") - 1) / 3600))))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.unix_timestamp("ts").alias("e_epoch"),
+        F.floor(F.col("value") * 1000 + 0.5).cast("long").alias("vm"))
+    ev = ev.withColumn("bin", F.floor(F.col("e_epoch") / 3600))
+    joined = (ev.join(wb, "bin")
+              .where((F.col("e_epoch") >= F.col("start_epoch"))
+                     & (F.col("e_epoch") < F.col("end_epoch"))))
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("vm").cast("long").alias("total_value_milli"))
+
+
+# CUBE grouping sets (the ROLLUP twin: all 2^k grouping combinations)
+@_reg("events_cube", """
+SELECT event_type,
+       CAST(CASE WHEN GROUPING(user_id % 10) = 1 THEN NULL
+            ELSE user_id % 10 END AS BIGINT) AS user_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(GROUPING(event_type) * 2 + GROUPING(user_id % 10) AS INT)
+           AS grouping_lvl
+FROM events
+GROUP BY CUBE(event_type, user_id % 10)
+""")
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", (F.col("user_id") % 10).alias("user_bucket"))
+    return (ev.cube("event_type", "user_bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.grouping("event_type") * 2
+                  + F.grouping("user_bucket")).cast("int")
+                 .alias("grouping_lvl"))
+            .select("event_type",
+                    F.col("user_bucket").cast("long").alias("user_bucket"),
+                    "n", "grouping_lvl"))
+
+
 # lineage aggregation shape (per-partition counters + checksums)
 @_reg("lineage_agg", """
 SELECT CAST(doc_id % 16 AS INT) AS part_id,
