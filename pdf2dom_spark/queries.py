@@ -1699,6 +1699,64 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("vm").cast("long").alias("total_value_milli"))
 
 
+# Hypertable-style multi-resolution rollup cascade: minutely -> hourly ->
+# daily continuous aggregates where each coarser level derives from the
+# FINER AGGREGATE, not a re-scan — the TimescaleDB continuous-aggregate /
+# streaming-rollup shape. At 100 TB the raw table is touched once; the
+# cascade reuses the (tiny) minutely result twice, and counts/sums are
+# decomposable so the derivation is exact. One tagged union returns all
+# three resolutions; the oracle computes each level directly from raw.
+@_reg("rollup_cascade", """
+WITH m AS (
+  -- NOTE: DuckDB's // on DOUBLE is plain division, so floor explicitly
+  SELECT CAST(FLOOR(FLOOR(epoch(ts)) / 60) AS BIGINT) * 60 AS bucket_epoch,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS vm
+  FROM events GROUP BY 1
+),
+h AS (
+  SELECT CAST(FLOOR(bucket_epoch / 3600) AS BIGINT) * 3600 AS bucket_epoch,
+         CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(vm) AS BIGINT) AS vm
+  FROM m GROUP BY 1
+),
+d AS (
+  SELECT CAST(FLOOR(bucket_epoch / 86400) AS BIGINT) * 86400 AS bucket_epoch,
+         CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(vm) AS BIGINT) AS vm
+  FROM h GROUP BY 1
+)
+SELECT 'minute' AS res, CAST(bucket_epoch AS BIGINT) AS bucket_epoch, n, vm FROM m
+UNION ALL
+SELECT 'hour', CAST(bucket_epoch AS BIGINT), n, vm FROM h
+UNION ALL
+SELECT 'day', CAST(bucket_epoch AS BIGINT), n, vm FROM d
+""")
+def rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.unix_timestamp("ts").alias("e"),
+        F.floor(F.col("value") * 1000 + 0.5).cast("long").alias("vm"))
+    minute = (ev.groupBy(((F.col("e") / 60).cast("long") * 60)
+                         .alias("bucket_epoch"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("vm").cast("long").alias("vm")))
+    # one materialization: hourly and the union both reuse the minutely
+    # aggregate (without it Spark recomputes the raw scan per branch)
+    minute = minute.localCheckpoint(eager=True)
+    hour = (minute.groupBy(((F.col("bucket_epoch") / 3600).cast("long")
+                            * 3600).alias("bucket_epoch"))
+            .agg(F.sum("n").cast("long").alias("n"),
+                 F.sum("vm").cast("long").alias("vm")))
+    hour = hour.localCheckpoint(eager=True)
+    day = (hour.groupBy(((F.col("bucket_epoch") / 86400).cast("long")
+                         * 86400).alias("bucket_epoch"))
+           .agg(F.sum("n").cast("long").alias("n"),
+                F.sum("vm").cast("long").alias("vm")))
+    tag = lambda df, r: df.select(
+        F.lit(r).alias("res"), F.col("bucket_epoch").cast("long"),
+        "n", "vm")
+    return tag(minute, "minute").unionByName(tag(hour, "hour")).unionByName(
+        tag(day, "day"))
+
+
 # CUBE grouping sets (the ROLLUP twin: all 2^k grouping combinations)
 @_reg("events_cube", """
 SELECT event_type,
