@@ -252,14 +252,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _minhash_lsh_build(spark: SparkSession, sf_dir: str):
-    """Lazy plan builder (plan-gated in tests/test_plans.py); returns
-    (result, persisted-signature-frame) so the caller controls cache
-    release."""
-    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    d = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.split("text", " ").alias("ws"))
+def _mh_signatures(d: DataFrame, p: int) -> DataFrame:
+    """(doc_id, text) -> the 8-permutation MinHash signature frame.
+
+    In production this frame IS the signature table written at ingest and
+    reused across dedup runs; incremental dedup joins new docs against it
+    instead of rescanning the corpus."""
+    d = d.select("doc_id", F.split("text", " ").alias("ws"))
     # parallelize the heavy shingle+digest map regardless of input file
     # splits (the sandbox table is ONE parquet file = one task without
     # this); hash-partitioning on doc_id is reused by the signature
@@ -284,23 +283,19 @@ def _minhash_lsh_build(spark: SparkSession, sf_dir: str):
         "doc_id",
         F.md5(F.concat(F.lit("0|"), F.col("g"))).alias("h0"),
         F.md5(F.concat(F.lit("1|"), F.col("g"))).alias("h1"))
-    sig = e.groupBy("doc_id").agg(
+    return e.groupBy("doc_id").agg(
         *[F.min(F.substring(F.col(f"h{k // 4}"),
                             (k % 4) * 8 + 1, 8)).alias(f"m{k}")
           for k in _MH_KS])
-    # materialize the signatures for the self-join: the shingle-explode +
-    # 8x md5 aggregate dominates the query ~8:1 and Spark does not reuse
-    # the exchange across the two join sides. In production the signature
-    # table is written out once and reused across dedup runs; the in-query
-    # persist is the sandbox equivalent (blocks are reclaimed by the
-    # ContextCleaner when the plan becomes unreachable).
-    sig = sig.persist()
-    # carry the full signature through the band rows (4x row duplication of
-    # a 256-byte signature) so the candidate join verifies n_match in the
-    # SAME pass — the alternative (distinct pairs, then re-join signatures)
-    # recomputes the shingle-explode-aggregate pipeline two extra times,
-    # which dominated the sf0.1 bench 4:1
-    bands = sig.select(
+
+
+def _mh_bands(sig: DataFrame) -> DataFrame:
+    """Signature frame -> band rows. The full signature rides along (4x row
+    duplication of a 256-byte signature) so the candidate join verifies
+    n_match in the SAME pass — the alternative (distinct pairs, then
+    re-join signatures) recomputes the signature pipeline two extra times,
+    which dominated the sf0.1 bench 4:1."""
+    return sig.select(
         "doc_id", *[f"m{k}" for k in _MH_KS],
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band_id"),
@@ -309,9 +304,30 @@ def _minhash_lsh_build(spark: SparkSession, sf_dir: str):
             for b in range(_MH_BANDS)])).alias("bd")
     ).select("doc_id", *[f"m{k}" for k in _MH_KS],
              F.col("bd.band_id").alias("band_id"), F.col("bd.bh").alias("bh"))
-    a, b = bands.alias("a"), bands.alias("b")
-    n_match = sum(
+
+
+def _mh_n_match():
+    return sum(
         (F.col(f"a.m{k}") == F.col(f"b.m{k}")).cast("int") for k in _MH_KS)
+
+
+def _minhash_lsh_build(spark: SparkSession, sf_dir: str):
+    """Lazy plan builder (plan-gated in tests/test_plans.py); returns
+    (result, persisted-signature-frame) so the caller controls cache
+    release."""
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    # materialize the signatures for the self-join: the shingle-explode +
+    # 8x md5 aggregate dominates the query ~8:1 and Spark does not reuse
+    # the exchange across the two join sides. In production the signature
+    # table is written out once and reused across dedup runs; the in-query
+    # persist is the sandbox equivalent (blocks are reclaimed by the
+    # ContextCleaner when the plan becomes unreachable).
+    sig = _mh_signatures(d, p).persist()
+    bands = _mh_bands(sig)
+    a, b = bands.alias("a"), bands.alias("b")
+    n_match = _mh_n_match()
     out = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
                   & (F.col("a.bh") == F.col("b.bh"))
                   & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -321,6 +337,37 @@ def _minhash_lsh_build(spark: SparkSession, sf_dir: str):
                    n_match.cast("int").alias("n_match"))
            .distinct())
     return out, sig
+
+
+def dedup_minhash_lsh_incremental(spark: SparkSession, new_docs: DataFrame,
+                                  existing_sigs: DataFrame) -> DataFrame:
+    """Incremental near-dup detection for newly ingested documents: sign the
+    NEW docs only and band-join them against the existing signature table
+    plus themselves — every pair involving a new doc (new-new and new-old)
+    at O(|new| + colliding buckets), never a corpus re-scan. This is the
+    per-batch dedup step of a streaming/incremental ingest: the signature
+    table is append-only (new signatures are written back after the check).
+
+    ``new_docs``: (doc_id long, text). ``existing_sigs``: the persisted
+    signature frame (from ``_mh_signatures`` at original ingest).
+    Returns (doc_a, doc_b, n_match) with doc_a < doc_b, same contract as
+    ``dedup_minhash_lsh`` — the full query's pairs restricted to those
+    touching a new doc (equivalence tested in tests/test_cc.py)."""
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    new_sig = _mh_signatures(new_docs, p).localCheckpoint(eager=True)
+    all_bands = _mh_bands(existing_sigs.unionByName(new_sig))
+    new_bands = _mh_bands(new_sig)
+    a, b = new_bands.alias("a"), all_bands.alias("b")
+    n_match = _mh_n_match()
+    pair_lo = F.least(F.col("a.doc_id"), F.col("b.doc_id"))
+    pair_hi = F.greatest(F.col("a.doc_id"), F.col("b.doc_id"))
+    return (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                   & (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col("a.doc_id") != F.col("b.doc_id")))
+            .where(n_match >= 4)
+            .select(pair_lo.alias("doc_a"), pair_hi.alias("doc_b"),
+                    n_match.cast("int").alias("n_match"))
+            .distinct())
 
 
 # ---------------------------------------------------------------------------

@@ -72,3 +72,47 @@ def test_dedup_cluster_covers_lsh_pairs(spark):
         assert r.cluster_size == sizes[r.cluster_id]
         assert r.is_keeper == (r.doc_id == r.cluster_id)
     assert sum(1 for r in clusters if r.is_keeper) == len(sizes)
+
+
+def test_incremental_lsh_equals_full(spark):
+    """Splitting the corpus into (existing, new) and running the
+    incremental band-join must reproduce EXACTLY the full query's pairs:
+    full == pairs(existing only) ∪ incremental(new vs existing+new)."""
+    from pyspark.sql import functions as F
+
+    from pdf2dom_spark.textops import (_docs, _mh_bands, _mh_n_match,
+                                       _mh_signatures,
+                                       dedup_minhash_lsh,
+                                       dedup_minhash_lsh_incremental)
+
+    full = {(r.doc_a, r.doc_b, r.n_match)
+            for r in dedup_minhash_lsh(spark, SF_SMOKE).collect()}
+    assert full  # non-vacuous
+
+    d = _docs(spark, SF_SMOKE).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    old = d.where(F.col("doc_id") % 10 != 0)
+    new = d.where(F.col("doc_id") % 10 == 0)
+    old_sig = _mh_signatures(old, 8).localCheckpoint(eager=True)
+
+    # pairs among the existing corpus only (the precomputed state)
+    b = _mh_bands(old_sig)
+    a2, b2 = b.alias("a"), b.alias("b")
+    nm = _mh_n_match()
+    old_pairs = {(r.doc_a, r.doc_b, r.n_match) for r in
+                 (a2.join(b2, (F.col("a.band_id") == F.col("b.band_id"))
+                          & (F.col("a.bh") == F.col("b.bh"))
+                          & (F.col("a.doc_id") < F.col("b.doc_id")))
+                  .where(nm >= 4)
+                  .select(F.col("a.doc_id").alias("doc_a"),
+                          F.col("b.doc_id").alias("doc_b"),
+                          nm.cast("int").alias("n_match"))
+                  .distinct().collect())}
+
+    inc = {(r.doc_a, r.doc_b, r.n_match) for r in
+           dedup_minhash_lsh_incremental(spark, new, old_sig).collect()}
+    assert old_pairs | inc == full
+    # the incremental result only reports pairs touching a new doc
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    for pa, pb, _ in inc:
+        assert pa in new_ids or pb in new_ids
