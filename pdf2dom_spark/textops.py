@@ -370,6 +370,25 @@ def dedup_minhash_lsh_incremental(spark: SparkSession, new_docs: DataFrame,
             .distinct())
 
 
+@_reg("dedup_lsh_incremental", f"""
+SELECT doc_a, doc_b, n_match FROM ({_LSH_PAIRS_SQL}) lsh
+WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
+""")
+def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated harness for the incremental path: treat doc_id % 10 == 0
+    as the newly ingested batch, everything else as the existing corpus
+    with a precomputed signature table. The oracle is the FULL pair query
+    restricted to pairs touching a new doc — so the incremental band-join
+    is value-hash-checked against the ground-truth batch result."""
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    old_sig = _mh_signatures(
+        d.where(F.col("doc_id") % 10 != 0), p).localCheckpoint(eager=True)
+    return dedup_minhash_lsh_incremental(
+        spark, d.where(F.col("doc_id") % 10 == 0), old_sig)
+
+
 # ---------------------------------------------------------------------------
 # Near-dup clustering: connected components over the LSH pair graph.
 # Pairwise output under-deduplicates chains (A~B, B~C but A!~C keeps two of
