@@ -1800,6 +1800,57 @@ def lineage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("h").alias("checksum_hi")))
 
 
+# Structure oracle for the FULL rich corpus: per-doc counts of every
+# non-text span kind are closed-form in h = first-8-bytes-of-md5(doc_id)
+# arithmetic (corpus.rich_stream's page/graphics selectors) — so the one
+# remaining rows-only query's page structure, graphics mix, metadata
+# titles, and crucially the 12x SKEW TAIL (h % 37 == 0 docs) are
+# value-hash-gated cross-engine even though per-glyph text geometry is
+# not SQL-expressible. The hash parses exactly via 16 per-position HUGEINT
+# constants (16^k literals — power() in DOUBLE is inexact past 2^53).
+_H16 = " + ".join(
+    f"CAST(instr('0123456789abcdef', substr(h16, {i + 1}, 1)) - 1 "
+    f"AS HUGEINT) * {16 ** (15 - i)}"
+    for i in range(16))
+
+@_reg("rich_structure", f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS h16,
+         GREATEST(len(list_filter(string_split(text, ' '), w -> w <> '')),
+                  1) AS w
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, ({_H16}) AS h, w FROM base
+),
+sized AS (
+  SELECT doc_id, h,
+         (w * (CASE WHEN h % 37 = 0 THEN 12 ELSE 1 END) + 23) // 24
+             AS n_pages
+  FROM hashed
+),
+pages AS (
+  SELECT doc_id, h, n_pages, unnest(generate_series(0, n_pages - 1)) AS p
+  FROM sized
+)
+SELECT doc_id,
+  CAST(MAX(n_pages) AS BIGINT) AS n_page,
+  CAST(MAX(CASE WHEN h % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_meta,
+  CAST(SUM(CASE WHEN (h + p) % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rect,
+  CAST(SUM(CASE WHEN (h + p) % 5 IN (1, 4) THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_line,
+  CAST(SUM(CASE WHEN (h + p) % 5 IN (2, 3) THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_image
+FROM pages GROUP BY doc_id
+""")
+def rich_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flat = _extract_flat(spark, sf_dir, mode="rich")
+    return flat.groupBy(F.col("doc_id").cast("long").alias("doc_id")).agg(
+        *[F.sum((F.col("kind") == k).cast("long")).alias(f"n_{k}")
+          for k in ("page", "meta", "rect", "line", "image")])
+
+
 # ---------------------------------------------------------------------------
 # rows-only (non-SQL-expressible): full interleaved corpus extraction
 # ---------------------------------------------------------------------------
