@@ -246,3 +246,50 @@ def stream_dedup_events(spark: SparkSession, events_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def stream_ingest_dedup_lsh(spark: SparkSession, docs_dir: str,
+                            out_dir: str, checkpoint_dir: str):
+    """Streaming ingest with per-batch near-dup detection: each micro-batch
+    is MinHash-signed, band-joined against the cumulative signature store
+    (textops.dedup_minhash_lsh_incremental), the discovered pairs are
+    appended to ``{out}/pairs``, and the batch's signatures are appended to
+    ``{out}/sigs`` — so the store grows by O(batch) per trigger and no
+    batch ever re-scans the corpus. After the stream drains, ``pairs``
+    holds exactly the full batch query's pair set for the union of all
+    batches (each pair is discovered by whichever of its two docs arrives
+    later; tested in tests/test_streaming.py)."""
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    from .textops import _mh_signatures, dedup_minhash_lsh_incremental
+
+    doc_schema = spark.read.parquet(docs_dir).schema
+    sigs_dir = f"{out_dir}/sigs"
+    pairs_dir = f"{out_dir}/pairs"
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        new = batch_df.select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text")
+        try:
+            existing = spark.read.parquet(sigs_dir)
+        except Exception:
+            existing = None
+        if existing is None:
+            new_sig = _mh_signatures(new, p).localCheckpoint(eager=True)
+            bands_pairs = dedup_minhash_lsh_incremental(
+                spark, new, new_sig.limit(0))
+        else:
+            bands_pairs = dedup_minhash_lsh_incremental(spark, new, existing)
+            new_sig = _mh_signatures(new, p)
+        bands_pairs.write.mode("append").parquet(pairs_dir)
+        new_sig.write.mode("append").parquet(sigs_dir)
+
+    stream = (spark.readStream.schema(doc_schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(docs_dir))
+    return (stream.writeStream
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -171,3 +171,30 @@ def test_stream_lineage_sink_matches_batch_and_replays(spark, tmp_path):
     assert spark.read.parquet(f"{out}/spans").count() == n_before + extra
     assert (spark.read.parquet(f"{out}/lineage")
             .where(F.col("batch_id") == 9999).count() > 0)
+
+
+def test_stream_ingest_dedup_lsh_matches_batch(spark, tmp_path):
+    """Per-batch incremental LSH over a multi-batch stream discovers
+    exactly the full batch query's pair set (each pair surfaces when its
+    later doc arrives), and the signature store ends covering the corpus."""
+    from pdf2dom_spark.streaming import stream_ingest_dedup_lsh
+    from pdf2dom_spark.textops import dedup_minhash_lsh
+
+    src = str(tmp_path / "docs_src")
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    # three files -> three micro-batches (maxFilesPerTrigger=1)
+    d.where(F.col("doc_id") % 3 == 0).write.mode("append").parquet(src)
+    d.where(F.col("doc_id") % 3 == 1).write.mode("append").parquet(src)
+    d.where(F.col("doc_id") % 3 == 2).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "dd")
+    q = stream_ingest_dedup_lsh(spark, src, out, str(tmp_path / "ck"))
+    q.awaitTermination(180)
+
+    got = {(r.doc_a, r.doc_b, r.n_match) for r in
+           spark.read.parquet(f"{out}/pairs").collect()}
+    want = {(r.doc_a, r.doc_b, r.n_match) for r in
+            dedup_minhash_lsh(spark, SF_SMOKE).collect()}
+    assert want  # non-vacuous
+    assert got == want
+    assert (spark.read.parquet(f"{out}/sigs").count() == d.count())
