@@ -331,11 +331,15 @@ def upsert_docs(
     merged_lineage = (survivors.select(new_lineage.columns)
                       .unionByName(new_lineage)
                       .localCheckpoint(eager=True))
-    merged_lineage.repartition(1).write.mode("overwrite").parquet(
-        lineage_dir + "_new")
-    import shutil
-    shutil.rmtree(lineage_dir)
-    shutil.move(lineage_dir + "_new", lineage_dir)
+    if tables.is_table_identifier(out_dir):
+        # Iceberg: one atomic replace commit
+        merged_lineage.writeTo(lineage_dir).createOrReplace()
+    else:
+        merged_lineage.repartition(1).write.mode("overwrite").parquet(
+            lineage_dir + "_new")
+        import shutil
+        shutil.rmtree(lineage_dir)
+        shutil.move(lineage_dir + "_new", lineage_dir)
     return {
         "run_id": run_id,
         "parts_touched": len(affected),
