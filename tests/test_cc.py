@@ -116,3 +116,46 @@ def test_incremental_lsh_equals_full(spark):
     new_ids = {r.doc_id for r in new.select("doc_id").collect()}
     for pa, pb, _ in inc:
         assert pa in new_ids or pb in new_ids
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # min node id per component
+    comp = {}
+    for n in parent:
+        comp[n] = find(n)
+    # path-compress to true minima (find() keeps min as root by merge rule)
+    return {n: find(n) for n in parent}
+
+
+def test_cc_matches_union_find_random_graphs(spark):
+    """Distributed min-label CC vs a driver-side union-find reference over
+    deterministic pseudo-random graphs of varied shape (sparse, dense,
+    multi-component, self-contained stars)."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n_nodes = rng.randint(10, 60)
+        n_edges = rng.randint(5, 80)
+        edges = [(rng.randrange(n_nodes), rng.randrange(n_nodes))
+                 for _ in range(n_edges)]
+        edges = [(u, v) for u, v in edges if u != v]
+        if not edges:
+            continue
+        want = _union_find(edges)
+        got = {r.node: r.cluster_id
+               for r in connected_components(_edges(spark, edges)).collect()}
+        assert got == want, f"seed {seed}"
