@@ -885,6 +885,49 @@ _STRATA = {"en": "19", "es": "33", "de": "4c", "fr": "66", "zh": "80"}
 # hex prefix -> rate: 0x19/0x100 ~ 10%, 0x33 ~ 20%, 0x4c ~ 30%, ...
 
 
+# ---------------------------------------------------------------------------
+# Corpus mixing with epoch upsampling: pretraining mixtures repeat
+# high-value sources (weight 2.5 = every doc twice + half the docs a third
+# time). Integer epochs come from explode(sequence(...)); the fractional
+# epoch is a deterministic md5-bucket coin flip per doc — reproducible
+# across cluster sizes and re-runs, no RNG state. Pure narrow map +
+# generate (no shuffle); per-source weights here are derived from the
+# source name so the oracle is closed-form.
+# ---------------------------------------------------------------------------
+
+@_reg("corpus_mix_epochs", """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST(substr(source, 4) AS INT) AS idx
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, idx % 3 + 1
+         + CASE WHEN idx % 2 = 1
+                 AND md5('mix|' || CAST(doc_id AS VARCHAR)) < '8'
+                THEN 1 ELSE 0 END AS reps
+  FROM d
+)
+SELECT doc_id, source, CAST(unnest(generate_series(1, reps)) AS INT) AS epoch
+FROM r
+""")
+def corpus_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source",
+        F.substring("source", 4, 10).cast("int").alias("idx"))
+    extra = F.when(
+        (F.col("idx") % 2 == 1)
+        & (F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string")))
+           < F.lit("8")), 1).otherwise(0)
+    r = d.select("doc_id", "source",
+                 (F.col("idx") % 3 + 1 + extra).alias("reps"))
+    return (r.select("doc_id", "source",
+                     F.explode(F.sequence(F.lit(1), F.col("reps")))
+                     .alias("e"))
+            .select("doc_id", "source",
+                    F.col("e").cast("int").alias("epoch")))
+
+
 def _strat_threshold(prefix: str) -> str:
     return prefix + "0" * 30
 
