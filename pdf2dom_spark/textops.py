@@ -886,6 +886,39 @@ _STRATA = {"en": "19", "es": "33", "de": "4c", "fr": "66", "zh": "80"}
 
 
 # ---------------------------------------------------------------------------
+# Inverted index build: term -> sorted posting list + document frequency —
+# the search-index construction step (and the retrieval side of
+# dedup/attribution tooling). One explode + one hash aggregate; posting
+# lists are sorted for deterministic cross-engine comparison. At corpus
+# scale the posting list of a stopword is the skew risk — production
+# shards hot terms by (term, doc_id bucket); here df is capped by the
+# synthetic vocab so the plain aggregate is the right shape.
+# ---------------------------------------------------------------------------
+
+@_reg("inverted_index", """
+WITH e AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS term,
+         CAST(doc_id AS BIGINT) AS doc_id
+  FROM documents
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       array_to_string(list_sort(list(doc_id)), ',') AS postings
+FROM e WHERE term <> '' GROUP BY term
+""")
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (_docs(spark, sf_dir)
+         .select(F.explode(F.split("text", " ")).alias("term"),
+                 F.col("doc_id").cast("long").alias("doc_id"))
+         .where(F.col("term") != "")
+         .distinct())
+    return e.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(F.sort_array(F.collect_list("doc_id")), ",")
+        .alias("postings"))
+
+
+# ---------------------------------------------------------------------------
 # Corpus mixing with epoch upsampling: pretraining mixtures repeat
 # high-value sources (weight 2.5 = every doc twice + half the docs a third
 # time). Integer epochs come from explode(sequence(...)); the fractional
