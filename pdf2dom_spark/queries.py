@@ -1381,6 +1381,40 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_type", "n", "total_milli"))
 
 
+# sliding (hopping) windows: width 10 min, slide 5 min — every event lands
+# in exactly TWO overlapping windows. Spark's native F.window(w, s) emits
+# the duplication internally; the oracle reproduces it with an explicit
+# 2-element window-start unnest per event.
+@_reg("sliding_window_counts", """
+WITH e AS (
+  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep, event_type,
+         CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm
+  FROM events
+),
+x AS (
+  SELECT ep, event_type, vm,
+         unnest([(ep // 300) * 300 - 300, (ep // 300) * 300]) AS win_start
+  FROM e
+)
+SELECT CAST(win_start AS BIGINT) AS win_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(vm) AS BIGINT) AS total_milli
+FROM x WHERE ep >= win_start AND ep < win_start + 600
+GROUP BY 1, 2
+""")
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy(
+        F.window(F.col("ts").cast("timestamp"),
+                 "10 minutes", "5 minutes").alias("win"),
+        "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.floor(F.col("value") * 1000 + 0.5).cast("long"))
+             .cast("long").alias("total_milli"))
+        .select(F.unix_timestamp("win.start").alias("win_start"),
+                "event_type", "n", "total_milli"))
+
+
 # as-of join (task brief: "an operator Spark lacks — e.g., as-of join" —
 # expressed as a composition of existing DataFrame ops): for every 'click'
 # event, the latest 'purchase' value by the same user at ts <= click ts.
