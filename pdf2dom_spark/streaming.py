@@ -293,3 +293,45 @@ def stream_ingest_dedup_lsh(spark: SparkSession, docs_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def stream_stream_click_purchase_join(spark: SparkSession, events_dir: str,
+                                      out_dir: str, checkpoint_dir: str):
+    """Watermarked stream-stream interval join — the remaining Structured
+    Streaming join category: click events join purchase events by the same
+    user within the preceding hour. Both sides carry event-time watermarks
+    and the join predicate time-bounds the buffered state, so Spark can
+    discard rows past the watermark instead of buffering both streams
+    forever (the unbounded-state failure mode of an unconstrained
+    stream-stream join). availableNow drains the backlog with the same
+    semantics as the batch twin (tested row-equal)."""
+    ev_schema = spark.read.parquet(events_dir).schema
+    base = (spark.readStream.schema(ev_schema).parquet(events_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp")))
+    clicks = (base.where(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("c_ts"))
+              .withWatermark("c_ts", "1 hour"))
+    purchases = (base.where(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("p_ts"),
+                         F.floor(F.col("value") * 1000 + 0.5).cast("long")
+                         .alias("p_milli"))
+                 .withWatermark("p_ts", "1 hour"))
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("p_ts") <= F.col("c_ts")))
+    out = joined.select("click_id", "purchase_id", "c_user",
+                        F.unix_timestamp("c_ts").alias("c_epoch"),
+                        F.unix_timestamp("p_ts").alias("p_epoch"),
+                        "p_milli")
+    return (out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())

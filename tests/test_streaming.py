@@ -198,3 +198,40 @@ def test_stream_ingest_dedup_lsh_matches_batch(spark, tmp_path):
     assert want  # non-vacuous
     assert got == want
     assert (spark.read.parquet(f"{out}/sigs").count() == d.count())
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join == the batch join with the
+    same predicate (availableNow drains everything; watermark only bounds
+    state, it must not drop in-bound matches)."""
+    from pdf2dom_spark.streaming import stream_stream_click_purchase_join
+
+    ev_dir = str(tmp_path / "ev")
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    ev.write.parquet(ev_dir)
+
+    out = str(tmp_path / "ssj")
+    q = stream_stream_click_purchase_join(spark, ev_dir, out,
+                                          str(tmp_path / "ck"))
+    q.awaitTermination(180)
+
+    streamed = spark.read.parquet(out)
+    e = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts"))
+    purch = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"),
+        F.floor(F.col("value") * 1000 + 0.5).cast("long").alias("p_milli"))
+    batch = (clicks.join(
+        purch, (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("p_ts") <= F.col("c_ts")))
+        .select("click_id", "purchase_id", "c_user",
+                F.unix_timestamp("c_ts").alias("c_epoch"),
+                F.unix_timestamp("p_ts").alias("p_epoch"), "p_milli"))
+    assert batch.count() > 0  # non-vacuous
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
