@@ -1381,6 +1381,54 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_type", "n", "total_milli"))
 
 
+# semi-structured (JSON) extraction: the events.props column is a JSON
+# blob; extract a typed field and aggregate — Spark get_json_object vs
+# DuckDB json_extract.
+@_reg("json_extract_props", """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+           AS k_sum,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS k_max,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+""")
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.sum("k").cast("long").alias("k_sum"),
+                 F.max("k").cast("int").alias("k_max"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+# frame-bounded windows: 5-row moving sum (ROWS BETWEEN 4 PRECEDING AND
+# CURRENT ROW) + ntile quartiles per event_type — quantized inputs keep
+# the frame sum exact under any within-frame summation order.
+@_reg("window_frames", """
+SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+       CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT))
+            OVER (PARTITION BY event_type ORDER BY ts, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS mov_sum_milli,
+       CAST(NTILE(4) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+            AS INT) AS quartile
+FROM events
+""")
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").cast("long").alias("event_id"), "event_type",
+        "ts", F.floor(F.col("value") * 1000 + 0.5).cast("long").alias("vm"))
+    order = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    frame = order.rowsBetween(-4, Window.currentRow)
+    return ev.select(
+        "event_id", "event_type",
+        F.sum("vm").over(frame).cast("long").alias("mov_sum_milli"),
+        F.ntile(4).over(order).cast("int").alias("quartile"))
+
+
 # sliding (hopping) windows: width 10 min, slide 5 min — every event lands
 # in exactly TWO overlapping windows. Spark's native F.window(w, s) emits
 # the duplication internally; the oracle reproduces it with an explicit
