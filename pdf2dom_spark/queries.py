@@ -1381,6 +1381,30 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_type", "n", "total_milli"))
 
 
+# exact distribution moments: quantize-then-sum keeps n / Σx / Σx² as
+# exact integers (associative under any partial-agg order), from which
+# mean/variance/stddev derive deterministically downstream — the float
+# `stddev` aggregate itself is summation-order-dependent cross-engine.
+@_reg("value_moments", """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_milli,
+       CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)
+                * CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_sq_milli
+FROM events GROUP BY event_type
+""")
+def value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.col("value") * 1000 + 0.5).cast("long").alias("vm"))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vm").cast("long").alias("sum_milli"),
+        F.sum(F.col("vm") * F.col("vm")).cast("long").alias("sum_sq_milli"))
+
+
 # semi-structured (JSON) extraction: the events.props column is a JSON
 # blob; extract a typed field and aggregate — Spark get_json_object vs
 # DuckDB json_extract.
