@@ -489,6 +489,43 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id")))
 
 
+@_reg("corpus_dedup_apply", f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_LSH_PAIRS_SQL}) lsh
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+  UNION
+  SELECT w.u, e.v FROM walk w JOIN edges e ON e.u = w.r
+),
+cc AS (
+  SELECT u AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY u
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang,
+       md5(d.text) AS text_hash
+FROM documents d
+LEFT JOIN cc ON CAST(d.doc_id AS BIGINT) = cc.doc_id
+WHERE cc.doc_id IS NULL OR cc.doc_id = cc.cluster_id
+""")
+def corpus_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step that completes detect → cluster → clean: drop every
+    non-keeper (cluster member that is not its component minimum) from the
+    corpus. The drop-list is tiny (near-dups only), so the subtraction is
+    a broadcast anti-join against the full table — one narrow pass at any
+    corpus size."""
+    clusters = dedup_cluster(spark, sf_dir)
+    drop = clusters.where(~F.col("is_keeper")).select("doc_id")
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang",
+        F.md5("text").alias("text_hash"))
+    return d.join(F.broadcast(drop), "doc_id", "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # SimHash (16-bit, portable bit extraction from md5 hex nibble parity)
 # ---------------------------------------------------------------------------
