@@ -203,14 +203,17 @@ def _merge_history(queries: dict, scaling: dict | None) -> dict:
     spike should not erase better evidence; delete BENCH/history.json to
     reset after a perf-relevant code change)."""
     path = "BENCH/history.json"
-    hist: dict = {"sf": SF_DIR, "queries": {}, "scaling": None}
+    # keyed per sf dir: a run at another scale must never clobber the
+    # minima recorded for this one
     try:
         with open(path) as f:
-            prev = json.load(f)
-        if prev.get("sf") == SF_DIR:
-            hist = prev
+            allh = json.load(f)
     except Exception:
-        pass
+        allh = {}
+    if "queries" in allh and "sf" in allh:   # legacy single-sf layout
+        allh = {allh["sf"]: {"queries": allh["queries"],
+                             "scaling": allh.get("scaling")}}
+    hist = allh.get(SF_DIR) or {"queries": {}, "scaling": None}
     for k, v in queries.items():
         old = hist["queries"].get(k)
         hist["queries"][k] = v if old is None else min(v, old)
@@ -218,8 +221,9 @@ def _merge_history(queries: dict, scaling: dict | None) -> dict:
                     or scaling["efficiency"]
                     > hist["scaling"].get("efficiency", -1)):
         hist["scaling"] = scaling
+    allh[SF_DIR] = hist
     with open(path, "w") as f:
-        json.dump(hist, f, indent=1)
+        json.dump(allh, f, indent=1)
     return hist
 
 
@@ -344,6 +348,26 @@ def main():
         out["docs_per_sec"] = scaling["docs_per_sec_4n"]
         out["scaling"] = scaling
     write_baseline_md(queries, scaling, total)
+    # best-known across serialized runs (BENCH/history.json): one draw on
+    # this shared VM can land on a host-contention spike that slows a
+    # single query 2-4x — report both, clearly labeled, never overriding
+    # the current draw
+    try:
+        with open("BENCH/history.json") as f:
+            allh = json.load(f)
+        hist = allh.get(SF_DIR) or {}
+        if hist.get("queries"):
+            out["queries_best_known"] = hist["queries"]
+            out["value_best_known"] = round(
+                sum(hist["queries"].get(k, v) for k, v in queries.items()),
+                3)
+        if hist.get("scaling"):
+            out["scaling_best_known_efficiency"] = (
+                hist["scaling"]["efficiency"])
+            out["docs_per_sec_best_known"] = (
+                hist["scaling"]["docs_per_sec_4n"])
+    except Exception:
+        pass
     print(json.dumps(out))
 
 
