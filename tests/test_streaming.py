@@ -235,3 +235,25 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     assert streamed.count() == batch.count()
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_stream_lineage_sink_restart_is_noop(spark, tmp_path):
+    """Restarting the drained stream with the same checkpoint must add no
+    batches, no spans, and no lineage rows (checkpoint + lineage compose)."""
+    from pdf2dom_spark.streaming import extract_spans_stream_lineage
+
+    docs = build_docs_df(spark, SF_SMOKE, mode="rich").limit(60).cache()
+    docs_dir = str(tmp_path / "docs")
+    docs.write.parquet(docs_dir)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = extract_spans_stream_lineage(spark, docs_dir, out, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(f"{out}/spans").count()
+    l1 = spark.read.parquet(f"{out}/lineage").count()
+
+    q2 = extract_spans_stream_lineage(spark, docs_dir, out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{out}/spans").count() == n1
+    assert spark.read.parquet(f"{out}/lineage").count() == l1
