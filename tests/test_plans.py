@@ -180,3 +180,26 @@ def test_skew_salted_join_shape(spark):
     assert "BroadcastHashJoin" not in plan
     join_line = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln][0]
     assert "salt" in join_line
+
+
+def test_salt_spreads_hot_keys_across_partitions(spark):
+    """Occupancy probe: hashing a 5-value hot key into 8 partitions leaves
+    most empty and one task owns each hot key's full volume; adding the
+    salt spreads every hot key near-uniformly."""
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        (F.col("user_id") % 5).alias("k"),
+        F.pmod(F.xxhash64("event_id"), F.lit(8)).cast("int").alias("salt"))
+    total = ev.count()
+
+    unsalted = ev.repartition(8, "k").rdd.glom().map(len).collect()
+    salted = ev.repartition(8, "k", "salt").rdd.glom().map(len).collect()
+    # keyed-only: <=5 occupied partitions, the largest owns >=1/5 of rows
+    assert sum(1 for n in unsalted if n > 0) <= 5
+    assert max(unsalted) >= total / 5
+    # salted: every partition occupied; the biggest task is strictly
+    # smaller than any hot key's full volume (40 (k, salt) groups into 8
+    # partitions still carries Poisson imbalance, so the bound is the
+    # hot-key share, not uniformity)
+    assert all(n > 0 for n in salted)
+    assert max(salted) < max(unsalted)
+    assert max(salted) <= total * 0.3
