@@ -50,6 +50,11 @@ def parse_args(argv):
                         "path (monster-doc skew defense; off by default)")
     p.add_argument("--pages-per-group", type=int, default=8,
                    help="pages per fan-out group on the split path")
+    p.add_argument("--stream", action="store_true",
+                   help="ingest --input (a DOC_SCHEMA parquet dir) as an "
+                        "availableNow stream through the foreachBatch "
+                        "lineage sink (checkpoint under <output>/ckpt); "
+                        "replay-safe, same table contract as batch")
     p.add_argument("--upsert", action="store_true",
                    help="treat the input docs as changed/new versions: "
                         "re-extract only them and replace their spans in "
@@ -91,6 +96,25 @@ def main(argv=None):
         # Iceberg table identifier or parquet dir (pdf2dom_spark.tables)
         from pdf2dom_spark import tables
         docs = tables.read_table(spark, args.input)
+
+    if args.stream:
+        if not args.input:
+            raise SystemExit("error: --stream requires --input (a "
+                             "DOC_SCHEMA parquet dir to watch)")
+        from pdf2dom_spark.streaming import extract_spans_stream_lineage
+        q = extract_spans_stream_lineage(
+            spark, args.input, args.output, f"{args.output}/ckpt",
+            cfg=cfg, num_partitions=p)
+        q.awaitTermination()
+        lin = spark.read.parquet(f"{args.output}/lineage")
+        from pyspark.sql import functions as SF
+        agg = lin.agg(SF.sum("span_count").alias("total"),
+                      SF.countDistinct("batch_id").alias("batches")).first()
+        print({"total_span_count": int(agg["total"] or 0),
+               "batches": int(agg["batches"])})
+        if not pre_existing:
+            spark.stop()
+        return 0
 
     if args.upsert:
         from pdf2dom_spark.pipeline import upsert_docs
