@@ -325,6 +325,53 @@ def mm_png_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_media_table(spark, sf_dir).mapInPandas(kernel, schema)
 
 
+# Feature extraction over the REAL decoded pixels (completing the task's
+# decode / feature-extract / resize / frame-sample verb list with genuine
+# pixel math): per-image brightness statistics + horizontal gradient
+# energy — exact integers the oracle reproduces from the generation rule,
+# so a wrong decode or a wrong feature formula both surface as mismatches.
+@_reg("mm_feature_extract", f"""
+WITH m AS ({_PNG_DIMS_SQL})
+SELECT doc_id,
+       CAST({_sql_sum2d('h', 'w', _SQL_PIX.format(y='y', x='x'))}
+            * 100 // (w * h) AS BIGINT) AS mean_x100,
+       CAST({_sql_sum2d('h', 'w',
+                        f"CASE WHEN {_SQL_PIX.format(y='y', x='x')} >= 128 "
+                        "THEN 1 ELSE 0 END")} AS BIGINT) AS n_bright,
+       CAST({_sql_sum2d('h', 'w - 1',
+                        f"abs({_SQL_PIX.format(y='y', x='(x + 1)')} "
+                        f"- {_SQL_PIX.format(y='y', x='x')})")} AS BIGINT)
+           AS grad_energy
+FROM m
+""")
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from .raster import decode_png_rgba
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                v = decode_png_rgba(bytes(payload))[..., 0].astype(np.int64)
+                h, w = v.shape
+                rows.append((
+                    int(doc_id),
+                    int(v.sum()) * 100 // (w * h),
+                    int((v >= 128).sum()),
+                    int(np.abs(np.diff(v, axis=1)).sum()),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "mean_x100", "n_bright", "grad_energy"])
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("mean_x100", T.LongType(), False),
+        T.StructField("n_bright", T.LongType(), False),
+        T.StructField("grad_energy", T.LongType(), False),
+    ])
+    return png_media_table(spark, sf_dir).mapInPandas(kernel, schema)
+
+
 # --- portable hex parsing for the oracle ------------------------------------
 
 def _hexbyte_sql(expr: str, i: int) -> str:
