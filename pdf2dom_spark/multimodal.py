@@ -372,6 +372,90 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_media_table(spark, sf_dir).mapInPandas(kernel, schema)
 
 
+# Audio modality with REAL byte plumbing: deterministic int16 PCM payloads
+# are packed to little-endian bytes in one Arrow kernel and parsed back
+# with np.frombuffer in another; windowed energy (sum of squares per
+# 16-sample frame) is the frame-level feature. The oracle reproduces the
+# exact integers from the sample formula — wrong packing, wrong
+# endianness, or a wrong window split all surface as mismatches.
+_AU_WIN = 16
+_AU_SAMPLE = "(((doc_id * 31 + {i} * 17) % 256) - 128)"
+
+
+def audio_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PCM payloads: s[i] = ((doc_id*31 + i*17) % 256) - 128, int16 LE."""
+    import numpy as np
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 64 + doc_id % 64
+                i = np.arange(n, dtype=np.int64)
+                s = (((doc_id * 31 + i * 17) % 256) - 128).astype("<i2")
+                rows.append((doc_id, s.tobytes()))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return d.mapInPandas(gen, T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]))
+
+
+@_reg("mm_audio_energy", f"""
+WITH m AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         64 + CAST(doc_id AS BIGINT) % 64 AS n
+  FROM documents
+),
+w AS (
+  SELECT doc_id, n, n // {_AU_WIN} AS n_windows,
+         list_transform(generate_series(0, n // {_AU_WIN} - 1), w ->
+             list_sum(list_transform(
+                 generate_series(w * {_AU_WIN}, w * {_AU_WIN} + {_AU_WIN} - 1),
+                 i -> CAST({_AU_SAMPLE.format(i='i')}
+                           * {_AU_SAMPLE.format(i='i')} AS BIGINT))))
+             AS win_sq
+  FROM m
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_samples,
+       CAST(n_windows AS INT) AS n_windows,
+       CAST(list_sum(win_sq) AS BIGINT) AS total_sq,
+       CAST(list_max(win_sq) AS BIGINT) AS max_window_sq
+FROM w
+""")
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = np.frombuffer(bytes(payload), dtype="<i2").astype(np.int64)
+                n = len(s)
+                nw = n // _AU_WIN
+                win = (s[:nw * _AU_WIN] ** 2).reshape(nw, _AU_WIN).sum(axis=1)
+                rows.append((int(doc_id), n, nw,
+                             int(win.sum()), int(win.max())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_samples", "n_windows", "total_sq",
+                "max_window_sq"])
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("n_windows", T.IntegerType(), False),
+        T.StructField("total_sq", T.LongType(), False),
+        T.StructField("max_window_sq", T.LongType(), False),
+    ])
+    return audio_media_table(spark, sf_dir).mapInPandas(kernel, schema)
+
+
 # --- portable hex parsing for the oracle ------------------------------------
 
 def _hexbyte_sql(expr: str, i: int) -> str:
