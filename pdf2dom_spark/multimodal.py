@@ -456,6 +456,94 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_media_table(spark, sf_dir).mapInPandas(kernel, schema)
 
 
+# Video modality with REAL byte plumbing (the triad's last member): a raw
+# multi-frame payload (F frames of w*h gray bytes, frame f pixel (y,x) =
+# (3y + 7x + doc_id + 11f) % 256) is assembled in one Arrow kernel and
+# sliced back frame-by-frame in another; every SAMPLE_EVERY-th frame is
+# kept (the frame-sampling verb) and summarized with an exact checksum.
+_VID_W, _VID_H = 6, 4
+_VID_EVERY = 3
+_VID_PIX = "((3 * {y} + 7 * {x} + doc_id + 11 * {f}) % 256)"
+
+
+def video_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                nf = 4 + doc_id % 9
+                f = np.arange(nf)[:, None, None]
+                y = np.arange(_VID_H)[None, :, None]
+                x = np.arange(_VID_W)[None, None, :]
+                vid = ((3 * y + 7 * x + doc_id + 11 * f) % 256).astype(
+                    np.uint8)
+                rows.append((doc_id, nf, vid.tobytes()))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_frames",
+                                              "payload"])
+
+    return d.mapInPandas(gen, T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]))
+
+
+@_reg("mm_video_frame_sample", f"""
+WITH m AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         4 + CAST(doc_id AS BIGINT) % 9 AS nf
+  FROM documents
+),
+s AS (
+  SELECT doc_id, nf,
+         list_transform(generate_series(0, (nf - 1) // {_VID_EVERY}), k ->
+             k * {_VID_EVERY}) AS frames
+  FROM m
+)
+SELECT doc_id, CAST(nf AS INT) AS n_frames,
+       CAST(len(frames) AS INT) AS n_sampled,
+       CAST(list_sum(list_transform(frames, f ->
+            {_sql_sum2d(str(_VID_H), str(_VID_W),
+                        _VID_PIX.format(y='y', x='x', f='f')
+                        + ' * (1 + y * ' + str(_VID_W) + ' + x)')}))
+            AS BIGINT) AS sampled_checksum
+FROM s
+""")
+def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    weights = 1 + np.arange(_VID_H * _VID_W, dtype=np.int64).reshape(
+        _VID_H, _VID_W)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, nf, payload in zip(pdf["doc_id"], pdf["n_frames"],
+                                           pdf["payload"]):
+                nf = int(nf)
+                vid = np.frombuffer(bytes(payload), dtype=np.uint8).reshape(
+                    nf, _VID_H, _VID_W).astype(np.int64)
+                sampled = vid[::_VID_EVERY]
+                rows.append((int(doc_id), nf, sampled.shape[0],
+                             int((sampled * weights[None]).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_frames", "n_sampled", "sampled_checksum"])
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("n_sampled", T.IntegerType(), False),
+        T.StructField("sampled_checksum", T.LongType(), False),
+    ])
+    return video_media_table(spark, sf_dir).mapInPandas(kernel, schema)
+
+
 # --- portable hex parsing for the oracle ------------------------------------
 
 def _hexbyte_sql(expr: str, i: int) -> str:
