@@ -231,6 +231,10 @@ def write_baseline_md(queries: dict, scaling: dict | None, total: float):
     os.makedirs("BENCH", exist_ok=True)
     hist = _merge_history(queries, scaling)
     best = hist["queries"]
+    if scaling is None and hist.get("scaling"):
+        # a --no-scaling draw must not erase the scaling evidence section:
+        # render the best recorded scaling run instead
+        scaling = hist["scaling"]
     path = "BENCH/BASELINE.md"
     lines = [
         "# BENCH/BASELINE — measured results",
