@@ -257,3 +257,39 @@ def test_stream_lineage_sink_restart_is_noop(spark, tmp_path):
     q2.awaitTermination(120)
     assert spark.read.parquet(f"{out}/spans").count() == n1
     assert spark.read.parquet(f"{out}/lineage").count() == l1
+
+
+def test_stream_lineage_sink_crash_window_replay(spark, tmp_path, monkeypatch):
+    """The documented crash window: spans written, lineage append dies,
+    foreachBatch replays the batch. The replay must dynamic-overwrite the
+    same (batch_id, part_id) partitions — one copy of every span, one
+    lineage row set."""
+    from pdf2dom_spark import tables
+    from pdf2dom_spark.streaming import _lineage_batch_writer
+
+    docs = build_docs_df(spark, SF_SMOKE, mode="rich").limit(40).cache()
+    out = str(tmp_path / "o")
+    writer = _lineage_batch_writer(spark, out, num_partitions=8)
+
+    real_append = tables.append_table
+
+    def dying_append(df, target, spark_=None):
+        raise RuntimeError("injected crash before lineage commit")
+
+    monkeypatch.setattr(tables, "append_table", dying_append)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        writer(docs, 7)
+    monkeypatch.setattr(tables, "append_table", real_append)
+
+    # spans landed but no lineage: replay must not duplicate
+    n_orphan = spark.read.parquet(f"{out}/spans").count()
+    assert n_orphan > 0
+    writer(docs, 7)  # replay
+    spans = spark.read.parquet(f"{out}/spans")
+    assert spans.count() == n_orphan  # same rows, overwritten in place
+    assert spans.select("doc_id", "order").distinct().count() == n_orphan
+    lin = spark.read.parquet(f"{out}/lineage")
+    assert lin.where(F.col("batch_id") == 7).count() > 0
+    total = lin.agg(F.sum("span_count")).collect()[0][0]
+    assert total == n_orphan
