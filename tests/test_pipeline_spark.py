@@ -298,3 +298,22 @@ def test_upsert_inserts_new_docs(spark, docs, tmp_path):
     # no prior run -> loud failure, not silent table creation
     with pytest.raises(Exception):
         upsert_docs(spark, new, str(tmp_path / "missing"), run_id="boom")
+
+
+def test_compact_spans_multi_file_target(spark, docs, tmp_path):
+    """files_per_partition > 1: each part_id dir lands on at most that many
+    files (intra-partition salt), content still bit-identical."""
+    import glob
+
+    from pdf2dom_spark.pipeline import compact_spans
+
+    out = str(tmp_path / "c2")
+    run_checkpointed(spark, docs, out, num_partitions=8, run_id="r1")
+    before = spark.read.parquet(f"{out}/spans").localCheckpoint(eager=True)
+    compact_spans(spark, f"{out}/spans", files_per_partition=2)
+    per_dir = [len(glob.glob(f"{d}/*.parquet"))
+               for d in glob.glob(f"{out}/spans/part_id=*")]
+    assert per_dir and all(1 <= n <= 2 for n in per_dir), per_dir
+    after = spark.read.parquet(f"{out}/spans")
+    assert after.count() == before.count()
+    assert after.select(before.columns).exceptAll(before).count() == 0
