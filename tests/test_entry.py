@@ -39,3 +39,45 @@ def test_job_cli(spark, tmp_path):
     assert lin.select("part_id").distinct().count() == 4
     html = spark.read.parquet(f"{out}/html")
     assert html.count() == spans.select("doc_id").distinct().count()
+
+
+def test_job_cli_lifecycle(spark, tmp_path):
+    """The full production CLI surface in one lifecycle: fresh run ->
+    resume no-op -> upsert (same docs = no growth) -> compact (one file
+    per partition dir) -> streaming ingest into a fresh target."""
+    import glob
+
+    import job
+    from pdf2dom_spark.corpus import build_docs_df
+
+    out = str(tmp_path / "life")
+    assert job.main(["--synth", "/root/testdata/sf0.001", "--output", out,
+                     "--partitions", "4"]) == 0
+    n1 = spark.read.parquet(f"{out}/spans").count()
+
+    # resume without --partitions: pinned modulus makes it a no-op
+    assert job.main(["--synth", "/root/testdata/sf0.001", "--output", out,
+                     "--resume"]) == 0
+    assert spark.read.parquet(f"{out}/spans").count() == n1
+
+    # upsert the same corpus: table content unchanged
+    assert job.main(["--synth", "/root/testdata/sf0.001", "--output", out,
+                     "--upsert"]) == 0
+    assert spark.read.parquet(f"{out}/spans").count() == n1
+
+    # compact: one file per part_id dir, same rows
+    assert job.main(["--synth", "/root/testdata/sf0.001", "--output", out,
+                     "--resume", "--compact"]) == 0
+    per_dir = [len(glob.glob(f"{d}/*.parquet"))
+               for d in glob.glob(f"{out}/spans/part_id=*")]
+    assert per_dir and all(n == 1 for n in per_dir)
+    assert spark.read.parquet(f"{out}/spans").count() == n1
+
+    # streaming ingest of the same corpus into a fresh target
+    docs_dir = str(tmp_path / "docs_src")
+    build_docs_df(spark, "/root/testdata/sf0.001",
+                  mode="rich").write.parquet(docs_dir)
+    sout = str(tmp_path / "stream_out")
+    assert job.main(["--input", docs_dir, "--output", sout,
+                     "--partitions", "4", "--stream"]) == 0
+    assert spark.read.parquet(f"{sout}/spans").count() == n1
