@@ -1381,6 +1381,42 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_type", "n", "total_milli"))
 
 
+# M8 length formatting (BoxStyle.formatLength, BoxStyle.java:132-136)
+# cross-engine: the renderer's Java-Float.toString semantics (shortest
+# round-trip float32 repr) run through the REAL render_html.fmt_len in an
+# Arrow kernel; DuckDB's REAL->VARCHAR cast implements the same
+# shortest-repr algorithm, so the oracle checks the exact CSS strings.
+# Inputs stay in positional-notation range (page coordinates).
+@_reg("render_css_lengths", """
+SELECT CAST(n_nationkey AS INT) AS css_id,
+       CAST(CAST((n_nationkey * 17 + 3) / 7.0 AS REAL) AS VARCHAR) || 'pt'
+           AS css_len
+FROM nation
+""")
+def render_css_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from .render_html import fmt_len
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("int").alias("css_id"),
+        ((F.col("n_nationkey") * 17 + 3) / 7.0).alias("v"))
+
+    def kernel(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "css_id": pdf["css_id"],
+                "css_len": [fmt_len(float(v)) for v in pdf["v"]],
+            })
+
+    return n.mapInPandas(kernel, T.StructType([
+        T.StructField("css_id", T.IntegerType()),
+        T.StructField("css_len", T.StringType()),
+    ]))
+
+
 # exact distribution moments: quantize-then-sum keeps n / Σx / Σx² as
 # exact integers (associative under any partial-agg order), from which
 # mean/variance/stddev derive deterministically downstream — the float
