@@ -1381,6 +1381,73 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_type", "n", "total_milli"))
 
 
+# M9 CSS serialization (BoxStyle.toString, BoxStyle.java:88-114) through
+# the REAL renderer: extraction output -> render_html.text_css per span,
+# value-hash-checked against the closed-form CSS strings DuckDB builds
+# from the mono-grid oracle geometry with REAL->VARCHAR shortest-repr
+# casts (the conditional omissions — normal weight/style, zero spacings,
+# default color, transparent stroke — all exercise their negative arms).
+@_reg("render_css_text", """
+WITH w0 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         unnest(string_split(text,' ')) AS word,
+         generate_subscripts(string_split(text,' '), 1) AS sidx
+  FROM documents WHERE length(text) > 0
+),
+w AS (
+  SELECT doc_id, word,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sidx) - 1 AS widx
+  FROM w0 WHERE word <> ''
+),
+n AS (SELECT doc_id, COUNT(*) AS nw FROM w GROUP BY doc_id),
+ws AS (
+  SELECT w.doc_id, word, widx,
+         CAST(widx // 40 + 1 AS INT) AS page_no,
+         CAST((widx % 40) // 8 AS INT) AS line_no,
+         CAST(widx % 8 AS INT) AS pos,
+         CAST(widx % 40 AS INT) AS i,
+         CAST(LEAST(n.nw - 40 * (widx // 40), 40) AS INT) AS m
+  FROM w JOIN n ON w.doc_id = n.doc_id
+)
+SELECT doc_id,
+       CAST((page_no - 1) * 43
+            + CASE WHEN i < m - 1 THEN 1 + i ELSE m + 2 END AS INT) AS ord,
+       'top:' || CAST(CAST(64 + 14.0 * line_no AS REAL) AS VARCHAR)
+       || 'pt;left:' || CAST(CAST(72
+           + 5.0 * COALESCE(SUM(LENGTH(word)) OVER
+                 (PARTITION BY doc_id, page_no, line_no ORDER BY widx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + 5.0 * pos AS REAL) AS VARCHAR)
+       || 'pt;line-height:10.0pt;font-family:Mono;font-size:10.0pt;width:'
+       || CAST(CAST(5.0 * LENGTH(word) AS REAL) AS VARCHAR) || 'pt;' AS css
+FROM ws
+""")
+def render_css_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from .render_html import text_css
+
+    flat = _extract_flat(spark, sf_dir, mode="oracle")
+    text = flat.where(F.col("kind") == "text")
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = pdf.to_dict("records")
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "ord": pdf["order"].astype("int32"),
+                "css": [text_css(r) for r in recs],
+            })
+
+    return text.mapInPandas(kernel, T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("ord", T.IntegerType()),
+        T.StructField("css", T.StringType()),
+    ]))
+
+
 # M8 length formatting (BoxStyle.formatLength, BoxStyle.java:132-136)
 # cross-engine: the renderer's Java-Float.toString semantics (shortest
 # round-trip float32 repr) run through the REAL render_html.fmt_len in an
