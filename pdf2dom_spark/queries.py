@@ -1381,6 +1381,36 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_type", "n", "total_milli"))
 
 
+# The literal spark.sql(...) API surface: the classic TPC-H Q1 pricing
+# summary expressed as ONE SQL text over a temp view — identical ANSI SQL
+# runs on both engines (fixed-point sums keep the floats exact; count-only
+# averages avoid cross-engine float division order).
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_qty_c,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+           AS BIGINT) AS sum_base_c,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * CAST(FLOOR((1 - l_discount) * 100 + 0.5) AS BIGINT))
+           AS BIGINT) AS sum_disc_price_c4,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * CAST(FLOOR((1 - l_discount) * 100 + 0.5) AS BIGINT)
+                * CAST(FLOOR((1 + l_tax) * 100 + 0.5) AS BIGINT))
+           AS BIGINT) AS sum_charge_c6,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '2024-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+@_reg("tpch_q1_pricing", _Q1_SQL)
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .createOrReplaceTempView("lineitem")
+    return spark.sql(_Q1_SQL)
+
+
 # M9 CSS serialization (BoxStyle.toString, BoxStyle.java:88-114) through
 # the REAL renderer: extraction output -> render_html.text_css per span,
 # value-hash-checked against the closed-form CSS strings DuckDB builds
