@@ -217,9 +217,13 @@ def _merge_history(queries: dict, scaling: dict | None) -> dict:
     for k, v in queries.items():
         old = hist["queries"].get(k)
         hist["queries"][k] = v if old is None else min(v, old)
+    # rank scaling draws by absolute 4N throughput, NOT efficiency: a
+    # contended 2-core baseline inflates the ratio past 1.0 while both
+    # absolute numbers are low — throughput can't be flattered by a slow
+    # baseline
     if scaling and (not hist.get("scaling")
-                    or scaling["efficiency"]
-                    > hist["scaling"].get("efficiency", -1)):
+                    or scaling["docs_per_sec_4n"]
+                    > hist["scaling"].get("docs_per_sec_4n", -1)):
         hist["scaling"] = scaling
     allh[SF_DIR] = hist
     with open(path, "w") as f:
