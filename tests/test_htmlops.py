@@ -27,12 +27,7 @@ def test_five_word_block_kept_four_dropped(spark, tmp_path):
 def test_link_density_boundary(spark, tmp_path):
     """links*3 < words: a 6-word block with 2 links is dropped (6 == 2*3 is
     NOT < ), with 1 link it is kept."""
-    from pyspark.sql import functions as F
-
-    from pdf2dom_spark import htmlops
-
-    # build the block directly through the engine's own pieces: wrap a
-    # text whose <p> contains inline <a> tags
+    # wrap a text whose <p> contains inline <a> tags
     body2 = 'w1 <a href="x">l1</a> w2 w3 <a href="y">l2</a> w4'
     body1 = 'w1 <a href="x">l1</a> w2 w3 w4 w5'
     r2 = _run(spark, tmp_path, body2)
