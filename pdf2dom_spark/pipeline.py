@@ -149,6 +149,11 @@ def run_checkpointed(
         # first run's lineage and silently reused on resume.
         stored = prior.select(F.max("num_partitions")).first()[0]
         if stored is not None and int(stored) != num_partitions:
+            import warnings
+            warnings.warn(
+                f"resume: ignoring num_partitions={num_partitions}; the "
+                f"salt modulus is pinned to {int(stored)} by this "
+                "output's lineage", stacklevel=2)
             num_partitions = int(stored)
 
     salted = with_part_id(docs, num_partitions)
