@@ -101,6 +101,18 @@ def main(argv=None):
         if not args.input:
             raise SystemExit("error: --stream requires --input (a "
                              "DOC_SCHEMA parquet dir to watch)")
+        # refuse an output whose lineage was written by a batch run: the
+        # streaming sink keys idempotence on batch_id, which batch lineage
+        # lacks — mixing the two schemas corrupts resume for both modes
+        try:
+            prior_lin = spark.read.parquet(f"{args.output}/lineage")
+        except Exception:
+            prior_lin = None
+        if prior_lin is not None and "batch_id" not in prior_lin.columns:
+            raise SystemExit(
+                f"error: {args.output}/lineage exists without a batch_id "
+                "column (batch-mode output); point --stream at a fresh "
+                "output dir")
         from pdf2dom_spark.streaming import extract_spans_stream_lineage
         q = extract_spans_stream_lineage(
             spark, args.input, args.output, f"{args.output}/ckpt",

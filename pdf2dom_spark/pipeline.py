@@ -102,6 +102,28 @@ class FailureInjection(Exception):
     pass
 
 
+def _recover_lineage_swap(lineage_dir: str) -> None:
+    """Self-heal a crash mid-way through upsert_docs' parquet lineage swap
+    (write _new -> rename live aside to _old -> rename _new in -> rm _old).
+    Every crash window leaves a complete copy under exactly one of the
+    three names; prefer _new (it is fully written before any rename)."""
+    import os
+    import shutil
+
+    if os.path.isdir(lineage_dir):
+        # normal case — at worst a stale _old survived the final rmtree
+        # crash window; it is superseded, drop it
+        shutil.rmtree(lineage_dir + "_old", ignore_errors=True)
+        return
+    old, new = lineage_dir + "_old", lineage_dir + "_new"
+    if os.path.isdir(old) and os.path.isdir(new):
+        # crashed between the two renames: _new is the complete result
+        os.rename(new, lineage_dir)
+        shutil.rmtree(old)
+    elif os.path.isdir(old):
+        os.rename(old, lineage_dir)
+
+
 def run_checkpointed(
     spark: SparkSession,
     docs: DataFrame,
@@ -137,6 +159,8 @@ def run_checkpointed(
         spans_dir = f"{out_dir}/spans"
         lineage_dir = f"{out_dir}/lineage"
 
+    if not tables.is_table_identifier(out_dir):
+        _recover_lineage_swap(lineage_dir)
     try:
         prior = tables.read_table(spark, lineage_dir)
     except Exception:  # no lineage yet -> everything pending
@@ -300,8 +324,20 @@ def upsert_docs(
         spans_dir = f"{out_dir}/spans"
         lineage_dir = f"{out_dir}/lineage"
 
+    if not tables.is_table_identifier(out_dir):
+        _recover_lineage_swap(lineage_dir)
     prior = tables.read_table(spark, lineage_dir)
-    num_partitions = int(prior.select(F.max("num_partitions")).first()[0])
+    if "num_partitions" not in prior.columns:
+        raise ValueError(
+            f"{lineage_dir} has no num_partitions column — this output was "
+            "not created by a batch run_checkpointed run (streaming-sink "
+            "lineage carries batch_id instead) and does not support upsert")
+    stored = prior.select(F.max("num_partitions")).first()[0]
+    if stored is None:
+        raise ValueError(
+            f"{lineage_dir} has only null num_partitions values — cannot "
+            "recover the salt modulus; this target does not support upsert")
+    num_partitions = int(stored)
 
     salted = with_part_id(updated_docs, num_partitions)
     affected = [int(r.part_id) for r in
@@ -323,9 +359,31 @@ def upsert_docs(
     merged = merged.localCheckpoint(eager=True)
     tables.write_partitioned(merged, spans_dir, "part_id", spark)
 
+    # dynamic overwrite only touches partitions PRESENT in `merged`: an
+    # affected partition whose every doc updated to a zero-span version
+    # would keep its stale files on disk — delete those explicitly, and
+    # give every affected partition a lineage row (zero row if empty) so
+    # lineage and data stay consistent (ADVICE r3).
+    present = {int(r.part_id) for r in
+               merged.select("part_id").distinct().collect()}
+    emptied = sorted(set(affected) - present)
+    if emptied:
+        if tables.is_table_identifier(out_dir):
+            spark.sql(f"DELETE FROM {spans_dir} WHERE part_id IN "
+                      f"({','.join(str(p) for p in emptied)})")
+        else:
+            import shutil
+            for pid in emptied:
+                shutil.rmtree(f"{spans_dir}/part_id={pid}",
+                              ignore_errors=True)
+
     stats = lineage(merged)
+    affected_df = spark.createDataFrame(
+        [(p,) for p in affected], "part_id int")
     new_lineage = (
-        stats.withColumn("run_id", F.lit(run_id))
+        affected_df.join(stats, "part_id", "left")
+        .fillna(0, subset=[c for c in stats.columns if c != "part_id"])
+        .withColumn("run_id", F.lit(run_id))
         .withColumn("completed_at", F.current_timestamp())
         .withColumn("num_partitions", F.lit(num_partitions))
     )
@@ -342,9 +400,17 @@ def upsert_docs(
     else:
         merged_lineage.repartition(1).write.mode("overwrite").parquet(
             lineage_dir + "_new")
+        import os
         import shutil
-        shutil.rmtree(lineage_dir)
-        shutil.move(lineage_dir + "_new", lineage_dir)
+        # rename the live table ASIDE first (never delete-then-move): a
+        # crash at any step leaves a complete copy under lineage, _old or
+        # _new — the rmtree+move it replaces had a window that lost the
+        # whole table (ADVICE r3)
+        old_dir = lineage_dir + "_old"
+        shutil.rmtree(old_dir, ignore_errors=True)  # stale prior crash
+        os.rename(lineage_dir, old_dir)
+        os.rename(lineage_dir + "_new", lineage_dir)
+        shutil.rmtree(old_dir)
     return {
         "run_id": run_id,
         "parts_touched": len(affected),

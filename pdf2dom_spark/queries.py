@@ -2111,11 +2111,47 @@ def _merge(*regs: dict) -> dict:
     return out
 
 
+# The driver's per-round correctness sweep caps at ~50 queries taken in
+# dict order, while the registry holds ~80 — so ordering decides which
+# queries get a driver CORRECTNESS row this round. Front-load the ones with
+# the thinnest driver evidence (never gated / not gated last round), then
+# the full-kernel oracles that must stay gated EVERY round; the tail was
+# all green in the previous round's file, so cumulative coverage across
+# rounds spans the whole registry (VERDICT r3 "Next round" #1).
+_SWEEP_PRIORITY = [
+    # never driver-gated before round 4
+    "corpus_dedup_apply", "pii_scrub", "repetition_score", "tfidf_top_terms",
+    "inverted_index", "corpus_mix_epochs", "stratified_sample", "pack_bins",
+    "embedding_centroids", "html_main_content", "mm_feature_extract",
+    "mm_audio_energy", "mm_video_frame_sample",
+    # green in r2 but dropped from the r3 sweep by the cap
+    "corpus_filter", "dedup_embedding_cosine", "doc_fingerprint",
+    "knn_brute", "knn_ivf", "knn_lsh", "lang_id", "mm_decode_meta",
+    "mm_frame_sample", "mm_png_decode", "mm_png_resize_nn", "mm_png_rot90",
+    "mm_resize_plan", "quality_score", "simhash16", "token_count",
+    # full-kernel cross-engine gates: keep in every round's sweep
+    "extract_spans_oracle", "extract_spans_rich_lite",
+    "extract_spans_rot_text", "extract_spans_forms", "extract_spans_encoded",
+    "extract_spans_paged_oracle", "extract_spans_rich", "rich_structure",
+    "extract_page_range", "chunk_islands_sql",
+    # streaming batch-twins + headline dedup/aggregation/windows
+    "tumbling_window_counts", "sliding_window_counts", "tpch_q1_pricing",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_lsh_incremental",
+    "dedup_cluster", "render_css_text", "render_css_lengths",
+]
+
+
+def _sweep_order(merged: dict) -> dict:
+    out = {k: merged[k] for k in _SWEEP_PRIORITY if k in merged}
+    out.update({k: v for k, v in merged.items() if k not in out})
+    return out
+
+
 def all_queries() -> dict:
-    return _merge(REGISTRY, textops.REGISTRY, simsearch.REGISTRY,
-                  multimodal.REGISTRY, htmlops.REGISTRY)
+    return _sweep_order(_merge(REGISTRY, textops.REGISTRY, simsearch.REGISTRY,
+                               multimodal.REGISTRY, htmlops.REGISTRY))
 
 
 def all_oracles() -> dict[str, str]:
-    return _merge(ORACLES, textops.ORACLES, simsearch.ORACLES,
-                  multimodal.ORACLES, htmlops.ORACLES)
+    return _sweep_order(_merge(ORACLES, textops.ORACLES, simsearch.ORACLES,
+                               multimodal.ORACLES, htmlops.ORACLES))

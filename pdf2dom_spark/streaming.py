@@ -176,12 +176,30 @@ def _lineage_batch_writer(spark: SparkSession, out_dir: str,
     lineage_dir = f"{out_dir}/lineage"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         bid = int(batch_id)
         try:
-            done = (spark.read.parquet(lineage_dir)
-                    .where(F.col("batch_id") == bid).limit(1).count())
-        except Exception:  # no lineage table yet
-            done = 0
+            lin_tbl = spark.read.parquet(lineage_dir)
+        except AnalysisException as e:
+            # ONLY "table does not exist yet" means not-committed; any other
+            # read failure must surface — treating a transient error as
+            # "batch not committed" would re-append lineage rows and
+            # double-count span totals (ADVICE r3).
+            if ("PATH_NOT_FOUND" not in str(e)
+                    and "Path does not exist" not in str(e)):
+                raise
+            lin_tbl = None
+        done = 0
+        if lin_tbl is not None:
+            if "batch_id" not in lin_tbl.columns:
+                raise ValueError(
+                    f"{lineage_dir} has no batch_id column — this output "
+                    "was created by a batch run; streaming into it would "
+                    "mix incompatible lineage schemas (use a fresh output "
+                    "dir)")
+            done = (lin_tbl.where(F.col("batch_id") == bid)
+                    .limit(1).count())
         if done:
             return
         salted = with_part_id(batch_df, num_partitions).repartition(
@@ -248,6 +266,44 @@ def stream_dedup_events(spark: SparkSession, events_dir: str,
             .start())
 
 
+def _lsh_batch_writer(spark: SparkSession, out_dir: str):
+    """foreachBatch body of ``stream_ingest_dedup_lsh``, exposed so tests
+    can replay a batch_id directly (mirrors ``_lineage_batch_writer``)."""
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    from . import tables
+    from .textops import _mh_signatures, dedup_minhash_lsh_incremental
+
+    sigs_dir = f"{out_dir}/sigs"
+    pairs_dir = f"{out_dir}/pairs"
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        bid = int(batch_id)
+        new = batch_df.select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text")
+        try:
+            existing = (spark.read.parquet(sigs_dir)
+                        .where(F.col("batch_id") < bid).drop("batch_id"))
+        except Exception:  # no signature store yet (first batch)
+            existing = None
+        if existing is None:
+            new_sig = _mh_signatures(new, p).localCheckpoint(eager=True)
+            bands_pairs = dedup_minhash_lsh_incremental(
+                spark, new, new_sig.limit(0))
+        else:
+            bands_pairs = dedup_minhash_lsh_incremental(spark, new, existing)
+            new_sig = _mh_signatures(new, p)
+        tables.write_partitioned(
+            bands_pairs.withColumn("batch_id", F.lit(bid)), pairs_dir,
+            "batch_id", spark)
+        tables.write_partitioned(
+            new_sig.withColumn("batch_id", F.lit(bid)), sigs_dir,
+            "batch_id", spark)
+
+    return write_batch
+
+
 def stream_ingest_dedup_lsh(spark: SparkSession, docs_dir: str,
                             out_dir: str, checkpoint_dir: str):
     """Streaming ingest with per-batch near-dup detection: each micro-batch
@@ -258,33 +314,16 @@ def stream_ingest_dedup_lsh(spark: SparkSession, docs_dir: str,
     batch ever re-scans the corpus. After the stream drains, ``pairs``
     holds exactly the full batch query's pair set for the union of all
     batches (each pair is discovered by whichever of its two docs arrives
-    later; tested in tests/test_streaming.py)."""
-    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+    later; tested in tests/test_streaming.py).
 
-    from .textops import _mh_signatures, dedup_minhash_lsh_incremental
-
+    Replay safety (foreachBatch is at-least-once): both outputs land as
+    ``batch_id=<bid>`` partitions via dynamic partition overwrite, so a
+    replayed batch REPLACES its own rows instead of appending duplicates,
+    and the candidate join reads only ``batch_id < bid`` signatures — a
+    half-written replay of this very batch can never pair against its own
+    earlier attempt's signatures."""
     doc_schema = spark.read.parquet(docs_dir).schema
-    sigs_dir = f"{out_dir}/sigs"
-    pairs_dir = f"{out_dir}/pairs"
-    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-
-    def write_batch(batch_df, batch_id: int) -> None:
-        new = batch_df.select(
-            F.col("doc_id").cast("long").alias("doc_id"), "text")
-        try:
-            existing = spark.read.parquet(sigs_dir)
-        except Exception:
-            existing = None
-        if existing is None:
-            new_sig = _mh_signatures(new, p).localCheckpoint(eager=True)
-            bands_pairs = dedup_minhash_lsh_incremental(
-                spark, new, new_sig.limit(0))
-        else:
-            bands_pairs = dedup_minhash_lsh_incremental(spark, new, existing)
-            new_sig = _mh_signatures(new, p)
-        bands_pairs.write.mode("append").parquet(pairs_dir)
-        new_sig.write.mode("append").parquet(sigs_dir)
-
+    write_batch = _lsh_batch_writer(spark, out_dir)
     stream = (spark.readStream.schema(doc_schema)
               .option("maxFilesPerTrigger", 1)
               .parquet(docs_dir))

@@ -80,17 +80,24 @@ def write_partitioned(df: DataFrame, target: str,
             return
         df.writeTo(target).overwritePartitions()
         return
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # toggle the conf on df's OWN session: inside foreachBatch the batch
+    # DataFrame carries a cloned session whose conf snapshot ignores later
+    # changes to the outer session — setting dynamic mode there alone
+    # leaves the clone on static overwrite, which wipes every partition of
+    # the table on each micro-batch instead of replacing just the ones in
+    # ``df`` (caught live: only the last batch's rows survived)
+    conf = df.sparkSession.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         df.write.mode("overwrite").partitionBy(cols).parquet(target)
     finally:
         # restore the session-global setting (other writers in the same
         # session may rely on the default static semantics)
         if prev is None:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            conf.unset("spark.sql.sources.partitionOverwriteMode")
         else:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def append_table(df: DataFrame, target: str,

@@ -317,3 +317,86 @@ def test_compact_spans_multi_file_target(spark, docs, tmp_path):
     after = spark.read.parquet(f"{out}/spans")
     assert after.count() == before.count()
     assert after.select(before.columns).exceptAll(before).count() == 0
+
+
+def test_upsert_empties_partition(spark, docs, tmp_path):
+    """An affected partition whose every doc updates to a zero-span version
+    must end EMPTY on disk (dynamic overwrite alone never touches it) with
+    an explicit zero lineage row — not stale spans + a dropped lineage
+    row (ADVICE r3)."""
+    from pdf2dom_spark.pipeline import upsert_docs
+
+    small = docs.limit(10).localCheckpoint(eager=True)
+    out = str(tmp_path / "zu")
+    run_checkpointed(spark, small, out, num_partitions=64, run_id="base")
+
+    solo = (with_part_id(small, 64).groupBy("part_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.first("doc_id").alias("d"))
+            .where(F.col("n") == 1).first())
+    assert solo is not None, "need a single-doc partition for this test"
+    target_part, target_doc = int(solo.part_id), solo.d
+
+    updated = (small.where(F.col("doc_id") == target_doc)
+               .withColumn("spans", F.expr("slice(spans, 1, 0)")))
+    stats = upsert_docs(spark, updated, out, run_id="up-empty")
+    assert stats["docs_updated"] == 1
+
+    after = spark.read.parquet(f"{out}/spans")
+    assert after.where(F.col("part_id") == target_part).count() == 0
+    assert after.where(F.col("doc_id") == target_doc).count() == 0
+    lin = spark.read.parquet(f"{out}/lineage")
+    row = lin.where(F.col("part_id") == target_part).collect()
+    assert len(row) == 1 and row[0].span_count == 0
+
+    # resume over the upserted table is still a no-op (lineage complete)
+    full_docs = (small.where(F.col("doc_id") != target_doc)
+                 .unionByName(updated))
+    stats2 = run_checkpointed(spark, full_docs, out, num_partitions=64,
+                              run_id="noop")
+    assert stats2["span_count"] == 0
+
+
+def test_upsert_rejects_unsupported_lineage(spark, docs, tmp_path):
+    """Upsert against an output whose lineage lacks num_partitions (e.g.
+    the streaming sink's batch_id lineage) fails with a clear error, not
+    an opaque AnalysisException (ADVICE r3)."""
+    from pdf2dom_spark.pipeline import upsert_docs
+
+    out = str(tmp_path / "badlin")
+    spark.range(3).selectExpr("id as part_id", "id as batch_id") \
+        .write.parquet(f"{out}/lineage")
+    with pytest.raises(ValueError, match="num_partitions"):
+        upsert_docs(spark, docs.limit(1), out, run_id="nope")
+
+
+def test_upsert_lineage_swap_crash_recovery(spark, docs, tmp_path):
+    """A crash between the lineage-swap renames must leave a recoverable
+    table that the next run restores automatically (ADVICE r3: the old
+    rmtree+move had a window that lost lineage entirely)."""
+    import os
+    import shutil
+
+    from pdf2dom_spark.pipeline import upsert_docs
+
+    small = docs.limit(20).localCheckpoint(eager=True)
+    out = str(tmp_path / "swapcrash")
+    run_checkpointed(spark, small, out, num_partitions=8, run_id="base")
+    lin_dir = f"{out}/lineage"
+    before = sorted(map(tuple, spark.read.parquet(lin_dir)
+                        .select("part_id", "checksum").collect()))
+
+    # simulate the between-renames crash state: live renamed aside to _old,
+    # _new fully written (here: identical content), nothing at the live name
+    shutil.copytree(lin_dir, lin_dir + "_new")
+    os.rename(lin_dir, lin_dir + "_old")
+
+    ids = [r.doc_id for r in small.select("doc_id").limit(3).collect()]
+    updated = (small.where(F.col("doc_id").isin(ids))
+               .withColumn("spans", F.reverse("spans")))
+    stats = upsert_docs(spark, updated, out, run_id="recovered")
+    assert stats["docs_updated"] == len(ids)
+    assert not os.path.isdir(lin_dir + "_old")
+    assert not os.path.isdir(lin_dir + "_new")
+    after = sorted(map(tuple, spark.read.parquet(lin_dir)
+                       .select("part_id", "checksum").collect()))
+    assert {p for p, _ in after} == {p for p, _ in before}

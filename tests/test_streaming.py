@@ -293,3 +293,34 @@ def test_stream_lineage_sink_crash_window_replay(spark, tmp_path, monkeypatch):
     assert lin.where(F.col("batch_id") == 7).count() > 0
     total = lin.agg(F.sum("span_count")).collect()[0][0]
     assert total == n_orphan
+
+
+def test_lsh_sink_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a batch of the LSH dedup
+    sink (crash after the pairs/sigs writes, before the stream checkpoint
+    commit) must REPLACE that batch's rows, not append duplicates — and
+    the replay must not pair the batch against its own earlier attempt's
+    signatures."""
+    from pdf2dom_spark.streaming import _lsh_batch_writer
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    b0 = d.where(F.col("doc_id") % 2 == 0)
+    b1 = d.where(F.col("doc_id") % 2 == 1)
+
+    out = str(tmp_path / "lshrep")
+    writer = _lsh_batch_writer(spark, out)
+    writer(b0, 0)
+    writer(b1, 1)
+
+    pairs_once = sorted((r.doc_a, r.doc_b, r.n_match) for r in
+                        spark.read.parquet(f"{out}/pairs").collect())
+    sigs_once = spark.read.parquet(f"{out}/sigs").count()
+    assert pairs_once  # non-vacuous
+
+    # replay both batches (any order) — exact same table afterwards
+    writer(b1, 1)
+    writer(b0, 0)
+    pairs_twice = sorted((r.doc_a, r.doc_b, r.n_match) for r in
+                         spark.read.parquet(f"{out}/pairs").collect())
+    assert pairs_twice == pairs_once
+    assert spark.read.parquet(f"{out}/sigs").count() == sigs_once
