@@ -26,6 +26,9 @@ import sys
 def parse_args(argv):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", help="documents table (DOC_SCHEMA parquet dir)")
+    p.add_argument("--input-pdfs", help="directory/glob of real .pdf files "
+                   "to ingest (distributed binaryFile scan -> stdlib PDF "
+                   "parser -> DOC_SCHEMA; pdf2dom_spark.pdfread)")
     p.add_argument("--synth", help="synthesize corpus from this sf dir instead")
     p.add_argument("--output", required=True)
     p.add_argument("--partitions", type=int, default=0,
@@ -89,7 +92,10 @@ def main(argv=None):
     p = args.partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
-    if args.synth:
+    if args.input_pdfs:
+        from pdf2dom_spark.pdfread import pdf_docs_df
+        docs = pdf_docs_df(spark, args.input_pdfs)
+    elif args.synth:
         from pdf2dom_spark.corpus import build_docs_df
         docs = build_docs_df(spark, args.synth, mode="rich", num_partitions=p)
     else:

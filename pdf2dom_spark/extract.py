@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 
 from . import graphics, textpipe
-from .interp import DocInterp, doc_cmaps, doc_tokens
+from .interp import DocInterp, doc_cid2_fonts, doc_cmaps, doc_tokens
 from .schema import SPAN_FLAT_COLUMNS, STYLE_FIELDS
 
 
@@ -77,6 +77,7 @@ def extract_doc_columnar(doc_id: str, spans: list[dict],
         page_offset=page_offset, font_seed=font_seed,
         raster_paths=cfg.raster_paths,
         cmaps=doc_cmaps(spans),
+        cid2_fonts=doc_cid2_fonts(spans),
     )
     glyphs, events, font_table, end_key, page_flush = interp.run(tokens)
 

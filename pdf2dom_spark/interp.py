@@ -209,6 +209,10 @@ def doc_cmaps(spans: list[dict]) -> dict[str, dict[int, str]]:
     applies at showText time (PDFBoxTree.java:592-656 receives the decoded
     TextPosition). Multi-char expansions (ligature ToUnicode entries) are
     out of scope: glyph arrays here are strictly 1:1 code->char.
+
+    A ``bytes:2`` token in the span text declares a TWO-byte code space
+    (Type0/Identity-H CID fonts — PDFBox's readCode consumes two bytes per
+    code there); see doc_cid2_fonts().
     """
     maps: dict[str, dict[int, str]] = {}
     for sp in spans:
@@ -219,9 +223,26 @@ def doc_cmaps(spans: list[dict]) -> dict[str, dict[int, str]]:
         m = maps.setdefault(name, {})
         for pair in (sp.get("text") or "").replace(",", " ").split():
             code, _, cp = pair.partition(":")
+            if code == "bytes":
+                continue  # code-width declaration, not a mapping
             if code and cp:
                 m[int(code)] = chr(int(cp, 16))
     return maps
+
+
+def doc_cid2_fonts(spans: list[dict]) -> set[str]:
+    """Fonts whose cmap span declares a 2-byte code space (``bytes:2``):
+    show strings for these fonts are decoded as big-endian byte PAIRS
+    before the code->unicode map applies (PDFBox CMap.readCode for
+    Identity-H / 2-byte codespace ranges)."""
+    out: set[str] = set()
+    for sp in spans:
+        if sp.get("kind") != "cmap":
+            continue
+        if "bytes:2" in (sp.get("text") or ""):
+            name = (sp.get("media_ref") or "")
+            out.add(name[5:] if name.startswith("cmap:") else name)
+    return out
 
 
 class DocInterp:
@@ -244,6 +265,7 @@ class DocInterp:
                  font_seed: list[str] | None = None,
                  raster_paths: bool = False,
                  cmaps: dict[str, dict[int, str]] | None = None,
+                 cid2_fonts: set[str] | None = None,
                  batch_runs: bool = True):
         # batch_runs=False forces the scalar Tm/Tj path — the equivalence
         # knob tests/test_kernels_ext.py uses to pin show_run == show
@@ -254,6 +276,10 @@ class DocInterp:
         # span text and all unicode-derived semantics — whitespace drop, RTL,
         # diacritics — use the mapped character). See doc_cmaps().
         self.cmaps = cmaps or {}
+        # fonts with a 2-byte code space (Type0/Identity-H): show strings
+        # carry raw BYTES (one char per byte from the tokenizer) that pair
+        # into big-endian codes before the cmap applies
+        self.cid2_fonts = cid2_fonts or set()
         self.start_page = start_page
         self.end_page = end_page
         self.disable_graphics = disable_graphics
@@ -362,20 +388,45 @@ class DocInterp:
             nonlocal tm
             if not s:
                 return
-            codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
-            adv = F.advance_widths(codes, g.font, g.fsize * g.th / 1000.0)
-            if g.tc != 0.0:
-                adv += g.tc * g.th
-            if g.tw != 0.0:
-                adv[codes == 32] += g.tw * g.th
-            # font encoding: advances above use the raw glyph codes (the
-            # reference reads metrics by code); everything downstream sees
-            # the decoded unicode (PDFBox decodes at showText time)
-            enc = self.cmaps.get(g.font)
-            if enc is not None:
-                s = "".join([enc.get(c, ch)
-                             for c, ch in zip(codes.tolist(), s)])
+            if g.font in self.cid2_fonts:
+                # 2-byte code space (Type0/Identity-H): pair the raw bytes
+                # into big-endian codes, decode via the cmap, and key
+                # metrics by the DECODED char (CID widths live in the CID
+                # font's /W array, which the span format does not carry —
+                # decoded-unicode metrics are the closest available proxy).
+                # Tw never applies: word spacing targets single-byte code
+                # 32 only (PDF 32000-1 9.3.3).
+                raw = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+                if len(raw) % 2:
+                    raw = np.append(raw, np.uint32(0))
+                pair_codes = (raw[0::2] << np.uint32(8)) | raw[1::2]
+                enc2 = self.cmaps.get(g.font) or {}
+                s = "".join([enc2.get(c, chr(c))
+                             for c in pair_codes.tolist()])
+                if not s:
+                    return
                 codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+                adv = F.advance_widths(codes, g.font,
+                                       g.fsize * g.th / 1000.0)
+                if g.tc != 0.0:
+                    adv += g.tc * g.th
+            else:
+                codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+                adv = F.advance_widths(codes, g.font,
+                                       g.fsize * g.th / 1000.0)
+                if g.tc != 0.0:
+                    adv += g.tc * g.th
+                if g.tw != 0.0:
+                    adv[codes == 32] += g.tw * g.th
+                # font encoding: advances above use the raw glyph codes (the
+                # reference reads metrics by code); everything downstream
+                # sees the decoded unicode (PDFBox decodes at showText time)
+                enc = self.cmaps.get(g.font)
+                if enc is not None:
+                    s = "".join([enc.get(c, ch)
+                                 for c, ch in zip(codes.tolist(), s)])
+                    codes = np.frombuffer(s.encode("utf-32-le"),
+                                          dtype=np.uint32)
             # Tm x CTM — identity-CTM fast path skips the matrix multiply
             tmctm = tm if g.ctm_ident else compose(tm, g.ctm)
             m00, m01 = tmctm[0, 0], tmctm[0, 1]
@@ -559,6 +610,7 @@ class DocInterp:
                 # batched fast path: a maximal run of translate-only Tm + Tj
                 # pairs under an identity CTM (see show_run)
                 if (self.batch_runs and g.ctm_ident
+                        and g.font not in self.cid2_fonts
                         and i < ntok and tokens[i][0] == "Tj"
                         and tokens[i][1]
                         and args[0] == 1.0 and args[1] == 0.0

@@ -1,0 +1,840 @@
+"""Real-PDF file reader: parse an actual PDF file into DOC_SCHEMA rows.
+
+The reference converts real PDFs via PDFBox (PDFToHTML.java:41-98); until
+now every corpus this engine ran was synthetic (corpus.py stream
+generators). This module is the ingest bridge that lets the SAME extraction
+kernel run over the reference's own test fixtures
+(/root/reference/src/test/resources/*.pdf), so the reference-test
+properties — rendering-mode colors (TestPDFDomTree.java:28-74), page-range
+gating (:76-86), rotation quadrants (TestPageRotation.java:15-97) — can be
+asserted against our output from the very files the reference asserts them
+on (tests/test_realpdf.py).
+
+Stdlib only (zlib + re). Covers the constructs the fixtures use:
+
+- classic xref tables (incl. /Prev chains and hybrid /XRefStm),
+- cross-reference STREAMS (/Type/XRef, /W field widths, /Index, PNG
+  predictors 10-15 on FlateDecode),
+- object streams (/Type/ObjStm: the compressed-object containers every
+  PDF-1.5+ fixture stores its objects in),
+- FlateDecode for content; DCTDecode/raw image payloads kept as opaque
+  bytes (hashed into a stable ``media_ref`` — the kernel never decodes
+  real image codecs, matching multimodal.py's opaque-binary design),
+- page tree walk with attribute inheritance (Resources, MediaBox, Rotate),
+- simple-font /Encoding /Differences and /ToUnicode CMaps -> kind='cmap'
+  spans (the kernel's font-encoding hook, interp.doc_cmaps),
+- image XObjects -> kind='image' spans spliced at their ``Do`` site (the
+  kernel's DoMedia contract, interp.doc_tokens),
+- form XObjects -> kind='form' spans with /Matrix modeled as a leading
+  ``cm`` (doc_tokens expands ``/Name Do`` inline q/Q-wrapped).
+
+Type0/Identity-H fonts emit a ``bytes:2``-flagged cmap span: the kernel
+pairs show-string bytes into 2-byte codes before mapping
+(interp.doc_cid2_fonts). Known bounds (documented, fixture-irrelevant):
+CID advance widths come from decoded-unicode metrics, not the CID font's
+/W array (the span format carries no width tables); images referenced
+from *inside* form XObjects keep their ``Do`` untouched (the interpreter
+ignores unknown ``Do`` names, PDFBoxTree.java:548).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+# ---------------------------------------------------------------------------
+# object model
+# ---------------------------------------------------------------------------
+
+
+class Name(str):
+    """PDF name object (distinct from string literals)."""
+
+
+class Ref(tuple):
+    """Indirect reference (num, gen)."""
+
+
+class Stream:
+    def __init__(self, d: dict, raw: bytes, pdf: "PdfFile"):
+        self.dict = d
+        self.raw = raw
+        self._pdf = pdf
+        self._data: bytes | None = None
+
+    @property
+    def data(self) -> bytes:
+        if self._data is None:
+            self._data = _decode_stream(self.dict, self.raw, self._pdf)
+        return self._data
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+_NUM_RE = re.compile(rb"[-+]?(?:\d+\.\d*|\.\d+|\d+)")
+_NAME_ESC_RE = re.compile(rb"#([0-9A-Fa-f]{2})")
+
+
+def _skip_ws(b: bytes, i: int) -> int:
+    n = len(b)
+    while i < n:
+        c = b[i]
+        if c in _WS:
+            i += 1
+        elif c == 0x25:  # % comment
+            while i < n and b[i] not in (0x0A, 0x0D):
+                i += 1
+        else:
+            break
+    return i
+
+
+def _parse_name(b: bytes, i: int) -> tuple[Name, int]:
+    j = i + 1
+    n = len(b)
+    while j < n and b[j] not in _WS and b[j] not in _DELIM:
+        j += 1
+    raw = _NAME_ESC_RE.sub(lambda m: bytes([int(m.group(1), 16)]), b[i + 1:j])
+    return Name(raw.decode("latin-1")), j
+
+
+def _parse_literal(b: bytes, i: int) -> tuple[bytes, int]:
+    out = bytearray()
+    depth = 1
+    j = i + 1
+    n = len(b)
+    esc = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C,
+           0x28: 0x28, 0x29: 0x29, 0x5C: 0x5C}
+    while j < n and depth:
+        c = b[j]
+        if c == 0x5C and j + 1 < n:
+            nx = b[j + 1]
+            if nx in esc:
+                out.append(esc[nx])
+                j += 2
+            elif 0x30 <= nx <= 0x37:
+                k = j + 1
+                while k < n and k < j + 4 and 0x30 <= b[k] <= 0x37:
+                    k += 1
+                out.append(int(b[j + 1:k], 8) & 0xFF)
+                j = k
+            elif nx in (0x0A, 0x0D):  # line continuation
+                j += 2
+                if nx == 0x0D and j < n and b[j] == 0x0A:
+                    j += 1
+            else:
+                out.append(nx)
+                j += 2
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            j += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth:
+                out.append(c)
+            j += 1
+        else:
+            out.append(c)
+            j += 1
+    return bytes(out), j
+
+
+def _parse_hex(b: bytes, i: int) -> tuple[bytes, int]:
+    e = b.find(b">", i)
+    if e == -1:
+        e = len(b)
+    body = re.sub(rb"[^0-9A-Fa-f]", b"", b[i + 1:e])
+    if len(body) % 2:
+        body += b"0"
+    return bytes.fromhex(body.decode("ascii")), e + 1
+
+
+def parse_obj(b: bytes, i: int) -> tuple[object, int]:
+    """Parse one PDF object starting at (whitespace before) index ``i``."""
+    i = _skip_ws(b, i)
+    c = b[i:i + 1]
+    if b.startswith(b"<<", i):
+        d: dict = {}
+        i += 2
+        while True:
+            i = _skip_ws(b, i)
+            if b.startswith(b">>", i):
+                return d, i + 2
+            key, i = _parse_name(b, i)
+            val, i = parse_obj(b, i)
+            d[str(key)] = val
+    if c == b"[":
+        arr: list = []
+        i += 1
+        while True:
+            i = _skip_ws(b, i)
+            if b[i:i + 1] == b"]":
+                return arr, i + 1
+            val, i = parse_obj(b, i)
+            arr.append(val)
+    if c == b"/":
+        return _parse_name(b, i)
+    if c == b"(":
+        return _parse_literal(b, i)
+    if c == b"<":
+        return _parse_hex(b, i)
+    if b.startswith(b"true", i):
+        return True, i + 4
+    if b.startswith(b"false", i):
+        return False, i + 5
+    if b.startswith(b"null", i):
+        return None, i + 4
+    m = _NUM_RE.match(b, i)
+    if m:
+        tok = m.group(0)
+        j = m.end()
+        # "num gen R" lookahead -> indirect reference
+        if b"." not in tok:
+            k = _skip_ws(b, j)
+            m2 = _NUM_RE.match(b, k)
+            if m2 and b"." not in m2.group(0):
+                k2 = _skip_ws(b, m2.end())
+                if b[k2:k2 + 1] == b"R" and (
+                        k2 + 1 >= len(b)
+                        or b[k2 + 1] in _WS or b[k2 + 1] in _DELIM):
+                    return Ref((int(tok), int(m2.group(0)))), k2 + 1
+            return int(tok), j
+        return float(tok), j
+    raise ValueError(f"cannot parse object at byte {i}: {b[i:i+20]!r}")
+
+
+# ---------------------------------------------------------------------------
+# filters
+# ---------------------------------------------------------------------------
+
+
+def _png_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
+    """Reverse PNG row predictors (PDF 32000-1 7.4.4.4)."""
+    stride = (columns * colors * bpc + 7) // 8
+    bpp = max(1, (colors * bpc + 7) // 8)
+    out = bytearray()
+    prev = bytearray(stride)
+    i = 0
+    while i + 1 + stride <= len(data) + stride and i < len(data):
+        ft = data[i]
+        row = bytearray(data[i + 1:i + 1 + stride])
+        i += 1 + stride
+        if ft == 1:  # Sub
+            for x in range(bpp, len(row)):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(len(row)):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(len(row)):
+                left = row[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(len(row)):
+                a = row[x - bpp] if x >= bpp else 0
+                bb = prev[x]
+                cc = prev[x - bpp] if x >= bpp else 0
+                p = a + bb - cc
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - cc)
+                pr = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else cc)
+                row[x] = (row[x] + pr) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+_OPAQUE_FILTERS = {"DCTDecode", "JPXDecode", "CCITTFaxDecode", "JBIG2Decode"}
+
+
+def _decode_stream(d: dict, raw: bytes, pdf: "PdfFile") -> bytes:
+    filters = pdf.resolve(d.get("Filter"))
+    parms = pdf.resolve(d.get("DecodeParms", d.get("DP")))
+    if filters is None:
+        return raw
+    if not isinstance(filters, list):
+        filters = [filters]
+        parms = [parms]
+    elif not isinstance(parms, list):
+        parms = [parms] * len(filters)
+    data = raw
+    for f, p in zip(filters, parms):
+        f = str(f)
+        if f == "FlateDecode" or f == "Fl":
+            data = zlib.decompress(data)
+            p = pdf.resolve(p) or {}
+            pred = int(pdf.resolve(p.get("Predictor", 1)) or 1)
+            if pred >= 10:
+                data = _png_unpredict(
+                    data, int(pdf.resolve(p.get("Columns", 1)) or 1),
+                    int(pdf.resolve(p.get("Colors", 1)) or 1),
+                    int(pdf.resolve(p.get("BitsPerComponent", 8)) or 8))
+        elif f in ("ASCIIHexDecode", "AHx"):
+            body = re.sub(rb"[^0-9A-Fa-f]", b"", data.split(b">")[0])
+            if len(body) % 2:
+                body += b"0"
+            data = bytes.fromhex(body.decode("ascii"))
+        elif f in _OPAQUE_FILTERS:
+            return data  # image codec payload stays opaque
+        else:  # unknown filter: keep raw (caller treats as opaque)
+            return data
+    return data
+
+
+# ---------------------------------------------------------------------------
+# file reader: xref chain, object store
+# ---------------------------------------------------------------------------
+
+
+class PdfFile:
+    """Random-access PDF object store over one file's bytes."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        # obj num -> ("n", byte_offset) | ("s", container_objnum, index)
+        self.xref: dict[int, tuple] = {}
+        self.trailer: dict = {}
+        self._cache: dict[int, object] = {}
+        self._objstm_cache: dict[int, list] = {}
+        self._load_xref()
+
+    # -- xref ---------------------------------------------------------------
+
+    def _load_xref(self) -> None:
+        tail = self.data[-2048:]
+        m = list(re.finditer(rb"startxref\s+(\d+)", tail))
+        if not m:
+            raise ValueError("no startxref")
+        offset = int(m[-1].group(1))
+        seen: set[int] = set()
+        while offset and offset not in seen:
+            seen.add(offset)
+            offset = self._load_xref_section(offset)
+
+    def _put(self, num: int, entry: tuple) -> None:
+        # first writer wins: sections are visited newest-first, and a newer
+        # section's entry supersedes any /Prev section's
+        if num not in self.xref:
+            self.xref[num] = entry
+
+    def _load_xref_section(self, offset: int) -> int:
+        b = self.data
+        i = _skip_ws(b, offset)
+        if b.startswith(b"xref", i):
+            i += 4
+            while True:
+                i = _skip_ws(b, i)
+                if b.startswith(b"trailer", i):
+                    trailer, _ = parse_obj(b, i + 7)
+                    break
+                m = re.match(rb"(\d+)\s+(\d+)", b[i:i + 40])
+                if not m:
+                    trailer = {}
+                    break
+                start, count = int(m.group(1)), int(m.group(2))
+                i = _skip_ws(b, i + m.end())
+                for k in range(count):
+                    ent = b[i:i + 20]
+                    if ent[17:18] == b"n" or ent.rstrip()[-1:] == b"n":
+                        self._put(start + k, ("n", int(ent[:10])))
+                    i += 20
+            for k, v in trailer.items():
+                self.trailer.setdefault(k, v)
+            # hybrid-reference file: the XRefStm stream carries the entries
+            # for compressed objects
+            if "XRefStm" in trailer:
+                self._load_xref_section(int(trailer["XRefStm"]))
+            return int(trailer.get("Prev", 0) or 0)
+        # cross-reference stream: "N G obj <<...>> stream"
+        stream = self._parse_indirect_at(i)
+        d = stream.dict
+        for k, v in d.items():
+            self.trailer.setdefault(k, v)
+        w = [int(self.resolve(x)) for x in self.resolve(d["W"])]
+        size = int(self.resolve(d.get("Size", 0)))
+        index = self.resolve(d.get("Index", [0, size]))
+        data = stream.data
+        rw = sum(w)
+        pos = 0
+        pairs = [(int(index[j]), int(index[j + 1]))
+                 for j in range(0, len(index), 2)]
+        for start, count in pairs:
+            for k in range(count):
+                if pos + rw > len(data):
+                    break
+                fields = []
+                for width in w:
+                    fields.append(int.from_bytes(data[pos:pos + width], "big")
+                                  if width else None)
+                    pos += width
+                typ = fields[0] if w[0] else 1
+                if typ == 1:
+                    self._put(start + k, ("n", fields[1]))
+                elif typ == 2:
+                    self._put(start + k, ("s", fields[1], fields[2] or 0))
+        return int(self.resolve(d.get("Prev", 0)) or 0)
+
+    # -- objects ------------------------------------------------------------
+
+    def _parse_indirect_at(self, offset: int):
+        b = self.data
+        m = re.match(rb"\s*(\d+)\s+(\d+)\s+obj", b[offset:offset + 40])
+        if not m:
+            raise ValueError(f"no obj header at {offset}")
+        val, i = parse_obj(b, offset + m.end())
+        i = _skip_ws(b, i)
+        if b.startswith(b"stream", i):
+            i += 6
+            if b[i:i + 2] == b"\r\n":
+                i += 2
+            elif b[i:i + 1] == b"\n":
+                i += 1
+            length = self.resolve(val.get("Length")) if isinstance(val, dict) else None
+            if isinstance(length, (int, float)):
+                end = i + int(length)
+                if b.find(b"endstream", end, end + 40) == -1:
+                    end = b.find(b"endstream", i)  # wrong /Length: rescan
+            else:
+                end = b.find(b"endstream", i)
+            raw = b[i:end]
+            # strip the EOL that precedes endstream when Length was absent
+            if not isinstance(length, (int, float)):
+                raw = raw.rstrip(b"\r\n")
+            return Stream(val, raw, self)
+        return val
+
+    def get(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        ent = self.xref.get(num)
+        if ent is None:
+            obj = None
+        elif ent[0] == "n":
+            obj = self._parse_indirect_at(ent[1])
+        else:
+            obj = self._from_objstm(ent[1], ent[2], num)
+        self._cache[num] = obj
+        return obj
+
+    def _from_objstm(self, container: int, idx: int, want: int):
+        if container not in self._objstm_cache:
+            stm = self.get(container)
+            data = stm.data
+            n = int(self.resolve(stm.dict["N"]))
+            first = int(self.resolve(stm.dict["First"]))
+            header = data[:first].split()
+            pairs = [(int(header[2 * j]), int(header[2 * j + 1]))
+                     for j in range(n)]
+            objs = []
+            for objnum, off in pairs:
+                val, _ = parse_obj(data, first + off)
+                objs.append((objnum, val))
+            self._objstm_cache[container] = objs
+        objs = self._objstm_cache[container]
+        if idx < len(objs) and objs[idx][0] == want:
+            return objs[idx][1]
+        for objnum, val in objs:  # robustness: index mismatch
+            if objnum == want:
+                return val
+        return None
+
+    def resolve(self, v):
+        while isinstance(v, Ref):
+            v = self.get(v[0])
+        return v
+
+    # -- page tree ----------------------------------------------------------
+
+    _INHERIT = ("Resources", "MediaBox", "CropBox", "Rotate")
+
+    def pages(self) -> list[dict]:
+        root = self.resolve(self.trailer["Root"])
+        out: list[dict] = []
+
+        def walk(node_ref, inherited: dict) -> None:
+            node = self.resolve(node_ref)
+            if node is None:
+                return
+            inh = dict(inherited)
+            for k in self._INHERIT:
+                if k in node:
+                    inh[k] = node[k]
+            if str(node.get("Type")) == "Pages" or "Kids" in node:
+                for kid in self.resolve(node.get("Kids", [])) or []:
+                    walk(kid, inh)
+            else:
+                page = dict(node)
+                for k, v in inh.items():
+                    page.setdefault(k, v)
+                out.append(page)
+
+        walk(root.get("Pages"), {})
+        return out
+
+
+# ---------------------------------------------------------------------------
+# fonts: family naming + code->unicode maps
+# ---------------------------------------------------------------------------
+
+_SUBSET_RE = re.compile(r"^[A-Z]{6}\+")
+# compact Adobe-glyph-list subset: enough for the fixtures' /Differences;
+# single-letter glyph names map to themselves below
+_GLYPHS = {
+    "space": 0x20, "exclam": 0x21, "quotedbl": 0x22, "numbersign": 0x23,
+    "dollar": 0x24, "percent": 0x25, "ampersand": 0x26, "quotesingle": 0x27,
+    "parenleft": 0x28, "parenright": 0x29, "asterisk": 0x2A, "plus": 0x2B,
+    "comma": 0x2C, "hyphen": 0x2D, "period": 0x2E, "slash": 0x2F,
+    "zero": 0x30, "one": 0x31, "two": 0x32, "three": 0x33, "four": 0x34,
+    "five": 0x35, "six": 0x36, "seven": 0x37, "eight": 0x38, "nine": 0x39,
+    "colon": 0x3A, "semicolon": 0x3B, "less": 0x3C, "equal": 0x3D,
+    "greater": 0x3E, "question": 0x3F, "at": 0x40, "bracketleft": 0x5B,
+    "backslash": 0x5C, "bracketright": 0x5D, "asciicircum": 0x5E,
+    "underscore": 0x5F, "grave": 0x60, "braceleft": 0x7B, "bar": 0x7C,
+    "braceright": 0x7D, "asciitilde": 0x7E, "bullet": 0x2022,
+    "quoteright": 0x2019, "quoteleft": 0x2018, "quotedblleft": 0x201C,
+    "quotedblright": 0x201D, "endash": 0x2013, "emdash": 0x2014,
+}
+
+
+def _glyph_to_cp(name: str) -> int | None:
+    if len(name) == 1:
+        return ord(name)
+    if name in _GLYPHS:
+        return _GLYPHS[name]
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return int(name[3:7], 16)
+        except ValueError:
+            return None
+    return None
+
+
+def font_family(pdf: PdfFile, font: dict, fallback: str) -> str:
+    base = pdf.resolve(font.get("BaseFont"))
+    fam = str(base) if base else fallback
+    fam = _SUBSET_RE.sub("", fam)
+    # must survive as ONE /Name token in a content stream
+    return re.sub(r"[\s/()<>\[\]{}%]", "", fam) or fallback
+
+
+_BFCHAR_RE = re.compile(
+    rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(
+    rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_HEXTRIPLE_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(<[0-9A-Fa-f]+>|\[[^\]]*\])")
+
+
+def _utf16_first(hexs: bytes) -> int | None:
+    try:
+        raw = bytes.fromhex(hexs.decode("ascii"))
+    except ValueError:
+        return None
+    if len(raw) >= 2:
+        return int.from_bytes(raw[:2], "big")
+    if len(raw) == 1:
+        return raw[0]
+    return None
+
+
+def tounicode_map(cmap_bytes: bytes,
+                  two_byte: bool = False) -> dict[int, int]:
+    """ToUnicode CMap -> {code: unicode cp} (1:1 entries only, matching
+    interp.doc_cmaps' contract). ``two_byte``: accept the full 2-byte
+    source code space (Type0 fonts); otherwise only single-byte codes."""
+    def src_ok(src: bytes) -> bool:
+        if two_byte:
+            return len(src) <= 4
+        return len(src) <= 2 or (len(src) == 4 and src[:2] == b"00")
+
+    out: dict[int, int] = {}
+    for m in _BFCHAR_RE.finditer(cmap_bytes):
+        for src, dst in _HEXPAIR_RE.findall(m.group(1)):
+            if src_ok(src):
+                cp = _utf16_first(dst)
+                if cp:
+                    out[int(src, 16)] = cp
+    for m in _BFRANGE_RE.finditer(cmap_bytes):
+        for lo, hi, dst in _HEXTRIPLE_RE.findall(m.group(1)):
+            if not src_ok(lo):
+                continue
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if hi_i - lo_i > 255:
+                continue
+            if dst.startswith(b"<"):
+                base = _utf16_first(dst[1:-1])
+                if base:
+                    for c in range(lo_i, hi_i + 1):
+                        out[c] = base + (c - lo_i)
+            else:  # [<d1> <d2> ...]
+                dsts = re.findall(rb"<([0-9A-Fa-f]+)>", dst)
+                for c, dh in zip(range(lo_i, hi_i + 1), dsts):
+                    cp = _utf16_first(dh)
+                    if cp:
+                        out[c] = cp
+    return out
+
+
+def encoding_map(pdf: PdfFile, font: dict) -> tuple[dict[int, int], bool]:
+    """-> (code -> unicode cp, is_two_byte) for one font.
+
+    Simple fonts: /Encoding /Differences + /ToUnicode, single-byte codes
+    (ToUnicode wins where both define a code — PDFBox prefers it too).
+    Type0 fonts (Identity-H): the full 2-byte ToUnicode space, flagged so
+    the kernel pairs show-string bytes before mapping (interp
+    doc_cid2_fonts)."""
+    subtype = str(pdf.resolve(font.get("Subtype")) or "")
+    cid2 = subtype == "Type0"
+    out: dict[int, int] = {}
+    enc = pdf.resolve(font.get("Encoding"))
+    if isinstance(enc, dict) and not cid2:
+        diffs = pdf.resolve(enc.get("Differences")) or []
+        code = 0
+        for item in diffs:
+            item = pdf.resolve(item)
+            if isinstance(item, (int, float)):
+                code = int(item)
+            elif isinstance(item, Name):
+                cp = _glyph_to_cp(str(item))
+                if cp is not None and cp != code:
+                    out[code] = cp
+                code += 1
+    tu = pdf.resolve(font.get("ToUnicode"))
+    if isinstance(tu, Stream):
+        for code, cp in tounicode_map(tu.data, two_byte=cid2).items():
+            if cid2 or code != cp:
+                out[code] = cp
+    if not cid2:
+        # identity entries carry no information for the kernel
+        out = {c: cp for c, cp in out.items() if c != cp}
+    return out, cid2
+
+
+# ---------------------------------------------------------------------------
+# page content -> spans
+# ---------------------------------------------------------------------------
+
+_INLINE_IMG_RE = re.compile(rb"\bBI\b.*?\bEI\b", re.DOTALL)
+
+
+def _name_sub(content: str, old: str, new: str) -> str:
+    if old == new:
+        return content
+    return re.sub(r"/" + re.escape(old) + r"(?=[\s/\[\]()<>{}%]|$)",
+                  "/" + new, content)
+
+
+class _SpanBuilder:
+    def __init__(self) -> None:
+        self.spans: list[dict] = []
+        self.off = 0
+
+    def add(self, kind: str, text: str | None, media_ref: str | None) -> None:
+        self.spans.append({"kind": kind, "text": text,
+                           "media_ref": media_ref, "offset": self.off})
+        self.off += 1
+
+
+def _fmt(v: float) -> str:
+    return f"{v:g}"
+
+
+def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
+    """One PDF file's bytes -> the DOC_SCHEMA ``spans`` array."""
+    pdf = PdfFile(data)
+    sb = _SpanBuilder()
+
+    info = pdf.resolve(pdf.trailer.get("Info"))
+    if isinstance(info, dict):
+        title = pdf.resolve(info.get("Title"))
+        if isinstance(title, bytes) and title:
+            if title.startswith(b"\xfe\xff"):
+                t = title.decode("utf-16-be", "replace")[1:]
+            else:
+                t = title.decode("latin-1", "replace")
+            if t:
+                sb.add("meta", t, "title")
+
+    # per-family accumulated code map: a document may carry several subset
+    # font OBJECTS of the same family (one per page, each with its own
+    # ToUnicode covering just that page's glyphs — 3-page-document.pdf does
+    # exactly this). Merge compatible subsets into one family cmap (emitting
+    # only the delta per object); rename on a genuine code conflict so two
+    # subsets never fight over one code.
+    fam_maps: dict[str, dict[int, int]] = {}
+    fam_cid2: dict[str, bool] = {}
+    font_obj_fam: dict[tuple, str] = {}
+    emitted_forms: set[str] = set()
+
+    def register_font(rname: str, fref) -> str | None:
+        key = tuple(fref) if isinstance(fref, Ref) else None
+        if key is not None and key in font_obj_fam:
+            return font_obj_fam[key]
+        font = pdf.resolve(fref)
+        if not isinstance(font, dict):
+            return None
+        base_fam = font_family(pdf, font, rname)
+        cmap, cid2 = encoding_map(pdf, font)
+        fam, k = base_fam, 1
+        while fam in fam_maps and (
+                fam_cid2[fam] != cid2
+                or any(fam_maps[fam].get(c, cp) != cp
+                       for c, cp in cmap.items())):
+            k += 1
+            fam = f"{base_fam}.{k}"
+        acc = fam_maps.setdefault(fam, {})
+        first = fam not in fam_cid2
+        fam_cid2[fam] = cid2
+        delta = {c: cp for c, cp in cmap.items() if acc.get(c) != cp}
+        acc.update(cmap)
+        if delta or (cid2 and first):
+            body = " ".join(f"{c}:{cp:04x}"
+                            for c, cp in sorted(delta.items()))
+            if cid2:
+                body = ("bytes:2 " + body).strip()
+            sb.add("cmap", body, f"cmap:{fam}")
+        if key is not None:
+            font_obj_fam[key] = fam
+        return fam
+
+    def process_resources(res, depth: int = 0):
+        """-> (font rename map, image map, form names); emits cmap/form
+        spans as a side effect."""
+        res = pdf.resolve(res) or {}
+        fonts = pdf.resolve(res.get("Font")) or {}
+        renames: dict[str, str] = {}
+        for rname, fref in fonts.items():
+            fam = register_font(str(rname), fref)
+            if fam is not None:
+                renames[str(rname)] = fam
+        xobjs = pdf.resolve(res.get("XObject")) or {}
+        images: dict[str, tuple] = {}
+        forms: set[str] = set()
+        for rname, xref_ in xobjs.items():
+            xo = pdf.resolve(xref_)
+            if not isinstance(xo, Stream):
+                continue
+            subtype = str(pdf.resolve(xo.dict.get("Subtype")) or "")
+            if subtype == "Image":
+                w = int(pdf.resolve(xo.dict.get("Width", 1)) or 1)
+                h = int(pdf.resolve(xo.dict.get("Height", 1)) or 1)
+                ref = "sha:" + hashlib.md5(xo.raw).hexdigest()
+                images[str(rname)] = (w, h, ref)
+            elif subtype == "Form" and depth < 4:
+                fname = str(rname)
+                forms.add(fname)
+                if fname not in emitted_forms:
+                    emitted_forms.add(fname)
+                    body = _form_content(xo, depth)
+                    sb.add("form", body, f"form:{fname}")
+        return renames, images, forms
+
+    def _form_content(xo: Stream, depth: int) -> str:
+        content = _INLINE_IMG_RE.sub(b" ", xo.data).decode("latin-1")
+        renames, _images, _forms = process_resources(
+            xo.dict.get("Resources"), depth + 1)
+        for old, new in renames.items():
+            content = _name_sub(content, old, new)
+        matrix = pdf.resolve(xo.dict.get("Matrix"))
+        if matrix and list(matrix) != [1, 0, 0, 1, 0, 0]:
+            nums = " ".join(_fmt(float(pdf.resolve(v))) for v in matrix)
+            content = f"{nums} cm " + content
+        return content
+
+    pages = pdf.pages()
+    if max_pages is not None:
+        pages = pages[:max_pages]
+    for page in pages:
+        box = [float(pdf.resolve(v)) for v in
+               pdf.resolve(page.get("CropBox") or page.get("MediaBox")
+                           or [0, 0, 612, 792])]
+        x0, y0 = min(box[0], box[2]), min(box[1], box[3])
+        w, h = abs(box[2] - box[0]), abs(box[3] - box[1])
+        rot = int(pdf.resolve(page.get("Rotate", 0)) or 0) % 360
+
+        contents = pdf.resolve(page.get("Contents"))
+        parts: list[bytes] = []
+        if isinstance(contents, Stream):
+            parts = [contents.data]
+        elif isinstance(contents, list):
+            for c in contents:
+                c = pdf.resolve(c)
+                if isinstance(c, Stream):
+                    parts.append(c.data)
+        content = _INLINE_IMG_RE.sub(b" ", b"\n".join(parts)).decode("latin-1")
+
+        renames, images, _forms = process_resources(page.get("Resources"))
+        for old, new in renames.items():
+            content = _name_sub(content, old, new)
+
+        header = f"{_fmt(w)} {_fmt(h)} {rot} PG "
+        if x0 or y0:
+            # shift a non-origin CropBox to (0,0) — PDFBox normalizes via
+            # the page's displayable area (PDFBoxTree.java:797-801)
+            header += f"1 0 0 1 {_fmt(-x0)} {_fmt(-y0)} cm "
+
+        if images:
+            alts = "|".join(re.escape(n) for n in images)
+            pieces = re.split(
+                r"/(" + alts + r")[\s]+Do(?=[\s/\[\]()<>{}%]|$)", content)
+            # pieces = [text, imgname, text, imgname, ..., text]
+            sb.add("text", header + pieces[0], None)
+            for j in range(1, len(pieces), 2):
+                iw, ih, ref = images[pieces[j]]
+                sb.add("image", f"{iw} {ih} {pieces[j]}", ref)
+                sb.add("text", pieces[j + 1], None)
+        else:
+            sb.add("text", header + content, None)
+
+    return sb.spans
+
+
+def pdf_file_to_row(path: str, doc_id: str | None = None,
+                    max_pages: int | None = None) -> dict:
+    """One on-disk PDF -> a DOC_SCHEMA row dict (doc_id, spans)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    import os
+    return {"doc_id": doc_id or os.path.basename(path),
+            "spans": pdf_to_spans(data, max_pages=max_pages)}
+
+
+# ---------------------------------------------------------------------------
+# distributed ingest: a directory of real PDF files -> DOC_SCHEMA DataFrame
+# ---------------------------------------------------------------------------
+
+
+def pdf_docs_df(spark, path_glob: str):
+    """Distributed real-PDF ingest: ``binaryFile`` scan -> per-file parse in
+    Arrow batches -> DOC_SCHEMA rows (the same shape every other pipeline
+    entry consumes, so run_checkpointed/extract_spans work unchanged).
+
+    Scale shape: the binaryFile source splits the file listing across
+    executors (one row per PDF, content as bytes); parsing is a narrow
+    mapInPandas — no shuffle at all until the extraction salt. One monster
+    PDF cannot skew a task beyond its own size; the extraction stage
+    re-salts by doc_id hash anyway (pipeline.extract_spans)."""
+    import os
+
+    from .schema import DOC_SCHEMA
+
+    def parse_batch(it):
+        import pandas as pd
+        for pdf_batch in it:
+            ids, spans = [], []
+            for path, content in zip(pdf_batch["path"], pdf_batch["content"]):
+                try:
+                    spans.append(pdf_to_spans(bytes(content)))
+                    ids.append(os.path.basename(str(path)))
+                except Exception:
+                    # unparseable file: skip, never poison the batch
+                    continue
+            yield pd.DataFrame({"doc_id": ids, "spans": spans})
+
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.pdf")
+             .load(path_glob)
+             .select("path", "content"))
+    return files.mapInPandas(parse_batch, DOC_SCHEMA)
