@@ -44,7 +44,8 @@ HEADLINE = [
     "knn_brute",
     "broadcast_dim_join",
     "window_rownum_dedup",
-    "extract_spans_paged_oracle",  # monster-doc split path (round 3)
+    "extract_spans_paged_oracle",  # split path, everything-splits stress
+    "extract_spans_paged_tail",    # split path, production threshold (r4)
     "tfidf_top_terms",             # corpus scoring (round 3)
     "pack_bins",                   # context-window packing (round 3)
     "dedup_cluster",               # CC over the LSH pair graph (round 3)
@@ -258,6 +259,27 @@ def write_baseline_md(queries: dict, scaling: dict | None, total: float):
               f"best-known query total: "
               f"{round(sum(best.get(k, v) for k, v in queries.items()), 2)}s",
               ""]
+    if "extract_spans_paged_tail" in queries:
+        lines += [
+            "### Paged-path notes",
+            "",
+            "- `extract_spans_paged_oracle` is the everything-splits STRESS "
+            "configuration (min_bytes=0): every doc pays the split "
+            "round-trip and the renumber. It exists as the strongest "
+            "correctness gate on the split machinery, not as the "
+            "deployment shape.",
+            "- `extract_spans_paged_tail` is the PRODUCTION routing: a "
+            "source-side predicate sends ~80% of docs through the plain "
+            "unsplit kernel and only the size tail through page-group "
+            "fan-out; only monster spans enter the renumber exchange. At "
+            "this toy sf its wall time is dominated by the fixed cost of "
+            "running two short pipelines (second Python-worker warm-up, "
+            "2x stage scheduling), which is why it can read HIGHER than "
+            "the stress shape here; at production scale those constants "
+            "amortize and the tail path strictly reduces the bytes "
+            "crossing the split kernel and the renumber sort.",
+            "",
+        ]
     if scaling and hist.get("scaling"):
         bs = hist["scaling"]
         if bs.get("efficiency") != scaling.get("efficiency"):

@@ -538,15 +538,23 @@ def stream_fn(mode: str):
 
 
 def build_docs_df(spark, sf_dir: str, mode: str = "rich", replicate: int = 1,
-                  num_partitions: int | None = None):
+                  num_partitions: int | None = None,
+                  where: str | None = None):
     """documents.parquet -> DataFrame[DOC_SCHEMA] via a distributed,
     deterministic generator (mapInPandas; no driver-side loops).
 
     ``num_partitions``: repartition the *source rows* before generation —
     the testdata parquet is a single file, so without this the synthesis
     stage would run on one task and serialize the front of the job.
+
+    ``where``: SQL predicate over the RAW source columns (doc_id, text),
+    applied before synthesis so it reaches the parquet scan — the
+    source-side routing a production deployment uses to send only the
+    monster tail through the page-split path.
     """
     src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if where:
+        src = src.where(where)
     if replicate > 1:
         from pyspark.sql import functions as F
         src = src.crossJoin(

@@ -826,6 +826,37 @@ def extract_spans_paged_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _oracle_proj(flat)
 
 
+# 1a-tail. The same split path in its PRODUCTION deployment shape: the
+# routing predicate rides the SOURCE scan (pushed to parquet), the
+# sub-threshold majority takes the plain unsplit kernel, and only the
+# size tail (~top 20% of oracle docs by raw text length) pays the
+# page-group fan-out + renumber. Output is routing-invariant, so the
+# oracle is identical to the unsplit kernel's; the bench number reflects
+# steady-state cost rather than the everything-splits stress shape of
+# extract_spans_paged_oracle.
+
+@_reg("extract_spans_paged_tail", _ORACLE_SPANS_SQL)
+def extract_spans_paged_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pagesplit import extract_spans_paged
+    from .pipeline import extract_spans
+
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cfg = ExtractConfig()
+    small = build_docs_df(spark, sf_dir, mode="oracle", num_partitions=p,
+                          where="length(text) < 400")
+    big = build_docs_df(spark, sf_dir, mode="oracle", num_partitions=p,
+                        where="length(text) >= 400")
+    small_flat = extract_spans(small, cfg, num_partitions=p, nested=False,
+                               presalted=True)
+    # the tail branch holds ~20% of the corpus: partition it proportionally
+    # (production sizing targets bytes/partition, not a global constant)
+    big_flat = extract_spans_paged(big, cfg,
+                                   num_partitions=max(8, p // 4),
+                                   pages_per_group=1, min_bytes=0)
+    return _oracle_proj(small_flat.unionByName(
+        big_flat.select(small_flat.columns)))
+
+
 # 1b. page-range gate (S2; PDFBoxTree.java:200-210 — 1-based, inclusive)
 @_reg("extract_page_range", """
 WITH w0 AS (
@@ -2132,7 +2163,8 @@ _SWEEP_PRIORITY = [
     # full-kernel cross-engine gates: keep in every round's sweep
     "extract_spans_oracle", "extract_spans_rich_lite",
     "extract_spans_rot_text", "extract_spans_forms", "extract_spans_encoded",
-    "extract_spans_paged_oracle", "extract_spans_rich", "rich_structure",
+    "extract_spans_paged_oracle", "extract_spans_paged_tail",
+    "extract_spans_rich", "rich_structure",
     "extract_page_range", "chunk_islands_sql",
     # streaming batch-twins + headline dedup/aggregation/windows
     "tumbling_window_counts", "sliding_window_counts", "tpch_q1_pricing",
