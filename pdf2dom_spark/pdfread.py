@@ -838,3 +838,58 @@ def pdf_docs_df(spark, path_glob: str):
              .load(path_glob)
              .select("path", "content"))
     return files.mapInPandas(parse_batch, DOC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# embedded font programs (F2: the real binaries FontTable.Entry.getData pulls)
+# ---------------------------------------------------------------------------
+
+
+def embedded_font_programs(data: bytes) -> list[dict]:
+    """All embedded font programs in one PDF: [{family, base_font, kind,
+    program}] where kind is 'Type1' (FontFile), 'TrueType' (FontFile2) or
+    the FontFile3 stream /Subtype ('Type1C' bare CFF, 'CIDFontType0C',
+    'OpenType'). Descends into Type0 DescendantFonts. These are the REAL
+    binaries FontTable.java:141-256 hands to FontVerter."""
+    pdf = PdfFile(data)
+    out: list[dict] = []
+    seen: set[tuple] = set()
+
+    def visit_font(font: dict) -> None:
+        desc = pdf.resolve(font.get("FontDescriptor"))
+        for d in pdf.resolve(font.get("DescendantFonts")) or []:
+            d = pdf.resolve(d)
+            if isinstance(d, dict):
+                visit_font(d)
+        if not isinstance(desc, dict):
+            return
+        for key, kind in (("FontFile", "Type1"), ("FontFile2", "TrueType"),
+                          ("FontFile3", None)):
+            ff = pdf.resolve(desc.get(key))
+            if not isinstance(ff, Stream):
+                continue
+            k = kind or str(pdf.resolve(ff.dict.get("Subtype")) or "CFF")
+            base = str(pdf.resolve(font.get("BaseFont")) or "")
+            ident = (base, k)
+            if ident in seen:
+                continue
+            seen.add(ident)
+            out.append({"family": _SUBSET_RE.sub("", base),
+                        "base_font": base, "kind": k, "program": ff.data})
+
+    for page in pdf.pages():
+        res = pdf.resolve(page.get("Resources")) or {}
+        for fref in (pdf.resolve(res.get("Font")) or {}).values():
+            font = pdf.resolve(fref)
+            if isinstance(font, dict):
+                visit_font(font)
+        for xref_ in (pdf.resolve(res.get("XObject")) or {}).values():
+            xo = pdf.resolve(xref_)
+            if isinstance(xo, Stream):
+                fres = pdf.resolve(
+                    (pdf.resolve(xo.dict.get("Resources")) or {}).get("Font"))
+                for fref in (fres or {}).values():
+                    font = pdf.resolve(fref)
+                    if isinstance(font, dict):
+                        visit_font(font)
+    return out

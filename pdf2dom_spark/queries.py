@@ -1412,6 +1412,47 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_type", "n", "total_milli"))
 
 
+# stream-stream interval join, batch form (the streaming twin in
+# streaming.stream_stream_click_purchase_join runs the same predicate
+# under two watermarks; tests/test_streaming.py pins streamed == batch,
+# and this registers the cross-engine value gate on the shared semantics:
+# click x purchase by the same user within the preceding hour)
+@_reg("interval_join_events", """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id AS c_user,
+       -- FLOOR before the cast: epoch() is fractional and CAST rounds,
+       -- while Spark's unix_timestamp truncates
+       CAST(FLOOR(epoch(c.ts)) AS BIGINT) AS c_epoch,
+       CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS p_epoch,
+       CAST(FLOOR(p.value * 1000 + 0.5) AS BIGINT) AS p_milli
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
+""")
+def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("c_ts")))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("p_ts"),
+                         F.floor(F.col("value") * 1000 + 0.5).cast("long")
+                         .alias("p_milli")))
+    return (clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("p_ts") <= F.col("c_ts")))
+        .select("click_id", "purchase_id", "c_user",
+                F.unix_timestamp("c_ts").alias("c_epoch"),
+                F.unix_timestamp("p_ts").alias("p_epoch"), "p_milli"))
+
+
 # The literal spark.sql(...) API surface: the classic TPC-H Q1 pricing
 # summary expressed as ONE SQL text over a temp view — identical ANSI SQL
 # runs on both engines (fixed-point sums keep the floats exact; count-only
@@ -2167,7 +2208,8 @@ _SWEEP_PRIORITY = [
     "extract_spans_rich", "rich_structure",
     "extract_page_range", "chunk_islands_sql",
     # streaming batch-twins + headline dedup/aggregation/windows
-    "tumbling_window_counts", "sliding_window_counts", "tpch_q1_pricing",
+    "tumbling_window_counts", "sliding_window_counts",
+    "interval_join_events", "tpch_q1_pricing",
     "dedup_exact", "dedup_minhash_lsh", "dedup_lsh_incremental",
     "dedup_cluster", "render_css_text", "render_css_lengths",
 ]

@@ -203,3 +203,55 @@ def test_salt_spreads_hot_keys_across_partitions(spark):
     assert all(n > 0 for n in salted)
     assert max(salted) < max(unsalted)
     assert max(salted) <= total * 0.3
+
+
+def test_paged_tail_window_only_over_monster_branch(spark):
+    """The production paged shape: the sub-threshold branch must reach the
+    sink with NO Window (its order is already global); exactly one Window
+    exists in the whole plan — over the monster branch's spans only — and
+    the source routing predicates reach the parquet scans."""
+    from pdf2dom_spark.queries import all_queries
+
+    df = all_queries()["extract_spans_paged_tail"](
+        spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
+    # both branch predicates pushed to the source scans
+    assert "PushedFilters" in plan
+
+
+def test_paged_stress_single_window(spark):
+    """min_bytes=0 (everything splits): the statically-empty small branch
+    is elided — no union, one split kernel, one Window."""
+    from pdf2dom_spark.corpus import build_docs_df
+    from pdf2dom_spark.pagesplit import extract_spans_paged
+
+    docs = build_docs_df(spark, "/root/testdata/sf0.001", mode="oracle",
+                         num_partitions=8)
+    df = extract_spans_paged(docs, num_partitions=8, pages_per_group=2,
+                             min_bytes=0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
+    assert "Union" not in plan
+
+
+def test_pdf_ingest_is_narrow(spark, tmp_path):
+    """Real-PDF ingest: binaryFile scan -> ONE Python node, zero Exchange
+    (parsing is embarrassingly parallel; the only shuffle in a full job is
+    the extraction salt downstream)."""
+    import os
+    import shutil
+
+    from pdf2dom_spark.pdfread import pdf_docs_df
+
+    res = "/root/reference/src/test/resources"
+    if not os.path.isdir(res):
+        import pytest
+        pytest.skip("reference fixtures not present")
+    src = tmp_path / "pdfs"
+    src.mkdir()
+    shutil.copy(f"{res}/text-rendering-mode-fill.pdf", src)
+    df = pdf_docs_df(spark, str(src))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 1

@@ -214,3 +214,74 @@ def test_real_pdf_spark_ingest(spark, tmp_path):
     spans = extract_spans(docs, num_partitions=4, nested=False)
     texts = {r.text for r in spans.where("kind = 'text'").collect()}
     assert "Stroke" in texts
+
+
+# --- real embedded font binaries (F2; TestFonts.java:30-86) -----------------
+
+def _font_programs(rel):
+    from pdf2dom_spark.pdfread import embedded_font_programs
+    with open(f"{RES}/{rel}", "rb") as fh:
+        return embedded_font_programs(fh.read())
+
+
+def test_real_truetype_parses_and_roundtrips_woff():
+    """A REAL embedded TrueType (46 KB Arial-BoldMT subset from the
+    reference's own bare-cff.pdf) through the SFNT machinery: parse,
+    normalize (checksum rebuild), WOFF1 convert, re-parse — every real
+    table's bytes survive (TestFonts.java:39-53's FontVerter.readFont)."""
+    from pdf2dom_spark import fontbytes as fb
+
+    progs = _font_programs("fonts/bare-cff.pdf")
+    ttf = next(p for p in progs if p["kind"] == "TrueType")
+    assert ttf["base_font"] == "QRYINH+Arial-BoldMT"
+    data = ttf["program"]
+    assert data[:4] in (b"\x00\x01\x00\x00", b"true")
+
+    tables = fb.parse_sfnt(data)
+    # a real font: far more than the synthetic head+name model
+    assert {b"glyf", b"loca", b"head", b"hmtx"} <= set(tables)
+
+    norm = fb.normalize_sfnt(data)
+    assert fb.sfnt_is_valid(norm)
+    # lossless: every original table's bytes intact after normalize
+    assert {t: v for t, v in fb.parse_sfnt(norm).items() if t != b"head"} \
+        == {t: v for t, v in tables.items() if t != b"head"}
+
+    back = fb.woff_to_sfnt(fb.sfnt_to_woff(norm))
+    assert fb.parse_sfnt(back) == fb.parse_sfnt(norm)
+    assert fb.sfnt_is_valid(back)
+
+
+def test_real_bare_cff_to_woff():
+    """The reference's bare-CFF fixture font (EKCFJL+Omsym2, FontFile3)
+    through the real CFF -> WOFF1 conversion; the WOFF re-parses with >1
+    tables and the CFF program bytes survive exactly
+    (TestFonts.java:30-54, :70-77)."""
+    from pdf2dom_spark import fontbytes as fb
+
+    progs = _font_programs("fonts/bare-cff.pdf")
+    cff = next(p for p in progs if p["kind"] == "Type1C")
+    assert cff["base_font"] == "EKCFJL+Omsym2"
+    assert cff["family"] == "Omsym2"          # subset prefix stripped
+    assert cff["program"][:2] == b"\x01\x00"  # CFF header major.minor
+
+    woff = fb.cff_to_woff(cff["program"], cff["base_font"])
+    assert woff[:4] == b"wOFF"
+    back = fb.woff_to_sfnt(woff)
+    tables = fb.parse_sfnt(back)
+    assert len(tables) > 1                    # WoffParser assertion analog
+    assert tables[b"CFF "] == cff["program"]
+    import struct
+    assert struct.unpack(">I", back[:4])[0] == 0x4F54544F  # OTTO flavor
+
+
+def test_real_horarios_font_programs():
+    """Every embedded program in the 206 KB real-world document extracts
+    with its declared type; TrueTypes all carry the SFNT magic."""
+    progs = _font_programs("HorariosMadrid_Segovia.pdf")
+    kinds = {p["kind"] for p in progs}
+    assert "TrueType" in kinds and "CIDFontType0C" in kinds
+    for p in progs:
+        if p["kind"] == "TrueType":
+            assert p["program"][:4] == b"\x00\x01\x00\x00"
+        assert len(p["program"]) > 1000
