@@ -22,7 +22,8 @@ import numpy as np
 import pandas as pd
 
 from . import graphics, textpipe
-from .interp import DocInterp, doc_cid2_fonts, doc_cmaps, doc_tokens
+from .interp import (DocInterp, doc_cid2_fonts, doc_cmaps,
+                     doc_tokens, doc_widths)
 from .schema import SPAN_FLAT_COLUMNS, STYLE_FIELDS
 
 
@@ -78,6 +79,7 @@ def extract_doc_columnar(doc_id: str, spans: list[dict],
         raster_paths=cfg.raster_paths,
         cmaps=doc_cmaps(spans),
         cid2_fonts=doc_cid2_fonts(spans),
+        widths=doc_widths(spans),
     )
     glyphs, events, font_table, end_key, page_flush = interp.run(tokens)
 

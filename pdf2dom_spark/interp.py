@@ -230,6 +230,34 @@ def doc_cmaps(spans: list[dict]) -> dict[str, dict[int, str]]:
     return maps
 
 
+def doc_widths(spans: list[dict]) -> dict[str, tuple[float, dict[int, float]]]:
+    """Collect per-font REAL advance-width tables from ``kind='widths'``
+    spans (media_ref='widths:<FontName>', text='default:<milli>
+    <code>:<milli> ...'; milli = 1000-unit text-space advance, possibly
+    fractional). These are the PDF's own /Widths (simple fonts, keyed by
+    byte code) or the CID font's /W array (keyed by CID — the raw 2-byte
+    code, per the metrics-by-raw-code contract). Fonts without a span here
+    keep the heuristic family metrics (fonts.advance_widths), exactly like
+    a non-embedded base-14 font whose widths PDFBox reads from AFM data
+    this sandbox does not carry."""
+    out: dict[str, tuple[float, dict[int, float]]] = {}
+    for sp in spans:
+        if sp.get("kind") != "widths":
+            continue
+        name = (sp.get("media_ref") or "")
+        name = name[7:] if name.startswith("widths:") else name
+        dflt, wmap = out.get(name, (500.0, {}))
+        wmap = dict(wmap)
+        for pair in (sp.get("text") or "").split():
+            code, _, w = pair.partition(":")
+            if code == "default":
+                dflt = float(w)
+            elif code and w:
+                wmap[int(code)] = float(w)
+        out[name] = (dflt, wmap)
+    return out
+
+
 def doc_cid2_fonts(spans: list[dict]) -> set[str]:
     """Fonts whose cmap span declares a 2-byte code space (``bytes:2``):
     show strings for these fonts are decoded as big-endian byte PAIRS
@@ -266,6 +294,8 @@ class DocInterp:
                  raster_paths: bool = False,
                  cmaps: dict[str, dict[int, str]] | None = None,
                  cid2_fonts: set[str] | None = None,
+                 widths: dict[str, tuple[float, dict[int, float]]]
+                 | None = None,
                  batch_runs: bool = True):
         # batch_runs=False forces the scalar Tm/Tj path — the equivalence
         # knob tests/test_kernels_ext.py uses to pin show_run == show
@@ -280,6 +310,11 @@ class DocInterp:
         # carry raw BYTES (one char per byte from the tokenizer) that pair
         # into big-endian codes before the cmap applies
         self.cid2_fonts = cid2_fonts or set()
+        # per-font REAL advance widths (doc_widths): raw code -> milli.
+        # Lazily compiled to a numpy lookup array per font (index = code,
+        # default-filled) so the hot path stays one vectorized gather.
+        self.widths = widths or {}
+        self._warr: dict[str, tuple[np.ndarray, float]] = {}
         self.start_page = start_page
         self.end_page = end_page
         self.disable_graphics = disable_graphics
@@ -288,11 +323,41 @@ class DocInterp:
         self.page_offset = page_offset
         self.raster_paths = raster_paths
         self.font_table = F.FontTable()
+        self._adv = self._make_adv()
         # page-split seeding: fonts from earlier page-groups, in first-use
         # order, so used-name de-dup stays globally consistent (pagesplit.py)
         for name in (font_seed or []):
             self.font_table.add_entry(name)
         self.n_seed = len(self.font_table.entries)
+
+    def _make_adv(self):
+        """advance function: real per-font width tables when the document
+        carries them (doc_widths), else the heuristic family metrics. The
+        override path compiles each font's {code: milli} map into one
+        numpy gather array (out-of-table codes -> the font's default)."""
+        if not self.widths:
+            return F.advance_widths
+
+        def adv(codes: np.ndarray, font: str, scale: float) -> np.ndarray:
+            ov = self.widths.get(font)
+            if ov is None:
+                return F.advance_widths(codes, font, scale)
+            hit = self._warr.get(font)
+            if hit is None:
+                dflt, wmap = ov
+                n = min(max(wmap, default=0) + 1, 65536)
+                arr = np.full(n or 1, dflt, dtype=np.float64)
+                for c, w in wmap.items():
+                    if c < n:
+                        arr[c] = w
+                hit = (arr, dflt)
+                self._warr[font] = hit
+            arr, dflt = hit
+            out = np.where(codes < arr.shape[0],
+                           arr[np.minimum(codes, arr.shape[0] - 1)], dflt)
+            return out * scale
+
+        return adv
 
     def run(self, tokens: list[tuple[str, list]]):
         g = _GState()
@@ -406,14 +471,16 @@ class DocInterp:
                 if not s:
                     return
                 codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
-                adv = F.advance_widths(codes, g.font,
-                                       g.fsize * g.th / 1000.0)
+                # real /W widths are keyed by the raw CID (pair code); the
+                # decoded-char heuristic is only the fallback proxy
+                adv_src = pair_codes if g.font in self.widths else codes
+                adv = self._adv(adv_src, g.font, g.fsize * g.th / 1000.0)
                 if g.tc != 0.0:
                     adv += g.tc * g.th
             else:
                 codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
-                adv = F.advance_widths(codes, g.font,
-                                       g.fsize * g.th / 1000.0)
+                # raw byte codes index the /Widths table (metrics by code)
+                adv = self._adv(codes, g.font, g.fsize * g.th / 1000.0)
                 if g.tc != 0.0:
                     adv += g.tc * g.th
                 if g.tw != 0.0:
@@ -611,6 +678,7 @@ class DocInterp:
                 # pairs under an identity CTM (see show_run)
                 if (self.batch_runs and g.ctm_ident
                         and g.font not in self.cid2_fonts
+                        and g.font not in self.widths
                         and i < ntok and tokens[i][0] == "Tj"
                         and tokens[i][1]
                         and args[0] == 1.0 and args[1] == 0.0
@@ -974,7 +1042,7 @@ def doc_tokens(spans: list[dict]) -> list[tuple[str, list]]:
 
     for sp in ordered:
         kind = sp["kind"]
-        if kind in ("form", "meta", "cmap"):
+        if kind in ("form", "meta", "cmap", "widths"):
             continue  # definitions/document-info/encodings are not content
         if kind == "image":
             meta = (sp.get("text") or "").split()

@@ -577,6 +577,57 @@ def tounicode_map(cmap_bytes: bytes,
     return out
 
 
+def font_widths(pdf: PdfFile,
+                font: dict) -> tuple[float, dict[int, float]] | None:
+    """Real advance widths for one font -> (default_milli, {code: milli}).
+
+    Simple fonts: /FirstChar + /Widths (+ descriptor /MissingWidth as the
+    default). Type0: descendant /DW (default 1000) + /W array in both
+    forms (``c [w1 w2 ...]`` and ``cFirst cLast w``), keyed by raw CID.
+    None when the font declares no widths (non-embedded base-14 — PDFBox
+    falls back to AFM metrics there; we keep the family heuristics)."""
+    subtype = str(pdf.resolve(font.get("Subtype")) or "")
+    if subtype == "Type0":
+        dfs = pdf.resolve(font.get("DescendantFonts")) or []
+        d = pdf.resolve(dfs[0]) if dfs else None
+        if not isinstance(d, dict):
+            return None
+        dw = float(pdf.resolve(d.get("DW", 1000)) or 1000)
+        wmap: dict[int, float] = {}
+        w = pdf.resolve(d.get("W"))
+        i = 0
+        w = w if isinstance(w, list) else []
+        while i < len(w):
+            a = pdf.resolve(w[i])
+            nxt = pdf.resolve(w[i + 1]) if i + 1 < len(w) else None
+            if isinstance(nxt, list):
+                for j, wv in enumerate(nxt):
+                    c = int(a) + j
+                    if c < 65536:
+                        wmap[c] = float(pdf.resolve(wv))
+                i += 2
+            elif i + 2 < len(w):
+                wv = float(pdf.resolve(w[i + 2]))
+                lo, hi = int(a), min(int(nxt), int(a) + 65535)
+                for c in range(lo, hi + 1):
+                    wmap[c] = wv
+                i += 3
+            else:
+                break
+        return dw, {c: v for c, v in wmap.items() if v != dw}
+    widths = pdf.resolve(font.get("Widths"))
+    if not isinstance(widths, list) or not widths:
+        return None
+    fc = int(pdf.resolve(font.get("FirstChar", 0)) or 0)
+    desc = pdf.resolve(font.get("FontDescriptor"))
+    mw = 0.0
+    if isinstance(desc, dict):
+        mw = float(pdf.resolve(desc.get("MissingWidth", 0)) or 0)
+    wmap = {fc + i: float(pdf.resolve(v) or 0)
+            for i, v in enumerate(widths)}
+    return mw, {c: v for c, v in wmap.items() if v != mw}
+
+
 def encoding_map(pdf: PdfFile, font: dict) -> tuple[dict[int, int], bool]:
     """-> (code -> unicode cp, is_two_byte) for one font.
 
@@ -665,6 +716,7 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
     # subsets never fight over one code.
     fam_maps: dict[str, dict[int, int]] = {}
     fam_cid2: dict[str, bool] = {}
+    fam_w: dict[str, tuple[float, dict[int, float]]] = {}
     font_obj_fam: dict[tuple, str] = {}
     emitted_forms: set[str] = set()
 
@@ -677,11 +729,21 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
             return None
         base_fam = font_family(pdf, font, rname)
         cmap, cid2 = encoding_map(pdf, font)
+        fw = font_widths(pdf, font)
+
+        def conflicts(fam: str) -> bool:
+            if fam_cid2[fam] != cid2:
+                return True
+            if any(fam_maps[fam].get(c, cp) != cp for c, cp in cmap.items()):
+                return True
+            if fw is not None and fam in fam_w:
+                adflt, amap = fam_w[fam]
+                return (adflt != fw[0]
+                        or any(amap.get(c, v) != v for c, v in fw[1].items()))
+            return False
+
         fam, k = base_fam, 1
-        while fam in fam_maps and (
-                fam_cid2[fam] != cid2
-                or any(fam_maps[fam].get(c, cp) != cp
-                       for c, cp in cmap.items())):
+        while fam in fam_maps and conflicts(fam):
             k += 1
             fam = f"{base_fam}.{k}"
         acc = fam_maps.setdefault(fam, {})
@@ -695,6 +757,18 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
             if cid2:
                 body = ("bytes:2 " + body).strip()
             sb.add("cmap", body, f"cmap:{fam}")
+        if fw is not None:
+            prior = fam_w.get(fam)
+            wdelta = {c: v for c, v in fw[1].items()
+                      if prior is None or prior[1].get(c) != v}
+            if prior is None or wdelta:
+                body = " ".join([f"default:{fw[0]:g}"]
+                                + [f"{c}:{v:g}"
+                                   for c, v in sorted(wdelta.items())])
+                sb.add("widths", body, f"widths:{fam}")
+            merged = dict(prior[1]) if prior else {}
+            merged.update(fw[1])
+            fam_w[fam] = (fw[0], merged)
         if key is not None:
             font_obj_fam[key] = fam
         return fam

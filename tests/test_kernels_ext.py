@@ -307,3 +307,64 @@ def test_show_run_batched_equals_scalar():
                       (gen.__name__, d))
     for name, spans in fixture_docs().items():
         assert_eq(run_one(spans, True), run_one(spans, False), name)
+
+
+def test_widths_span_overrides_metrics():
+    """A kind='widths' span switches the named font to REAL per-code
+    advances (default + per-code overrides); other fonts keep the
+    heuristic table. Geometry is hand-computable: x advances by
+    milli/1000 * size per glyph."""
+    from pdf2dom_spark.extract import ExtractConfig, extract_doc
+
+    spans = [
+        {"kind": "widths", "text": "default:500 65:700 66:300",
+         "media_ref": "widths:Real", "offset": 0},
+        {"kind": "text", "text": (
+            "612 792 0 PG BT /Real 10 Tf 1 0 0 1 100 700 Tm (AB C) Tj "
+            "ET"), "media_ref": None, "offset": 1},
+    ]
+    rows = extract_doc("d", spans, ExtractConfig())
+    words = [r for r in rows if r["kind"] == "text"]
+    assert [w["text"] for w in words] == ["AB", "C"]
+    # A=700, B=300 milli at 10pt -> AB box is 7.0 + 3.0 = 10.0 wide
+    assert words[0]["style_width"] == pytest.approx(10.0, abs=1e-6)
+    # space advance = default 500 milli -> C starts at 100 + 10 + 5
+    assert words[1]["style_left"] == pytest.approx(115.0, abs=1e-6)
+
+
+def test_widths_span_cid_keyed_by_raw_code():
+    """For a bytes:2 font the widths table is keyed by the RAW CID (pair
+    code), not the decoded char."""
+    from pdf2dom_spark.extract import ExtractConfig, extract_doc
+
+    # CID 0x0102 -> 'X' (0x58), width 800; CID 0x0103 -> 'Y', width 250
+    spans = [
+        {"kind": "cmap", "text": "bytes:2 258:0058 259:0059",
+         "media_ref": "cmap:C2", "offset": 0},
+        {"kind": "widths", "text": "default:500 258:800 259:250",
+         "media_ref": "widths:C2", "offset": 1},
+        {"kind": "text", "text": (
+            "612 792 0 PG BT /C2 10 Tf 1 0 0 1 50 700 Tm "
+            "(\x01\x02\x01\x03) Tj ET"), "media_ref": None, "offset": 2},
+    ]
+    rows = extract_doc("d", spans, ExtractConfig())
+    w = [r for r in rows if r["kind"] == "text"]
+    assert [x["text"] for x in w] == ["XY"]
+    assert w[0]["style_width"] == pytest.approx(10.5, abs=1e-6)  # 8.0+2.5
+
+
+def test_widths_spans_replicated_by_pagesplit():
+    from pdf2dom_spark.pagesplit import split_doc
+
+    spans = [
+        {"kind": "widths", "text": "default:500 65:700",
+         "media_ref": "widths:W", "offset": 0},
+        {"kind": "text", "text": "612 792 0 PG BT /W 10 Tf (A) Tj ET",
+         "media_ref": None, "offset": 1},
+        {"kind": "text", "text": "612 792 0 PG BT /W 10 Tf (A) Tj ET",
+         "media_ref": None, "offset": 2},
+    ]
+    groups = split_doc("d", spans, pages_per_group=1, min_bytes=0)
+    assert len(groups) == 2
+    for g in groups:
+        assert any(s["kind"] == "widths" for s in g["spans"])

@@ -285,3 +285,67 @@ def test_real_horarios_font_programs():
         if p["kind"] == "TrueType":
             assert p["program"][:4] == b"\x00\x01\x00\x00"
         assert len(p["program"]) > 1000
+
+
+# --- real advance widths (/Widths + CID /W) ---------------------------------
+
+def test_real_cid_w_array_drives_geometry():
+    """3-page-document's Type0 fonts carry /W arrays; a word box's width
+    must equal the sum of its raw CIDs' /W advances (recomputed here
+    independently from the font dict) scaled by the font size — the
+    metrics-by-raw-code contract with REAL metrics."""
+    from pdf2dom_spark.pdfread import PdfFile, font_widths
+
+    with open(f"{RES}/3-page-document.pdf", "rb") as fh:
+        data = fh.read()
+    pdf = PdfFile(data)
+    # page 2's font: MinionPro subset (C0_0), 12 pt, word "Page"
+    page2 = pdf.pages()[1]
+    fonts = pdf.resolve(pdf.resolve(page2["Resources"])["Font"])
+    minion = next(pdf.resolve(f) for f in fonts.values()
+                  if "MinionPro" in str(pdf.resolve(f).get("BaseFont")))
+    dw, wmap = font_widths(pdf, minion)
+
+    # decode "Page" -> CIDs via the font's own ToUnicode
+    from pdf2dom_spark.pdfread import encoding_map
+    cmap, cid2 = encoding_map(pdf, minion)
+    assert cid2
+    rev = {chr(cp): c for c, cp in cmap.items()}
+    cids = [rev[ch] for ch in "Page"]
+    expected = sum(wmap.get(c, dw) for c in cids) / 1000.0 * 12.0
+
+    rows = run("3-page-document.pdf")
+    page_boxes = [r for r in rows if r["kind"] == "text"
+                  and r["page_no"] == 2 and r["text"] == "Page"]
+    assert page_boxes
+    assert page_boxes[0]["style_width"] == pytest.approx(expected, abs=0.05)
+
+
+def test_real_simple_widths_parse():
+    """bare-cff.pdf's simple fonts declare /Widths; the parse keys them by
+    byte code with the descriptor MissingWidth default."""
+    from pdf2dom_spark.pdfread import PdfFile, font_widths
+
+    with open(f"{RES}/fonts/bare-cff.pdf", "rb") as fh:
+        pdf = PdfFile(fh.read())
+    found = 0
+    for page in pdf.pages():
+        fonts = pdf.resolve(pdf.resolve(page.get("Resources"))["Font"])
+        for fref in fonts.values():
+            fw = font_widths(pdf, pdf.resolve(fref))
+            if fw is not None:
+                found += 1
+                dflt, wmap = fw
+                # symbol fonts legitimately exceed 1 em (Omsym2 peaks at
+                # 5112 milli); just pin sanity bounds
+                assert wmap and all(0 <= v <= 10000 for v in wmap.values())
+    assert found >= 1
+
+
+def test_base14_without_widths_keeps_heuristics():
+    """The rendering-mode fixtures use non-embedded base-14 Helvetica with
+    no /Widths — no widths span is emitted and geometry stays on the
+    family heuristics (PDFBox reads AFM metrics there; this sandbox
+    documents the fallback)."""
+    row = pdf_file_to_row(f"{RES}/text-rendering-mode-stroke.pdf")
+    assert not [s for s in row["spans"] if s["kind"] == "widths"]
