@@ -114,17 +114,37 @@ def extract_doc_columnar(doc_id: str, spans: list[dict],
     if cfg.font_handler != "ignore" and emit_fonts:
         if cfg.font_payloads or cfg.font_handler == "dir":
             import base64
-            from .fontbytes import convert_entry
+            from .fontbytes import convert_entry, convert_program
+
+            # REAL embedded programs (kind='fontfile' spans from the PDF
+            # reader) take precedence over the synthetic name-keyed model:
+            # the @font-face payload is then the document's own converted
+            # binary (FontTable.Entry.getData on actual FontFile bytes)
+            real_progs: dict[str, tuple[str, bytes]] = {}
+            for sp in spans:
+                if sp.get("kind") != "fontfile":
+                    continue
+                nm = (sp.get("media_ref") or "")
+                nm = nm[9:] if nm.startswith("fontfile:") else nm
+                kindp, _, b64 = (sp.get("text") or "").partition(";")
+                if nm not in real_progs and b64:
+                    real_progs[nm] = (kindp, base64.b64decode(b64))
+
+            def payload(name: str) -> tuple[bytes, str, str]:
+                hit = real_progs.get(name)
+                if hit is not None:
+                    return convert_program(hit[0], hit[1], name)
+                return convert_entry(name)
         for i, entry in enumerate(font_table.entries):
             if cfg.font_handler == "dir":
                 # SaveResourceToDirHandler: url points at <name>.<ending>
                 # in the extract dir (TestFonts.java save-to-dir asserts)
-                data, mime, ending = convert_entry(entry["name"])
+                data, mime, ending = payload(entry["name"])
                 if not data:
                     continue
                 ref = f"{entry['name']}.{ending}"
             elif cfg.font_payloads:
-                data, mime, _ending = convert_entry(entry["name"])
+                data, mime, _ending = payload(entry["name"])
                 if not data:
                     continue  # isEntryValid false -> dropped
                 ref = (f"data:{mime};base64,"

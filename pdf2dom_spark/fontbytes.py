@@ -217,6 +217,36 @@ def cff_to_woff(cff: bytes, font_name: str) -> bytes:
     return sfnt_to_woff(wrap_cff(cff, font_name))
 
 
+def convert_program(kind: str, program: bytes,
+                    font_name: str) -> tuple[bytes, str, str]:
+    """Entry.getData dispatch over a REAL embedded font program
+    (FontTable.java:141-256 handing actual FontFile/2/3 bytes to
+    FontVerter): returns (data, mime, file_ending); empty data = invalid
+    entry, dropped.
+
+    - Type1 -> empty (loadType1Font path, entry dropped);
+    - TrueType -> normalized SFNT when checksums are stale
+      (font.isValid() || normalize), x-font-truetype/'otf';
+    - Type1C (bare CFF, FontFile3) -> OTTO-wrapped WOFF1, x-font-woff;
+    - CIDFontType0C (Type0's CFF descendant) -> OTTO SFNT, 'ttf' (the
+      Type0 convertToOpenType branch);
+    - OpenType FontFile3 -> passthrough."""
+    if kind == "Type1":
+        return b"", "", ""
+    if kind == "TrueType":
+        data = program if sfnt_is_valid(program) else normalize_sfnt(program)
+        return data, "application/x-font-truetype", "otf"
+    if kind == "Type1C":
+        return cff_to_woff(program, font_name), "application/x-font-woff", \
+            "woff"
+    if kind == "CIDFontType0C":
+        return wrap_cff(program, font_name), "application/x-font-truetype", \
+            "ttf"
+    if kind == "OpenType":
+        return program, "application/x-font-truetype", "otf"
+    return b"", "", ""
+
+
 @functools.lru_cache(maxsize=4096)
 def convert_entry(font_name: str) -> tuple[bytes, str, str]:
     """Entry.getData dispatch (FontTable.java:141-256) over the synthetic

@@ -1042,7 +1042,7 @@ def doc_tokens(spans: list[dict]) -> list[tuple[str, list]]:
 
     for sp in ordered:
         kind = sp["kind"]
-        if kind in ("form", "meta", "cmap", "widths"):
+        if kind in ("form", "meta", "cmap", "widths", "fontfile"):
             continue  # definitions/document-info/encodings are not content
         if kind == "image":
             meta = (sp.get("text") or "").split()

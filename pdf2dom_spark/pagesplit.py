@@ -104,7 +104,7 @@ def split_doc(doc_id: str, spans: list[dict], pages_per_group: int,
     # expands identically on both paths; cmap (font-encoding) spans are the
     # same kind of definition (doc_cmaps collects them before the run)
     form_spans = [sp for sp in spans
-                  if sp["kind"] in ("form", "cmap", "widths")]
+                  if sp["kind"] in ("form", "cmap", "widths", "fontfile")]
     # document-info spans emit only at endDocument -> last group only
     meta_spans = [sp for sp in spans if sp["kind"] == "meta"]
 
@@ -112,7 +112,7 @@ def split_doc(doc_id: str, spans: list[dict], pages_per_group: int,
     pieces: list[tuple[str, dict | str]] = []
     n_pages = 0
     for sp in spans:
-        if sp["kind"] in ("form", "meta", "cmap", "widths"):
+        if sp["kind"] in ("form", "meta", "cmap", "widths", "fontfile"):
             continue
         if sp["kind"] == "image":
             pieces.append(("image", sp))

@@ -248,6 +248,71 @@ def _png_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
 _OPAQUE_FILTERS = {"DCTDecode", "JPXDecode", "CCITTFaxDecode", "JBIG2Decode"}
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """PDF LZWDecode (PDF 32000-1 7.4.4.2): 9..12-bit codes, clear=256,
+    EOD=257, code width grows one step EARLY (EarlyChange=1 default)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    buf = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (buf >> nbits) & ((1 << width) - 1)
+            if code == 256:  # clear table
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:  # KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            # EarlyChange: widen one code BEFORE the table is full
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _a85_decode(data: bytes) -> bytes:
+    import base64
+
+    body = re.sub(rb"\s", b"", data)
+    if body.startswith(b"<~"):
+        body = body[2:]
+    if body.endswith(b"~>"):
+        body = body[:-2]
+    return base64.a85decode(body, adobe=False)
+
+
+def _rle_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        if n == 128:  # EOD
+            break
+        if n < 128:
+            out += data[i + 1:i + 2 + n]
+            i += 2 + n
+        else:
+            out += data[i + 1:i + 2] * (257 - n)
+            i += 2
+    return bytes(out)
+
+
 def _decode_stream(d: dict, raw: bytes, pdf: "PdfFile") -> bytes:
     filters = pdf.resolve(d.get("Filter"))
     parms = pdf.resolve(d.get("DecodeParms", d.get("DP")))
@@ -261,8 +326,9 @@ def _decode_stream(d: dict, raw: bytes, pdf: "PdfFile") -> bytes:
     data = raw
     for f, p in zip(filters, parms):
         f = str(f)
-        if f == "FlateDecode" or f == "Fl":
-            data = zlib.decompress(data)
+        if f in ("FlateDecode", "Fl", "LZWDecode", "LZW"):
+            data = (zlib.decompress(data) if f in ("FlateDecode", "Fl")
+                    else _lzw_decode(data))
             p = pdf.resolve(p) or {}
             pred = int(pdf.resolve(p.get("Predictor", 1)) or 1)
             if pred >= 10:
@@ -275,6 +341,10 @@ def _decode_stream(d: dict, raw: bytes, pdf: "PdfFile") -> bytes:
             if len(body) % 2:
                 body += b"0"
             data = bytes.fromhex(body.decode("ascii"))
+        elif f in ("ASCII85Decode", "A85"):
+            data = _a85_decode(data)
+        elif f in ("RunLengthDecode", "RL"):
+            data = _rle_decode(data)
         elif f in _OPAQUE_FILTERS:
             return data  # image codec payload stays opaque
         else:  # unknown filter: keep raw (caller treats as opaque)
@@ -287,6 +357,11 @@ def _decode_stream(d: dict, raw: bytes, pdf: "PdfFile") -> bytes:
 # ---------------------------------------------------------------------------
 
 
+class EncryptedPdfError(ValueError):
+    """The file declares /Encrypt — stream payloads are ciphered and this
+    reader does not implement the standard security handler."""
+
+
 class PdfFile:
     """Random-access PDF object store over one file's bytes."""
 
@@ -297,7 +372,46 @@ class PdfFile:
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, list] = {}
-        self._load_xref()
+        try:
+            self._load_xref()
+        except Exception:
+            self.xref.clear()
+            self.trailer.clear()
+        if "Root" not in self.trailer or not self.xref:
+            # damaged/truncated xref: rebuild by scanning for object
+            # headers (the classic repair path every real-corpus ingester
+            # needs — PDFBox does the same on xref failure)
+            self._repair_scan()
+        if "Encrypt" in self.trailer:
+            raise EncryptedPdfError(
+                "encrypted PDF (/Encrypt present); decryption unsupported")
+
+    def _repair_scan(self) -> None:
+        b = self.data
+        for m in re.finditer(rb"(?m)^[^\S\n\r]*(\d+)\s+(\d+)\s+obj\b", b):
+            # later occurrence wins: incremental updates append newer
+            # generations at higher offsets
+            self.xref[int(m.group(1))] = ("n", m.start(1))
+        self._cache.clear()
+        if "Root" not in self.trailer:
+            for m in re.finditer(rb"trailer", b):
+                try:
+                    t, _ = parse_obj(b, m.end())
+                except Exception:
+                    continue
+                if isinstance(t, dict):
+                    for k, v in t.items():
+                        self.trailer.setdefault(k, v)
+        if "Root" not in self.trailer:
+            # last resort: find the catalog object itself
+            for num in self.xref:
+                try:
+                    obj = self.get(num)
+                except Exception:
+                    continue
+                if isinstance(obj, dict) and str(obj.get("Type")) == "Catalog":
+                    self.trailer["Root"] = Ref((num, 0))
+                    break
 
     # -- xref ---------------------------------------------------------------
 
@@ -628,6 +742,26 @@ def font_widths(pdf: PdfFile,
     return mw, {c: v for c, v in wmap.items() if v != mw}
 
 
+def _font_program(pdf: PdfFile, font: dict) -> tuple[str, bytes] | None:
+    """The embedded program for one font dict (or its first descendant):
+    (kind, bytes) with kind = Type1 | TrueType | FontFile3's /Subtype."""
+    cands = [font] + [pdf.resolve(d) for d in
+                      (pdf.resolve(font.get("DescendantFonts")) or [])]
+    for f in cands:
+        if not isinstance(f, dict):
+            continue
+        desc = pdf.resolve(f.get("FontDescriptor"))
+        if not isinstance(desc, dict):
+            continue
+        for key, kind in (("FontFile", "Type1"), ("FontFile2", "TrueType"),
+                          ("FontFile3", None)):
+            ff = pdf.resolve(desc.get(key))
+            if isinstance(ff, Stream):
+                k = kind or str(pdf.resolve(ff.dict.get("Subtype")) or "CFF")
+                return k, ff.data
+    return None
+
+
 def encoding_map(pdf: PdfFile, font: dict) -> tuple[dict[int, int], bool]:
     """-> (code -> unicode cp, is_two_byte) for one font.
 
@@ -717,6 +851,7 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
     fam_maps: dict[str, dict[int, int]] = {}
     fam_cid2: dict[str, bool] = {}
     fam_w: dict[str, tuple[float, dict[int, float]]] = {}
+    fam_prog: set[str] = set()
     font_obj_fam: dict[tuple, str] = {}
     emitted_forms: set[str] = set()
 
@@ -769,6 +904,15 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
             merged = dict(prior[1]) if prior else {}
             merged.update(fw[1])
             fam_w[fam] = (fw[0], merged)
+        if fam not in fam_prog:
+            prog = _font_program(pdf, font)
+            if prog is not None:
+                fam_prog.add(fam)
+                import base64
+                sb.add("fontfile",
+                       prog[0] + ";"
+                       + base64.b64encode(prog[1]).decode("ascii"),
+                       f"fontfile:{fam}")
         if key is not None:
             font_obj_fam[key] = fam
         return fam
@@ -905,7 +1049,11 @@ def pdf_docs_df(spark, path_glob: str):
                 except Exception:
                     # unparseable file: skip, never poison the batch
                     continue
-            yield pd.DataFrame({"doc_id": ids, "spans": spans})
+            # object dtype even when EMPTY: a batch whose every file was
+            # skipped would otherwise produce float64 columns Arrow cannot
+            # cast to list<struct>
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype=object),
+                                "spans": pd.Series(spans, dtype=object)})
 
     files = (spark.read.format("binaryFile")
              .option("pathGlobFilter", "*.pdf")

@@ -349,3 +349,151 @@ def test_base14_without_widths_keeps_heuristics():
     documents the fallback)."""
     row = pdf_file_to_row(f"{RES}/text-rendering-mode-stroke.pdf")
     assert not [s for s in row["spans"] if s["kind"] == "widths"]
+
+
+def test_real_bare_cff_font_face_embeds_real_woff():
+    """TestFonts.convertPdfWithBareCffFont_* end-to-end with REAL bytes:
+    extraction with font payloads produces a font entry whose data URI is
+    an x-font-woff whose decompressed CFF table IS the PDF's embedded
+    program; the save-to-dir mode names it <family>.woff."""
+    import base64
+
+    from pdf2dom_spark import fontbytes as fb
+
+    row = pdf_file_to_row(f"{RES}/fonts/bare-cff.pdf")
+    prog = next(p for p in _font_programs("fonts/bare-cff.pdf")
+                if p["kind"] == "Type1C")
+
+    rows = run_spans(row, ExtractConfig(font_payloads=True))
+    woff_fonts = [r for r in rows if r["kind"] == "font"
+                  and "x-font-woff" in (r["media_ref"] or "")]
+    assert woff_fonts, "no WOFF @font-face entry for the bare CFF"
+    b64 = woff_fonts[0]["media_ref"].split("base64,", 1)[1]
+    back = fb.woff_to_sfnt(base64.b64decode(b64))
+    assert fb.parse_sfnt(back)[b"CFF "] == prog["program"]
+
+    rows_dir = run_spans(row, ExtractConfig(font_handler="dir"))
+    names = [r["media_ref"] for r in rows_dir if r["kind"] == "font"]
+    assert any(n.endswith(".woff") and "Omsym2" in n for n in names)
+
+
+def run_spans(row, cfg):
+    return extract_doc(row["doc_id"], row["spans"], cfg)
+
+
+# --- robustness: extra filters, xref repair, encryption ----------------------
+
+def test_lzw_ascii85_runlength_filters():
+    """PDF LZWDecode (early-change code widening), ASCII85Decode, and
+    RunLengthDecode against independently-encoded payloads."""
+    import base64
+
+    from pdf2dom_spark.pdfread import _a85_decode, _lzw_decode, _rle_decode
+
+    payload = b"BT /F1 12 Tf (ABABABABABAB hello hello) Tj ET " * 7
+
+    # minimal PDF-flavor LZW encoder (9..12-bit, clear/EOD, early change)
+    def lzw_encode(data: bytes) -> bytes:
+        table = {bytes([i]): i for i in range(256)}
+        nxt = 258
+        width = 9
+        out = []
+        bits = []  # (code, width)
+        bits.append((256, width))
+        w = b""
+        for ch in data:
+            wc = w + bytes([ch])
+            if wc in table:
+                w = wc
+            else:
+                bits.append((table[w], width))
+                table[wc] = nxt
+                nxt += 1
+                if nxt + 1 > (1 << width) and width < 12:
+                    width += 1
+                w = bytes([ch])
+        if w:
+            bits.append((table[w], width))
+        bits.append((257, width))
+        buf = cur = 0
+        for code, wd in bits:
+            cur = (cur << wd) | code
+            buf += wd
+            while buf >= 8:
+                buf -= 8
+                out.append((cur >> buf) & 0xFF)
+        if buf:
+            out.append((cur << (8 - buf)) & 0xFF)
+        return bytes(out)
+
+    assert _lzw_decode(lzw_encode(payload)) == payload
+    assert _a85_decode(base64.a85encode(payload)) == payload
+    assert _a85_decode(b"<~" + base64.a85encode(payload) + b"~>") == payload
+
+    def rle_encode(data: bytes) -> bytes:
+        out = bytearray()
+        i = 0
+        while i < len(data):
+            j = i
+            while j < len(data) and j - i < 127 and data[j] == data[i]:
+                j += 1
+            if j - i >= 2:
+                out += bytes([257 - (j - i), data[i]])
+                i = j
+            else:
+                k = i + 1
+                while (k < len(data) and k - i < 128
+                       and (k + 1 >= len(data) or data[k] != data[k + 1])):
+                    k += 1
+                out += bytes([k - i - 1]) + data[i:k]
+                i = k
+        out.append(128)
+        return bytes(out)
+
+    assert _rle_decode(rle_encode(payload)) == payload
+
+
+def test_xref_repair_on_corrupted_offset():
+    """Corrupting the startxref offset must not kill ingestion: the reader
+    falls back to an object-header scan and still extracts every page."""
+    from pdf2dom_spark.pdfread import pdf_to_spans
+
+    with open(f"{RES}/HorariosMadrid_Segovia.pdf", "rb") as fh:
+        data = bytearray(fh.read())
+    i = data.rfind(b"startxref")
+    j = data.find(b"\n", i) + 1
+    k = data.find(b"\n", j)
+    data[j:k] = b"9" * (k - j)  # bogus offset
+    spans = pdf_to_spans(bytes(data))
+    good = pdf_to_spans(open(f"{RES}/HorariosMadrid_Segovia.pdf", "rb").read())
+    assert spans == good
+
+
+def test_encrypted_pdf_raises_clear_error():
+    from pdf2dom_spark.pdfread import EncryptedPdfError, PdfFile
+
+    doc = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [] /Count 0 >>\nendobj\n"
+           b"trailer\n<< /Root 1 0 R /Encrypt 9 0 R >>\n"
+           b"startxref\n0\n%%EOF\n")
+    with pytest.raises(EncryptedPdfError):
+        PdfFile(doc)
+
+
+def test_spark_ingest_skips_encrypted_and_broken(spark, tmp_path):
+    """The distributed ingest never lets one bad file poison a batch."""
+    import shutil
+
+    from pdf2dom_spark.pdfread import pdf_docs_df
+
+    src = tmp_path / "mix"
+    src.mkdir()
+    shutil.copy(f"{RES}/text-rendering-mode-fill.pdf", src / "good.pdf")
+    (src / "garbage.pdf").write_bytes(b"%PDF-1.4 not really a pdf")
+    (src / "encrypted.pdf").write_bytes(
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog >>\nendobj\n"
+        b"trailer\n<< /Root 1 0 R /Encrypt 9 0 R >>\nstartxref\n0\n%%EOF\n")
+    docs = pdf_docs_df(spark, str(src))
+    ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert ids == {"good.pdf"}
