@@ -2196,11 +2196,16 @@ _SWEEP_PRIORITY = [
     "inverted_index", "corpus_mix_epochs", "stratified_sample", "pack_bins",
     "embedding_centroids", "html_main_content", "mm_feature_extract",
     "mm_audio_energy", "mm_video_frame_sample",
-    # green in r2 but dropped from the r3 sweep by the cap
+    # new in round 4
+    "decontaminate", "doc_chunk_windows", "embedding_quantize",
+    # green in r2 but dropped from the r3 sweep by the cap (the
+    # metadata-plan variants mm_decode_meta/mm_frame_sample/mm_resize_plan
+    # ride at the end of this list: they have r2 rows and real-byte
+    # siblings gated above, so they are the ones that overflow the cap)
     "corpus_filter", "dedup_embedding_cosine", "doc_fingerprint",
-    "knn_brute", "knn_ivf", "knn_lsh", "lang_id", "mm_decode_meta",
-    "mm_frame_sample", "mm_png_decode", "mm_png_resize_nn", "mm_png_rot90",
-    "mm_resize_plan", "quality_score", "simhash16", "token_count",
+    "knn_brute", "knn_ivf", "knn_lsh", "lang_id",
+    "mm_png_decode", "mm_png_resize_nn", "mm_png_rot90",
+    "quality_score", "simhash16", "token_count",
     # full-kernel cross-engine gates: keep in every round's sweep
     "extract_spans_oracle", "extract_spans_rich_lite",
     "extract_spans_rot_text", "extract_spans_forms", "extract_spans_encoded",
@@ -2212,6 +2217,7 @@ _SWEEP_PRIORITY = [
     "interval_join_events", "tpch_q1_pricing",
     "dedup_exact", "dedup_minhash_lsh", "dedup_lsh_incremental",
     "dedup_cluster", "render_css_text", "render_css_lengths",
+    "mm_decode_meta", "mm_frame_sample", "mm_resize_plan",
 ]
 
 

@@ -348,3 +348,56 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.col("dim").cast("int").alias("dim"), "n_vecs",
         F.floor(F.col("sum_milli").cast("double") / F.col("n_vecs") + 0.5)
          .cast("long").alias("centroid_milli"))
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization: per-vector symmetric scale (max |x|), the
+# storage/serving compression step before ANN indexing. Pure narrow map —
+# zero Exchange; the quantized vector is summarized by order-independent
+# integer aggregates (sum, sum of squares, count of saturated lanes) so the
+# result stays value-checkable without shipping arrays.
+# ---------------------------------------------------------------------------
+
+@_reg("embedding_quantize", """
+WITH s AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         list_max(list_transform(embedding,
+                                 x -> ABS(CAST(x AS DOUBLE)))) AS sc
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, sc,
+         CASE WHEN sc = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(e,
+                   x -> CAST(FLOOR(x / sc * 127 + 0.5) AS BIGINT)) END AS qv
+  FROM s
+)
+SELECT vec_id,
+       CAST(FLOOR(sc * 1000000 + 0.5) AS BIGINT) AS scale_x1e6,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS q_norm2,
+       CAST(len(list_filter(qv, v -> ABS(v) = 127)) AS BIGINT) AS n_sat
+FROM q
+""")
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"))
+    sc = F.array_max(F.transform("e", F.abs))
+    d = e.select("vec_id", "e", sc.alias("sc"))
+    qv = F.when(F.col("sc") == 0, F.transform(
+        "e", lambda x: F.lit(0).cast("long"))).otherwise(
+        F.transform("e", lambda x: F.floor(x / F.col("sc") * 127 + 0.5)
+                    .cast("long")))
+    d = d.select("vec_id", "sc", qv.alias("qv"))
+    return d.select(
+        "vec_id",
+        F.floor(F.col("sc") * 1000000 + 0.5).cast("long")
+        .alias("scale_x1e6"),
+        F.aggregate("qv", F.lit(0).cast("long"), lambda a, v: a + v)
+        .alias("q_sum"),
+        F.aggregate("qv", F.lit(0).cast("long"), lambda a, v: a + v * v)
+        .alias("q_norm2"),
+        F.size(F.filter("qv", lambda v: F.abs(v) == 127)).cast("long")
+        .alias("n_sat"))

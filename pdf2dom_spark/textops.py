@@ -1058,3 +1058,107 @@ def pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = F.coalesce(F.sum("tokens").over(win), F.lit(0))
     return t.select("doc_id", "lang", F.col("tokens").cast("int"),
                     F.floor(run / _PACK_BUDGET).cast("int").alias("bin_id"))
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination: flag corpus documents sharing any 8-word
+# shingle with the held-out benchmark set (the n-gram-overlap decontam pass
+# every pretraining pipeline runs before training). Scale shape: the
+# benchmark is small and fixed by construction -> its distinct shingle
+# hashes broadcast; the corpus side is one explode + a broadcast hash join
+# + a map-side-combinable count. The synthetic "benchmark" is doc_id % 50
+# == 0 (the planted exact-dup groups guarantee non-vacuous overlap).
+# ---------------------------------------------------------------------------
+
+@_reg("decontaminate", """
+WITH ws AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE length(text) > 0
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, GREATEST(len(w) - 7, 0)),
+             i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                      w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+                      w[i+6] || ' ' || w[i+7]))) AS g
+  FROM ws
+),
+bench AS (SELECT DISTINCT unnest(g) AS h FROM sh WHERE doc_id % 50 = 0),
+corpus AS (SELECT doc_id, unnest(g) AS h FROM sh WHERE doc_id % 50 != 0)
+SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM corpus c JOIN bench b USING (h)
+GROUP BY c.doc_id
+""")
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (_docs(spark, sf_dir).where(F.length("text") > 0)
+         .select(F.col("doc_id").cast("long").alias("doc_id"),
+                 F.split("text", " ").alias("w")))
+
+    def grams(w):
+        tr = F.transform(
+            F.sequence(F.lit(1), F.size(w) - 7),
+            lambda i: F.md5(F.concat_ws(
+                " ", *[F.element_at(w, i + k) for k in range(8)])))
+        return F.when(F.size(w) >= 8, F.array_distinct(tr)).otherwise(
+            F.array().cast("array<string>"))
+
+    sh = d.select("doc_id", grams(F.col("w")).alias("g"))
+    bench = (sh.where(F.col("doc_id") % 50 == 0)
+             .select(F.explode("g").alias("h")).distinct())
+    corpus = (sh.where(F.col("doc_id") % 50 != 0)
+              .select("doc_id", F.explode("g").alias("h")))
+    return (corpus.join(F.broadcast(bench), "h")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+
+
+# ---------------------------------------------------------------------------
+# sliding-window document chunking: fixed 64-token windows, stride 48
+# (16-token overlap) — the long-document -> context-window preprocessing
+# step (distinct from pack_bins, which packs WHOLE docs into budgets).
+# Pure narrow map + generate: no shuffle at all; each chunk is emitted as
+# a hash of its word span so the output stays value-checkable and small.
+# ---------------------------------------------------------------------------
+
+_CHUNK_W, _CHUNK_STRIDE = 64, 48
+
+@_reg("doc_chunk_windows", f"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS n
+  FROM documents WHERE length(text) > 0
+),
+k AS (
+  SELECT doc_id, ws, n,
+         CASE WHEN n <= {_CHUNK_W} THEN 1
+              ELSE CAST(CEIL((n - {_CHUNK_W}) / {_CHUNK_STRIDE}.0) AS BIGINT)
+                   + 1 END AS nk
+  FROM t
+)
+SELECT doc_id, CAST(c AS INT) AS chunk_id,
+       CAST(LEAST({_CHUNK_W}, n - c * {_CHUNK_STRIDE}) AS INT) AS n_tokens,
+       md5(list_aggregate(
+           ws[c * {_CHUNK_STRIDE} + 1 : c * {_CHUNK_STRIDE} + {_CHUNK_W}],
+           'string_agg', ' ')) AS chunk_hash
+FROM k, UNNEST(generate_series(0, nk - 1)) AS u(c)
+""")
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = (_docs(spark, sf_dir).where(F.length("text") > 0)
+         .select(F.col("doc_id").cast("long").alias("doc_id"),
+                 F.split("text", " ").alias("ws")))
+    n = F.size("ws")
+    nk = F.when(n <= _CHUNK_W, F.lit(1).cast("long")).otherwise(
+        F.ceil((n - _CHUNK_W) / F.lit(float(_CHUNK_STRIDE))) + 1)
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), nk - 1),
+        lambda c: F.struct(
+            c.cast("int").alias("chunk_id"),
+            F.least(F.lit(_CHUNK_W),
+                    n - c.cast("int") * _CHUNK_STRIDE).cast("int")
+            .alias("n_tokens"),
+            F.md5(F.concat_ws(" ", F.slice(
+                F.col("ws"), c.cast("int") * _CHUNK_STRIDE + 1, _CHUNK_W)))
+            .alias("chunk_hash")))
+    return (t.select("doc_id", F.explode(chunks).alias("c"))
+            .select("doc_id", "c.chunk_id", "c.n_tokens", "c.chunk_hash"))

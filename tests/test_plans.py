@@ -255,3 +255,28 @@ def test_pdf_ingest_is_narrow(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert plan.count("MapInPandas") == 1
+
+
+def test_decontaminate_bench_side_is_broadcast(spark):
+    """Decontamination joins the corpus shingles against the (small, fixed)
+    benchmark shingle set via broadcast — no shuffle of the corpus side's
+    exploded grams beyond the final per-doc aggregate."""
+    from pdf2dom_spark.queries import all_queries
+
+    df = all_queries()["decontaminate"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunk_and_quantize_are_narrow(spark):
+    """Sliding-window chunking and int8 quantization are pure narrow
+    map+generate pipelines: zero Exchange, zero Python."""
+    from pdf2dom_spark.queries import all_queries
+
+    for name in ("doc_chunk_windows", "embedding_quantize"):
+        df = all_queries()[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, name
+        assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, \
+            name
