@@ -23,7 +23,7 @@ import pandas as pd
 
 from . import graphics, textpipe
 from .interp import (DocInterp, doc_cid2_fonts, doc_cmaps,
-                     doc_tokens, doc_widths)
+                     doc_tokens, doc_vmetrics, doc_widths)
 from .schema import SPAN_FLAT_COLUMNS, STYLE_FIELDS
 
 
@@ -80,6 +80,7 @@ def extract_doc_columnar(doc_id: str, spans: list[dict],
         cmaps=doc_cmaps(spans),
         cid2_fonts=doc_cid2_fonts(spans),
         widths=doc_widths(spans),
+        vmetrics=doc_vmetrics(spans),
     )
     glyphs, events, font_table, end_key, page_flush = interp.run(tokens)
 

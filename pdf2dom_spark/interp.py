@@ -239,7 +239,12 @@ def doc_widths(spans: list[dict]) -> dict[str, tuple[float, dict[int, float]]]:
     code, per the metrics-by-raw-code contract). Fonts without a span here
     keep the heuristic family metrics (fonts.advance_widths), exactly like
     a non-embedded base-14 font whose widths PDFBox reads from AFM data
-    this sandbox does not carry."""
+    this sandbox does not carry.
+
+    Named ``ascent:``/``descent:``/``cap:`` tokens in the same span carry
+    the FontDescriptor's vertical metrics (doc_vmetrics) and are skipped
+    here; a span holding ONLY named tokens registers no width override.
+    """
     out: dict[str, tuple[float, dict[int, float]]] = {}
     for sp in spans:
         if sp.get("kind") != "widths":
@@ -248,13 +253,48 @@ def doc_widths(spans: list[dict]) -> dict[str, tuple[float, dict[int, float]]]:
         name = name[7:] if name.startswith("widths:") else name
         dflt, wmap = out.get(name, (500.0, {}))
         wmap = dict(wmap)
+        seen = name in out
         for pair in (sp.get("text") or "").split():
             code, _, w = pair.partition(":")
             if code == "default":
                 dflt = float(w)
+                seen = True
+            elif code in ("ascent", "descent", "cap"):
+                continue  # vertical metrics (doc_vmetrics)
             elif code and w:
                 wmap[int(code)] = float(w)
-        out[name] = (dflt, wmap)
+                seen = True
+        if seen:
+            out[name] = (dflt, wmap)
+    return out
+
+
+def doc_vmetrics(spans: list[dict]) -> dict[str, tuple[float, float, float]]:
+    """Per-font REAL vertical metrics from ``kind='widths'`` spans' named
+    tokens: (cap_height, ascent, descent) in 1000-unit text space — the
+    FontDescriptor /CapHeight /Ascent /Descent the reference reads from
+    PDFBox's font model. Fonts without them keep the family constants
+    (fonts.CAP_HEIGHT/ASCENT/DESCENT)."""
+    out: dict[str, tuple[float, float, float]] = {}
+    for sp in spans:
+        if sp.get("kind") != "widths":
+            continue
+        name = (sp.get("media_ref") or "")
+        name = name[7:] if name.startswith("widths:") else name
+        vals = dict(zip(("cap", "ascent", "descent"),
+                        out.get(name, (None, None, None))))
+        for pair in (sp.get("text") or "").split():
+            k, _, v = pair.partition(":")
+            if k in ("ascent", "descent", "cap") and v:
+                vals[k] = float(v)
+        if vals["cap"] is not None or vals["ascent"] is not None:
+            from . import fonts as _F
+            out[name] = (vals["cap"] if vals["cap"] is not None
+                         else _F.CAP_HEIGHT,
+                         vals["ascent"] if vals["ascent"] is not None
+                         else _F.ASCENT,
+                         vals["descent"] if vals["descent"] is not None
+                         else _F.DESCENT)
     return out
 
 
@@ -296,6 +336,8 @@ class DocInterp:
                  cid2_fonts: set[str] | None = None,
                  widths: dict[str, tuple[float, dict[int, float]]]
                  | None = None,
+                 vmetrics: dict[str, tuple[float, float, float]]
+                 | None = None,
                  batch_runs: bool = True):
         # batch_runs=False forces the scalar Tm/Tj path — the equivalence
         # knob tests/test_kernels_ext.py uses to pin show_run == show
@@ -315,6 +357,11 @@ class DocInterp:
         # default-filled) so the hot path stays one vectorized gather.
         self.widths = widths or {}
         self._warr: dict[str, tuple[np.ndarray, float]] = {}
+        # per-font REAL (cap_height, ascent, descent) in 1000-unit text
+        # space (doc_vmetrics); fonts not present fall back to the family
+        # constants the synthetic corpora and their oracles are built on
+        self.vmetrics = vmetrics or {}
+        self._vm_default = (F.CAP_HEIGHT, F.ASCENT, F.DESCENT)
         self.start_page = start_page
         self.end_page = end_page
         self.disable_graphics = disable_graphics
@@ -519,17 +566,19 @@ class DocInterp:
             fill_on = g.tr in FILL_MODES
             stroke_on = g.tr in STROKE_MODES
             fam, weight, fstyle = _font_style(g.font)
+            _vm_cap, _vm_asc, _vm_dsc = self.vmetrics.get(
+                g.font, self._vm_default)
             # TextPosition width = dxDisplay, the DEVICE-x displacement of
             # the advance (LegacyPDFStreamEngine: nextX - getTranslateX()),
             # deliberately not rotation-adjusted: widths = adv * m00 (folded
             # in _concat_glyphs).
             glyph_chunks.append((
                 key, s, codes, adv, ax, bx, ay, by, m00, page_no,
-                F.CAP_HEIGHT / 1000.0 * yscale,          # height
+                _vm_cap / 1000.0 * yscale,               # height
                 g.fsize * g.th * sx,                     # xscale
                 yscale,
-                F.ASCENT / 1000.0 * yscale,              # ascent
-                F.DESCENT / 1000.0 * yscale,             # descent
+                _vm_asc / 1000.0 * yscale,               # ascent
+                _vm_dsc / 1000.0 * yscale,               # descent
                 fam, weight, fstyle,
                 # updateStyleForRenderingMode (PDFBoxTree.java:766-779)
                 color_hex(g.fill_rgb) if fill_on else TRANSPARENT,
@@ -575,10 +624,12 @@ class DocInterp:
                     else TRANSPARENT)
             stroke = (color_hex(g.stroke_rgb) if g.tr in STROKE_MODES
                       else TRANSPARENT)
-            height = F.CAP_HEIGHT / 1000.0 * yscale
+            _vm_cap, _vm_asc, _vm_dsc = self.vmetrics.get(
+                g.font, self._vm_default)
+            height = _vm_cap / 1000.0 * yscale
             xsc = g.fsize * g.th
-            asc = F.ASCENT / 1000.0 * yscale
-            dsc = F.DESCENT / 1000.0 * yscale
+            asc = _vm_asc / 1000.0 * yscale
+            dsc = _vm_dsc / 1000.0 * yscale
             ts = g.ts
             enc = self.cmaps.get(g.font)
             append = glyph_chunks.append

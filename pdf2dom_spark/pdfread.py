@@ -742,6 +742,29 @@ def font_widths(pdf: PdfFile,
     return mw, {c: v for c, v in wmap.items() if v != mw}
 
 
+def _font_vmetrics(pdf: PdfFile, font: dict) -> str:
+    """FontDescriptor /CapHeight /Ascent /Descent (direct or first
+    descendant) as the named tokens the kernel's doc_vmetrics reads;
+    empty string when the descriptor declares none."""
+    cands = [font] + [pdf.resolve(d) for d in
+                      (pdf.resolve(font.get("DescendantFonts")) or [])]
+    for f in cands:
+        if not isinstance(f, dict):
+            continue
+        desc = pdf.resolve(f.get("FontDescriptor"))
+        if not isinstance(desc, dict):
+            continue
+        toks = []
+        for key, tok in (("CapHeight", "cap"), ("Ascent", "ascent"),
+                         ("Descent", "descent")):
+            v = pdf.resolve(desc.get(key))
+            if isinstance(v, (int, float)) and v != 0:
+                toks.append(f"{tok}:{float(v):g}")
+        if toks:
+            return " ".join(toks)
+    return ""
+
+
 def _font_program(pdf: PdfFile, font: dict) -> tuple[str, bytes] | None:
     """The embedded program for one font dict (or its first descendant):
     (kind, bytes) with kind = Type1 | TrueType | FontFile3's /Subtype."""
@@ -852,6 +875,7 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
     fam_cid2: dict[str, bool] = {}
     fam_w: dict[str, tuple[float, dict[int, float]]] = {}
     fam_prog: set[str] = set()
+    fam_vm: set[str] = set()
     font_obj_fam: dict[tuple, str] = {}
     emitted_forms: set[str] = set()
 
@@ -892,6 +916,9 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
             if cid2:
                 body = ("bytes:2 " + body).strip()
             sb.add("cmap", body, f"cmap:{fam}")
+        vm = _font_vmetrics(pdf, font) if fam not in fam_vm else ""
+        if vm:
+            fam_vm.add(fam)
         if fw is not None:
             prior = fam_w.get(fam)
             wdelta = {c: v for c, v in fw[1].items()
@@ -899,11 +926,16 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
             if prior is None or wdelta:
                 body = " ".join([f"default:{fw[0]:g}"]
                                 + [f"{c}:{v:g}"
-                                   for c, v in sorted(wdelta.items())])
+                                   for c, v in sorted(wdelta.items())]
+                                + ([vm] if vm else []))
                 sb.add("widths", body, f"widths:{fam}")
             merged = dict(prior[1]) if prior else {}
             merged.update(fw[1])
             fam_w[fam] = (fw[0], merged)
+        elif vm:
+            # vertical metrics without declared widths: the span carries
+            # only named tokens (doc_widths registers no width override)
+            sb.add("widths", vm, f"widths:{fam}")
         if fam not in fam_prog:
             prog = _font_program(pdf, font)
             if prog is not None:

@@ -497,3 +497,79 @@ def test_spark_ingest_skips_encrypted_and_broken(spark, tmp_path):
     docs = pdf_docs_df(spark, str(src))
     ids = {r.doc_id for r in docs.select("doc_id").collect()}
     assert ids == {"good.pdf"}
+
+
+def test_real_bare_cff_rendered_html_has_woff_font_face():
+    """TestFonts.convertPdfWithBareCffFont_outputHtmlHasWoffFontInStyle,
+    on the real fixture through the real renderer: the document HTML's
+    style carries an @font-face with an x-font-woff data URI, and a text
+    div uses a font-family."""
+    from pdf2dom_spark.render_html import render_doc_html
+
+    row = pdf_file_to_row(f"{RES}/fonts/bare-cff.pdf")
+    rows = extract_doc(row["doc_id"], row["spans"],
+                       ExtractConfig(font_payloads=True))
+    html = render_doc_html(rows)
+    assert "@font-face" in html
+    assert "x-font-woff" in html
+    assert "font-family:" in html
+
+
+def test_real_pdf_pagesplit_bit_equal():
+    """The monster-doc split path over REAL PDF spans (Horarios: forms,
+    CID fonts, images) produces the identical span sequence as the
+    unsplit kernel."""
+    from pdf2dom_spark.extract import extract_doc_columnar
+    from pdf2dom_spark.pagesplit import split_doc
+
+    row = pdf_file_to_row(f"{RES}/HorariosMadrid_Segovia.pdf")
+    base = extract_doc(row["doc_id"], row["spans"], ExtractConfig())
+
+    groups = split_doc(row["doc_id"], row["spans"], pages_per_group=1,
+                       min_bytes=0)
+    assert groups  # single page -> one group, but the machinery must agree
+    got: list[dict] = []
+    order_base = 0
+    for g in groups:
+        cols = extract_doc_columnar(
+            row["doc_id"], g["spans"], ExtractConfig(),
+            page_offset=g["page_offset"], font_seed=list(g["font_seed"]),
+            emit_fonts=g["emit_fonts"])
+        n = len(cols["order"])
+        for i in range(n):
+            rec = {k: (v[i] if hasattr(v, "__len__") else v)
+                   for k, v in cols.items()}
+            rec["order"] = order_base + int(rec["order"])
+            got.append(rec)
+        order_base += n
+    assert len(got) == len(base)
+    for a, b in zip(sorted(got, key=lambda r: r["order"]), base):
+        assert a["kind"] == b["kind"] and a["text"] == b["text"]
+
+
+def test_real_vertical_metrics_from_descriptor():
+    """FontDescriptor CapHeight/Ascent/Descent ride the widths span and
+    drive box geometry: MinionPro's real ascent/descent (989/-360 milli)
+    set the 12 pt line height, not the 800/-200 family constants."""
+    from pdf2dom_spark.pdfread import PdfFile
+
+    with open(f"{RES}/3-page-document.pdf", "rb") as fh:
+        pdf = PdfFile(fh.read())
+    page2 = pdf.pages()[1]
+    fonts = pdf.resolve(pdf.resolve(page2["Resources"])["Font"])
+    minion = next(pdf.resolve(f) for f in fonts.values()
+                  if "MinionPro" in str(pdf.resolve(f).get("BaseFont")))
+    desc = pdf.resolve(pdf.resolve(
+        pdf.resolve(minion["DescendantFonts"])[0])["FontDescriptor"])
+    asc = float(pdf.resolve(desc["Ascent"]))
+    dsc = float(pdf.resolve(desc["Descent"]))
+    assert (asc, dsc) == (989.0, -360.0)
+
+    rows = run("3-page-document.pdf")
+    t = next(r for r in rows if r["kind"] == "text"
+             and r["page_no"] == 2 and r["text"] == "Page")
+    # line height = (ascent - descent)/1000 * size — REAL Minion metrics,
+    # not the 800/-200 family constants (which would give exactly 12.0)
+    assert t["style_line_height"] == pytest.approx(
+        (asc - dsc) / 1000.0 * 12.0, abs=0.01)
+    assert t["style_line_height"] != pytest.approx(12.0, abs=0.5)
