@@ -797,6 +797,23 @@ def encoding_map(pdf: PdfFile, font: dict) -> tuple[dict[int, int], bool]:
     cid2 = subtype == "Type0"
     out: dict[int, int] = {}
     enc = pdf.resolve(font.get("Encoding"))
+    if not cid2:
+        # named base encoding (WinAnsi/MacRoman): the high-range codes
+        # that differ from the tokenizer's latin-1 default, generated from
+        # the stdlib codecs rather than hand tables
+        base = enc if isinstance(enc, Name) else (
+            pdf.resolve(enc.get("BaseEncoding"))
+            if isinstance(enc, dict) else None)
+        codec = {"WinAnsiEncoding": "cp1252",
+                 "MacRomanEncoding": "mac_roman"}.get(str(base or ""))
+        if codec:
+            for c in range(128, 256):
+                try:
+                    u = bytes([c]).decode(codec)
+                except UnicodeDecodeError:
+                    continue
+                if ord(u) != c:
+                    out[c] = ord(u)
     if isinstance(enc, dict) and not cid2:
         diffs = pdf.resolve(enc.get("Differences")) or []
         code = 0
@@ -825,6 +842,66 @@ def encoding_map(pdf: PdfFile, font: dict) -> tuple[dict[int, int], bool]:
 # ---------------------------------------------------------------------------
 
 _INLINE_IMG_RE = re.compile(rb"\bBI\b.*?\bEI\b", re.DOTALL)
+_BI_RE = re.compile(rb"(?<![A-Za-z0-9])BI(?![A-Za-z0-9])")
+_EI_RE = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)")
+
+
+def _splice_inline_images(raw: bytes, images: dict,
+                          start_idx: int) -> tuple[bytes, int]:
+    """Replace every inline image (``BI <dict> ID <data> EI``) with a
+    synthetic ``/InlImg<n> Do`` and register (w, h, media_ref) in
+    ``images`` — the same span-splicing contract XObject images use, so
+    placement math (the surrounding cm) works identically. Data bytes are
+    found via /L when declared, else the whitespace-EI-delimiter scan
+    PDFBox's parser uses."""
+    out = bytearray()
+    pos = 0
+    n = start_idx
+    while True:
+        m = _BI_RE.search(raw, pos)
+        if not m:
+            out += raw[pos:]
+            break
+        out += raw[pos:m.start()]
+        i = m.end()
+        params: dict = {}
+        ok = True
+        while True:
+            i = _skip_ws(raw, i)
+            if raw[i:i + 2] == b"ID":
+                i += 2
+                if i < len(raw) and raw[i] in _WS:
+                    i += 1
+                break
+            try:
+                key, i = _parse_name(raw, i)
+                val, i = parse_obj(raw, i)
+            except Exception:
+                ok = False
+                break
+            params[str(key)] = val
+        if not ok:
+            out += b" "
+            pos = m.end()
+            continue
+        length = params.get("L", params.get("Length"))
+        if isinstance(length, int):
+            data_end = i + length
+            e = _EI_RE.search(raw, data_end)
+            end = e.end() if e else len(raw)
+        else:
+            e = _EI_RE.search(raw, i)
+            data_end = e.start() if e else len(raw)
+            end = e.end() if e else len(raw)
+        data = raw[i:data_end]
+        w = int(params.get("W", params.get("Width", 1)) or 1)
+        h = int(params.get("H", params.get("Height", 1)) or 1)
+        name = f"InlImg{n}"
+        n += 1
+        images[name] = (w, h, "sha:" + hashlib.md5(data).hexdigest())
+        out += f" /{name} Do ".encode()
+        pos = end
+    return bytes(out), n
 
 
 def _name_sub(content: str, old: str, new: str) -> str:
@@ -994,6 +1071,7 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
         return content
 
     pages = pdf.pages()
+    inline_n = 0  # document-wide inline-image counter (stable names)
     if max_pages is not None:
         pages = pages[:max_pages]
     for page in pages:
@@ -1013,9 +1091,10 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
                 c = pdf.resolve(c)
                 if isinstance(c, Stream):
                     parts.append(c.data)
-        content = _INLINE_IMG_RE.sub(b" ", b"\n".join(parts)).decode("latin-1")
-
         renames, images, _forms = process_resources(page.get("Resources"))
+        raw_content, inline_n = _splice_inline_images(
+            b"\n".join(parts), images, inline_n)
+        content = raw_content.decode("latin-1")
         for old, new in renames.items():
             content = _name_sub(content, old, new)
 

@@ -573,3 +573,70 @@ def test_real_vertical_metrics_from_descriptor():
     assert t["style_line_height"] == pytest.approx(
         (asc - dsc) / 1000.0 * 12.0, abs=0.01)
     assert t["style_line_height"] != pytest.approx(12.0, abs=0.5)
+
+
+def test_winansi_base_encoding_maps_high_codes():
+    """A named /WinAnsiEncoding (or /BaseEncoding in a dict, under
+    /Differences) maps the cp1252 high range: curly quotes, dashes, and
+    the euro decode even without a ToUnicode table."""
+    from pdf2dom_spark.pdfread import Name, PdfFile, encoding_map
+
+    pdf = PdfFile(open(f"{RES}/text-rendering-mode-fill.pdf", "rb").read())
+    font = {"Subtype": Name("TrueType"),
+            "Encoding": Name("WinAnsiEncoding")}
+    m, cid2 = encoding_map(pdf, font)
+    assert not cid2
+    assert m[0x93] == 0x201C and m[0x94] == 0x201D   # curly double quotes
+    assert m[0x97] == 0x2014                          # em dash
+    assert m[0x80] == 0x20AC                          # euro
+    assert 0x41 not in m                              # ASCII untouched
+
+    font2 = {"Subtype": Name("TrueType"),
+             "Encoding": {"BaseEncoding": Name("WinAnsiEncoding"),
+                          "Differences": [0x93, Name("space")]}}
+    m2, _ = encoding_map(pdf, font2)
+    assert m2[0x93] == 0x20     # Differences override the base table
+    assert m2[0x94] == 0x201D   # rest of the base survives
+
+
+def test_inline_image_spliced_as_image_span():
+    """A BI/ID/EI inline image becomes an image span at its Do site with
+    the surrounding cm placement applied — built as a real (classic-xref)
+    PDF file and run through the full reader + kernel."""
+    import zlib
+
+    content = (b"q 40 0 0 20 100 700 cm "
+               b"BI /W 2 /H 2 /BPC 8 /CS /RGB ID "
+               b"\x00\x11\x22\x33\x44\x55\x66\x77\x88\x99\xaa\xbb"
+               b" EI Q "
+               b"BT /F1 10 Tf 72 650 Td (after) Tj ET")
+    stream = zlib.compress(content)
+    body = (b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 612 792] >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
+            b"endobj\n"
+            b"4 0 obj\n<< /Length " + str(len(stream)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + stream
+            + b"\nendstream\nendobj\n"
+            b"trailer\n<< /Root 1 0 R >>\nstartxref\n0\n%%EOF\n")
+
+    from pdf2dom_spark.pdfread import pdf_to_spans
+
+    spans = pdf_to_spans(body)
+    imgs = [s for s in spans if s["kind"] == "image"]
+    assert len(imgs) == 1
+    assert imgs[0]["text"].startswith("2 2 InlImg0")
+    assert imgs[0]["media_ref"].startswith("sha:")
+
+    rows = extract_doc("d", spans, ExtractConfig())
+    img = next(r for r in rows if r["kind"] == "image")
+    # cm places the 2x2 image into a 40x20 box at (100, 700) -> top =
+    # 792 - 700 - 20 = 72
+    assert img["style_left"] == pytest.approx(100.0, abs=0.01)
+    assert img["style_top"] == pytest.approx(72.0, abs=0.01)
+    assert img["style_width"] == pytest.approx(40.0, abs=0.01)
+    assert img["style_height"] == pytest.approx(20.0, abs=0.01)
+    assert "after" in " ".join(r["text"] for r in rows
+                               if r["kind"] == "text")
