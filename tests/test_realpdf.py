@@ -640,3 +640,66 @@ def test_inline_image_spliced_as_image_span():
     assert img["style_height"] == pytest.approx(20.0, abs=0.01)
     assert "after" in " ".join(r["text"] for r in rows
                                if r["kind"] == "text")
+
+
+# --- written real PDFs: the full file path under the oracle gate ------------
+
+def test_written_oracle_pdf_bit_equal_to_synthetic():
+    """pdfwrite renders the oracle corpus as REAL PDF files; reading them
+    back through the full file path (xref -> inflate -> tokenize ->
+    extract) is BIT-EQUAL to the synthetic span path — which is itself
+    value-hash-gated against the closed-form DuckDB oracle, so the whole
+    file chain lands under the cross-engine gate transitively."""
+    import duckdb
+
+    from pdf2dom_spark.corpus import oracle_stream
+    from pdf2dom_spark.pdfread import pdf_to_spans
+    from pdf2dom_spark.pdfwrite import oracle_pdf_bytes
+
+    rows = duckdb.sql(
+        "select doc_id, text from "
+        "'/root/testdata/sf0.001/documents.parquet' limit 50").fetchall()
+    for d, t in rows:
+        d = str(d)
+        real = extract_doc(d, pdf_to_spans(oracle_pdf_bytes(d, t)),
+                           ExtractConfig())
+        synth = extract_doc(d, oracle_stream(d, t), ExtractConfig())
+        assert len(real) == len(synth)
+        for a, b in zip(real, synth):
+            for k in a:
+                va, vb = a[k], b[k]
+                if va != vb and not (va != va and vb != vb):  # NaN==NaN
+                    raise AssertionError(f"{d} order {a['order']} {k}: "
+                                         f"{va!r} != {vb!r}")
+
+
+def test_written_oracle_pdf_spark_roundtrip(spark, tmp_path):
+    """Directory of written PDFs -> distributed ingest -> extraction ==
+    the synthetic corpus pipeline, row for row."""
+    from pyspark.sql import functions as F
+
+    from pdf2dom_spark.corpus import build_docs_df
+    from pdf2dom_spark.pdfread import pdf_docs_df
+    from pdf2dom_spark.pdfwrite import write_oracle_pdf_dir
+    from pdf2dom_spark.pipeline import extract_spans
+
+    out = tmp_path / "pdfs"
+    n = write_oracle_pdf_dir("/root/testdata/sf0.001", str(out), limit=40)
+    assert n == 40
+
+    docs = pdf_docs_df(spark, str(out)).withColumn(
+        "doc_id", F.regexp_replace("doc_id", r"\.pdf$", ""))
+    via_files = extract_spans(docs, num_partitions=4, nested=False)
+
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    synth_docs = build_docs_df(spark, "/root/testdata/sf0.001",
+                               mode="oracle").where(
+        F.col("doc_id").isin(ids))
+    via_synth = extract_spans(synth_docs, num_partitions=4, nested=False)
+
+    cols = [c for c in via_files.columns if c != "part_id"]
+    assert via_files.count() == via_synth.count() > 0
+    assert via_files.select(cols).exceptAll(via_synth.select(cols)).count() \
+        == 0
+    assert via_synth.select(cols).exceptAll(via_files.select(cols)).count() \
+        == 0
