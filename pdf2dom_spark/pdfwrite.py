@@ -148,3 +148,145 @@ def write_oracle_pdf_dir(sf_dir: str, out_dir: str,
             fh.write(oracle_pdf_bytes(str(doc_id), text))
         n += 1
     return n
+
+
+def spans_to_pdf(doc_id: str, spans: list[dict],
+                 payload_for=None) -> bytes:
+    """Generic DOC_SCHEMA spans -> a real PDF file. Handles the full
+    synthetic-corpus surface: multi-fragment pages, page rotations (PG
+    header -> /Rotate), kind='rect' fragments (plain content), image
+    spans (-> image XObjects spliced as ``/Name Do``), form definitions
+    (-> Form XObjects in page resources), and the meta title (-> /Info).
+
+    ``payload_for(media_ref, page_no) -> bytes`` chooses image payload
+    bytes; default is the media_ref string itself (NOTE: the reader then
+    derives ``sha:md5(payload)`` which only matches the original ref when
+    the caller can invert it — oracle_pdf_bytes does; rich refs are
+    truncated hashes, so rich round-trips compare modulo media_ref)."""
+    import re as _re
+
+    payload_for = payload_for or (lambda ref, p: (ref or "").encode())
+    pg_re = _re.compile(r"^([\d.]+) ([\d.]+) (\d+) PG ")
+
+    pages: list[dict] = []
+    forms: list[tuple[str, str]] = []
+    title: str | None = None
+    cur: dict | None = None
+    for sp in sorted(spans, key=lambda s: s["offset"]):
+        kind = sp["kind"]
+        if kind == "meta":
+            if sp.get("media_ref") == "title":
+                title = sp.get("text") or ""
+            continue
+        if kind == "form":
+            name = (sp.get("media_ref") or "")
+            name = name[5:] if name.startswith("form:") else name
+            forms.append((name, sp.get("text") or ""))
+            continue
+        if kind == "image":
+            w, h, name = (sp.get("text") or "1 1 Img").split()[:3]
+            if cur is None:
+                cur = {"w": PAGE_W, "h": PAGE_H, "rot": 0, "frags": [],
+                       "images": []}
+                pages.append(cur)
+            cur["images"].append((int(float(w)), int(float(h)), name,
+                                  payload_for(sp.get("media_ref"),
+                                              len(pages))))
+            cur["frags"].append(f"/{name} Do")
+            continue
+        # text / rect: content fragments, possibly opening a page
+        t = sp.get("text") or ""
+        m = pg_re.match(t)
+        if m:
+            cur = {"w": float(m.group(1)), "h": float(m.group(2)),
+                   "rot": int(m.group(3)), "frags": [], "images": []}
+            pages.append(cur)
+            t = t[m.end():]
+        if cur is None:
+            cur = {"w": PAGE_W, "h": PAGE_H, "rot": 0, "frags": [],
+                   "images": []}
+            pages.append(cur)
+        if t:
+            cur["frags"].append(t)
+
+    objs: dict[int, bytes] = {}
+    nxt = 3  # 1 = catalog, 2 = pages
+    form_nums: list[tuple[str, int]] = []
+    for name, body in forms:
+        num = nxt
+        nxt += 1
+        objs[num] = _stream_obj(
+            num, b" /Type /XObject /Subtype /Form /BBox [0 0 %d %d]"
+            % (int(PAGE_W), int(PAGE_H)), body.encode("latin-1"))
+        form_nums.append((name, num))
+
+    kid_nums: list[int] = []
+    for pg in pages:
+        xobjs: list[tuple[str, int]] = list(form_nums)
+        for w, h, name, payload in pg["images"]:
+            num = nxt
+            nxt += 1
+            objs[num] = _stream_obj(
+                num, b" /Type /XObject /Subtype /Image /Width %d "
+                b"/Height %d /BitsPerComponent 8 /ColorSpace /DeviceGray"
+                % (w, h), payload, compress=False)
+            xobjs.append((name, num))
+        res = b""
+        if xobjs:
+            res = (b"/XObject << "
+                   + b" ".join(b"/%s %d 0 R" % (n.encode(), x)
+                               for n, x in xobjs) + b" >>")
+        cont_num = nxt
+        nxt += 1
+        page_num = nxt
+        nxt += 1
+        objs[cont_num] = _stream_obj(
+            cont_num, b"", " ".join(pg["frags"]).encode("latin-1"))
+        rot = b" /Rotate %d" % pg["rot"] if pg["rot"] else b""
+        objs[page_num] = _obj(
+            page_num,
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d]%s "
+            b"/Resources << %s >> /Contents %d 0 R >>"
+            % (int(pg["w"]), int(pg["h"]), rot, res, cont_num))
+        kid_nums.append(page_num)
+
+    info_num = None
+    if title:
+        info_num = nxt
+        nxt += 1
+        esc = title.replace("\\", r"\\").replace("(", r"\(") \
+            .replace(")", r"\)")
+        objs[info_num] = _obj(info_num, b"<< /Title (%s) >>"
+                              % esc.encode("latin-1"))
+
+    objs[1] = _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs[2] = _obj(
+        2, b"<< /Type /Pages /Count %d /Kids [%s] >>"
+        % (len(kid_nums), b" ".join(b"%d 0 R" % k for k in kid_nums)))
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += objs[num]
+    xref_at = len(out)
+    maxnum = max(objs)
+    out += b"xref\n0 %d\n" % (maxnum + 1)
+    out += b"0000000000 65535 f \n"
+    for num in range(1, maxnum + 1):
+        out += b"%010d 00000 n \n" % offsets.get(num, 0)
+    trailer = b"<< /Size %d /Root 1 0 R" % (maxnum + 1)
+    if info_num:
+        trailer += b" /Info %d 0 R" % info_num
+    trailer += b" >>"
+    out += (b"trailer\n" + trailer + b"\nstartxref\n%d\n%%%%EOF\n"
+            % xref_at)
+    return bytes(out)
+
+
+def rich_pdf_bytes(doc_id: str, text: str) -> bytes:
+    """One rich-corpus document (rotations, forms, rects, images, title)
+    as a real PDF file."""
+    from .corpus import rich_stream
+
+    return spans_to_pdf(doc_id, rich_stream(doc_id, text))

@@ -703,3 +703,49 @@ def test_written_oracle_pdf_spark_roundtrip(spark, tmp_path):
         == 0
     assert via_synth.select(cols).exceptAll(via_files.select(cols)).count() \
         == 0
+
+
+def test_written_rich_pdf_round_trip():
+    """The generic writer covers the RICH corpus surface — rotated pages
+    (/Rotate), form XObjects, rect fragments, images, the /Info title —
+    and extraction of the written file matches the synthetic path on
+    every column except image media_ref (rich refs are truncated hashes,
+    not invertible into payload bytes). Documents whose fragments carry
+    non-latin-1 text (the RTL/diacritic class) are excluded: a byte-level
+    content stream cannot carry raw unicode — real PDFs express those via
+    font encodings, which the cmap/enc kernel tests cover."""
+    import duckdb
+
+    from pdf2dom_spark.corpus import rich_stream
+    from pdf2dom_spark.pdfread import pdf_to_spans
+    from pdf2dom_spark.pdfwrite import rich_pdf_bytes
+
+    rows = duckdb.sql(
+        "select doc_id, text from "
+        "'/root/testdata/sf0.001/documents.parquet' limit 120").fetchall()
+    checked = 0
+    covered_rot = covered_form = False
+    for d, t in rows:
+        d = str(d)
+        spans = rich_stream(d, t)
+        if any(ord(c) > 255 for sp in spans for c in (sp["text"] or "")):
+            continue
+        checked += 1
+        covered_rot |= any(" 90 PG " in (sp["text"] or "")
+                           or " 270 PG " in (sp["text"] or "")
+                           for sp in spans)
+        covered_form |= any(sp["kind"] == "form" for sp in spans)
+        real = extract_doc(d, pdf_to_spans(rich_pdf_bytes(d, t)),
+                           ExtractConfig())
+        synth = extract_doc(d, spans, ExtractConfig())
+        assert len(real) == len(synth), d
+        for a, b in zip(real, synth):
+            for k in a:
+                if k == "media_ref":
+                    continue
+                va, vb = a[k], b[k]
+                if va != vb and not (va != va and vb != vb):
+                    raise AssertionError(
+                        f"{d} order {a['order']} {k}: {va!r} != {vb!r}")
+    assert checked >= 30          # the latin-1 majority is the gate
+    assert covered_rot and covered_form
