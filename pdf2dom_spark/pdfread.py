@@ -1026,12 +1026,17 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
             font_obj_fam[key] = fam
         return fam
 
-    def process_resources(res, depth: int = 0):
+    def process_resources(res, depth: int = 0,
+                          parent_renames: dict | None = None):
         """-> (font rename map, image map, form names); emits cmap/form
-        spans as a side effect."""
+        spans as a side effect. ``parent_renames`` cascade into form
+        content: a form may reference fonts from the INVOKING context's
+        resources (its own /Resources is optional per the spec — the
+        Horarios fixture does exactly this), so the enclosing page's
+        name->family map applies beneath the form's own."""
         res = pdf.resolve(res) or {}
         fonts = pdf.resolve(res.get("Font")) or {}
-        renames: dict[str, str] = {}
+        renames: dict[str, str] = dict(parent_renames or {})
         for rname, fref in fonts.items():
             fam = register_font(str(rname), fref)
             if fam is not None:
@@ -1054,14 +1059,15 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
                 forms.add(fname)
                 if fname not in emitted_forms:
                     emitted_forms.add(fname)
-                    body = _form_content(xo, depth)
+                    body = _form_content(xo, depth, renames)
                     sb.add("form", body, f"form:{fname}")
         return renames, images, forms
 
-    def _form_content(xo: Stream, depth: int) -> str:
+    def _form_content(xo: Stream, depth: int,
+                      parent_renames: dict | None = None) -> str:
         content = _INLINE_IMG_RE.sub(b" ", xo.data).decode("latin-1")
         renames, _images, _forms = process_resources(
-            xo.dict.get("Resources"), depth + 1)
+            xo.dict.get("Resources"), depth + 1, parent_renames)
         for old, new in renames.items():
             content = _name_sub(content, old, new)
         matrix = pdf.resolve(xo.dict.get("Matrix"))

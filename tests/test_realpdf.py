@@ -182,6 +182,12 @@ def test_real_horarios_full_document_extracts():
         pytest.approx((841.8, 595.2), abs=0.1)
     assert len([r for r in rows if r["kind"] == "text"]) > 200
     assert len([r for r in rows if r["kind"] == "image"]) > 10
+    # the CID text decodes through ToUnicode maps cascaded into the form
+    # XObjects (fonts live in the PAGE resources, used inside forms)
+    text = _page_text(rows).upper()
+    for word in ("MADRID", "SEGOVIA", "HORARIO"):
+        assert word in text
+    assert "6.30" in text  # the timetable's first departure
 
 
 def test_real_pdf_deterministic():
