@@ -1066,10 +1066,18 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
     def _form_content(xo: Stream, depth: int,
                       parent_renames: dict | None = None) -> str:
         content = _INLINE_IMG_RE.sub(b" ", xo.data).decode("latin-1")
-        renames, _images, _forms = process_resources(
+        renames, images, _forms = process_resources(
             xo.dict.get("Resources"), depth + 1, parent_renames)
         for old, new in renames.items():
             content = _name_sub(content, old, new)
+        # images referenced INSIDE a form cannot be spliced as standalone
+        # spans (form expansion is token-level) — rewrite their Do as the
+        # inline DoMedia pseudo-op the interpreter dispatches natively:
+        # "(<ref>) W H (<name>) DoMedia" (interp.py DoMedia handler)
+        for name, (w, h, ref) in images.items():
+            content = re.sub(
+                r"/" + re.escape(name) + r"\s+Do(?=[\s/\[\]()<>{}%]|$)",
+                f"({ref}) {w} {h} ({name}) DoMedia", content)
         matrix = pdf.resolve(xo.dict.get("Matrix"))
         if matrix and list(matrix) != [1, 0, 0, 1, 0, 0]:
             nums = " ".join(_fmt(float(pdf.resolve(v))) for v in matrix)

@@ -755,3 +755,49 @@ def test_written_rich_pdf_round_trip():
                         f"{d} order {a['order']} {k}: {va!r} != {vb!r}")
     assert checked >= 30          # the latin-1 majority is the gate
     assert covered_rot and covered_form
+
+
+def test_form_internal_image_emits_placed_span():
+    """An image XObject referenced from INSIDE a form's own resources is
+    rewritten to the inline DoMedia pseudo-op, so it lands as a placed
+    image span (previously a documented bound: the Do was ignored)."""
+    import zlib
+
+    form_content = b"q 30 0 0 15 10 20 cm /Im1 Do Q"
+    fc = zlib.compress(form_content)
+    page_content = zlib.compress(b"q 1 0 0 1 100 600 cm /Fm1 Do Q")
+    imgdata = b"\x01\x02\x03\x04"
+    body = (b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 612 792] >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /XObject << /Fm1 5 0 R >> >> >>\nendobj\n"
+            b"4 0 obj\n<< /Length " + str(len(page_content)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + page_content
+            + b"\nendstream\nendobj\n"
+            b"5 0 obj\n<< /Type /XObject /Subtype /Form "
+            b"/BBox [0 0 612 792] "
+            b"/Resources << /XObject << /Im1 6 0 R >> >> /Length "
+            + str(len(fc)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + fc
+            + b"\nendstream\nendobj\n"
+            b"6 0 obj\n<< /Type /XObject /Subtype /Image /Width 2 "
+            b"/Height 2 /BitsPerComponent 8 /ColorSpace /DeviceGray "
+            b"/Length 4 >>\nstream\n" + imgdata + b"\nendstream\nendobj\n"
+            b"trailer\n<< /Root 1 0 R >>\nstartxref\n0\n%%EOF\n")
+
+    from pdf2dom_spark.pdfread import pdf_to_spans
+
+    spans = pdf_to_spans(body)
+    form = next(s for s in spans if s["kind"] == "form")
+    assert "DoMedia" in form["text"]
+
+    rows = extract_doc("d", spans, ExtractConfig())
+    img = next(r for r in rows if r["kind"] == "image")
+    # outer cm (100, 600) + inner cm (30x15 at 10, 20):
+    # left = 100+10 = 110, top = 792 - (600+20) - 15 = 157
+    assert img["style_left"] == pytest.approx(110.0, abs=0.01)
+    assert img["style_top"] == pytest.approx(157.0, abs=0.01)
+    assert img["style_width"] == pytest.approx(30.0, abs=0.01)
+    assert img["style_height"] == pytest.approx(15.0, abs=0.01)
