@@ -1027,13 +1027,15 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
         return fam
 
     def process_resources(res, depth: int = 0,
-                          parent_renames: dict | None = None):
+                          parent_renames: dict | None = None,
+                          parent_images: dict | None = None):
         """-> (font rename map, image map, form names); emits cmap/form
-        spans as a side effect. ``parent_renames`` cascade into form
-        content: a form may reference fonts from the INVOKING context's
-        resources (its own /Resources is optional per the spec — the
-        Horarios fixture does exactly this), so the enclosing page's
-        name->family map applies beneath the form's own."""
+        spans as a side effect. ``parent_renames``/``parent_images``
+        cascade into form content: a form may reference fonts or image
+        XObjects from the INVOKING context's resources (its own
+        /Resources is optional per the spec — the Horarios fixture's text
+        fonts live at page level), so the enclosing page's maps apply
+        beneath the form's own."""
         res = pdf.resolve(res) or {}
         fonts = pdf.resolve(res.get("Font")) or {}
         renames: dict[str, str] = dict(parent_renames or {})
@@ -1042,32 +1044,39 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
             if fam is not None:
                 renames[str(rname)] = fam
         xobjs = pdf.resolve(res.get("XObject")) or {}
-        images: dict[str, tuple] = {}
+        images: dict[str, tuple] = dict(parent_images or {})
         forms: set[str] = set()
-        for rname, xref_ in xobjs.items():
-            xo = pdf.resolve(xref_)
+        resolved = [(str(rname), pdf.resolve(xref_))
+                    for rname, xref_ in xobjs.items()]
+        # images first, forms second: a form must see EVERY sibling image
+        # regardless of dictionary order
+        for rname, xo in resolved:
             if not isinstance(xo, Stream):
                 continue
-            subtype = str(pdf.resolve(xo.dict.get("Subtype")) or "")
-            if subtype == "Image":
+            if str(pdf.resolve(xo.dict.get("Subtype")) or "") == "Image":
                 w = int(pdf.resolve(xo.dict.get("Width", 1)) or 1)
                 h = int(pdf.resolve(xo.dict.get("Height", 1)) or 1)
                 ref = "sha:" + hashlib.md5(xo.raw).hexdigest()
-                images[str(rname)] = (w, h, ref)
-            elif subtype == "Form" and depth < 4:
-                fname = str(rname)
+                images[rname] = (w, h, ref)
+        for fname, xo in resolved:
+            if not isinstance(xo, Stream):
+                continue
+            if (str(pdf.resolve(xo.dict.get("Subtype")) or "") == "Form"
+                    and depth < 4):
                 forms.add(fname)
                 if fname not in emitted_forms:
                     emitted_forms.add(fname)
-                    body = _form_content(xo, depth, renames)
+                    body = _form_content(xo, depth, renames, images)
                     sb.add("form", body, f"form:{fname}")
         return renames, images, forms
 
     def _form_content(xo: Stream, depth: int,
-                      parent_renames: dict | None = None) -> str:
+                      parent_renames: dict | None = None,
+                      parent_images: dict | None = None) -> str:
         content = _INLINE_IMG_RE.sub(b" ", xo.data).decode("latin-1")
         renames, images, _forms = process_resources(
-            xo.dict.get("Resources"), depth + 1, parent_renames)
+            xo.dict.get("Resources"), depth + 1, parent_renames,
+            parent_images)
         for old, new in renames.items():
             content = _name_sub(content, old, new)
         # images referenced INSIDE a form cannot be spliced as standalone
