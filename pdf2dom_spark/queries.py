@@ -2184,46 +2184,57 @@ def _merge(*regs: dict) -> dict:
 
 
 # The driver's per-round correctness sweep caps at ~50 queries taken in
-# dict order, while the registry holds ~80 — so ordering decides which
-# queries get a driver CORRECTNESS row this round. Front-load the ones with
-# the thinnest driver evidence (never gated / not gated last round), then
-# the full-kernel oracles that must stay gated EVERY round; the tail was
-# all green in the previous round's file, so cumulative coverage across
-# rounds spans the whole registry (VERDICT r3 "Next round" #1).
-_SWEEP_PRIORITY = [
-    # never driver-gated before round 4
-    "corpus_dedup_apply", "pii_scrub", "repetition_score", "tfidf_top_terms",
-    "inverted_index", "corpus_mix_epochs", "stratified_sample", "pack_bins",
-    "embedding_centroids", "html_main_content", "mm_feature_extract",
-    "mm_audio_energy", "mm_video_frame_sample",
-    # new in round 4
-    "decontaminate", "doc_chunk_windows", "embedding_quantize",
-    # green in r2 but dropped from the r3 sweep by the cap (the
-    # metadata-plan variants mm_decode_meta/mm_frame_sample/mm_resize_plan
-    # ride at the end of this list: they have r2 rows and real-byte
-    # siblings gated above, so they are the ones that overflow the cap)
-    "corpus_filter", "dedup_embedding_cosine", "doc_fingerprint",
-    "knn_brute", "knn_ivf", "knn_lsh", "lang_id",
-    "mm_png_decode", "mm_png_resize_nn", "mm_png_rot90",
-    "quality_score", "simhash16", "token_count",
-    # full-kernel cross-engine gates: keep in every round's sweep
+# dict order, while the registry holds ~85 — so ordering decides which
+# queries get a driver CORRECTNESS row each round. The sweep order is
+# SELF-ROTATING: the full-kernel cross-engine gates stay pinned at the
+# front (they must be green every round), and every other query sorts by
+# the round it last had a green CORRECTNESS row (never-gated first,
+# oldest next), read from the repo's own CORRECTNESS_r*.json files — so
+# cumulative driver coverage converges over rounds with no manual list
+# maintenance (VERDICT r3 "Next round" #1).
+_ALWAYS_GATE = [
     "extract_spans_oracle", "extract_spans_rich_lite",
     "extract_spans_rot_text", "extract_spans_forms", "extract_spans_encoded",
     "extract_spans_paged_oracle", "extract_spans_paged_tail",
-    "extract_spans_rich", "rich_structure",
-    "extract_page_range", "chunk_islands_sql",
-    # streaming batch-twins + headline dedup/aggregation/windows
-    "tumbling_window_counts", "sliding_window_counts",
-    "interval_join_events", "tpch_q1_pricing",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_lsh_incremental",
-    "dedup_cluster", "render_css_text", "render_css_lengths",
-    "mm_decode_meta", "mm_frame_sample", "mm_resize_plan",
+    "extract_spans_rich", "rich_structure", "extract_page_range",
 ]
 
 
+def _last_gated_rounds(names) -> dict[str, int]:
+    import glob
+    import json
+    import os
+    import re
+
+    roots = {os.getcwd(),
+             os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))}
+    last = {k: -1 for k in names}
+    for root in roots:
+        for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+            m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+            if not m:
+                continue
+            rnd = int(m.group(1))
+            try:
+                with open(path) as fh:
+                    data = json.load(fh)
+            except Exception:
+                continue
+            if not isinstance(data, dict):
+                continue
+            for k, v in data.items():
+                if k in last and isinstance(v, dict) and v.get("rows_match"):
+                    last[k] = max(last[k], rnd)
+    return last
+
+
 def _sweep_order(merged: dict) -> dict:
-    out = {k: merged[k] for k in _SWEEP_PRIORITY if k in merged}
-    out.update({k: v for k, v in merged.items() if k not in out})
+    last = _last_gated_rounds(merged.keys())
+    pinned = [k for k in _ALWAYS_GATE if k in merged]
+    rest = sorted((k for k in merged if k not in pinned),
+                  key=lambda k: (last[k], k))
+    out = {k: merged[k] for k in pinned}
+    out.update({k: merged[k] for k in rest})
     return out
 
 
