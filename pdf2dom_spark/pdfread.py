@@ -30,11 +30,14 @@ Stdlib only (zlib + re). Covers the constructs the fixtures use:
 
 Type0/Identity-H fonts emit a ``bytes:2``-flagged cmap span: the kernel
 pairs show-string bytes into 2-byte codes before mapping
-(interp.doc_cid2_fonts). Known bounds (documented, fixture-irrelevant):
-CID advance widths come from decoded-unicode metrics, not the CID font's
-/W array (the span format carries no width tables); images referenced
-from *inside* form XObjects keep their ``Do`` untouched (the interpreter
-ignores unknown ``Do`` names, PDFBoxTree.java:548).
+(interp.doc_cid2_fonts). Real /Widths and CID /W advance tables plus
+FontDescriptor vertical metrics ride ``kind='widths'`` spans; embedded
+font programs ride ``kind='fontfile'`` spans. Images referenced inside
+form XObjects are rewritten to the interpreter's inline ``DoMedia``
+pseudo-op; inline BI/ID/EI images splice like XObject images. Fonts and
+images cascade from the invoking context into forms (optional
+/Resources); per-context form names that collide on different content
+are aliased.
 """
 
 from __future__ import annotations
@@ -320,7 +323,12 @@ def _decode_stream(d: dict, raw: bytes, pdf: "PdfFile") -> bytes:
         return raw
     if not isinstance(filters, list):
         filters = [filters]
-        parms = [parms]
+        # /DecodeParms may legally be a one-element ARRAY even when
+        # /Filter is scalar — unwrap rather than double-nest
+        if isinstance(parms, list):
+            parms = parms[:1] or [None]
+        else:
+            parms = [parms]
     elif not isinstance(parms, list):
         parms = [parms] * len(filters)
     data = raw
@@ -329,7 +337,8 @@ def _decode_stream(d: dict, raw: bytes, pdf: "PdfFile") -> bytes:
         if f in ("FlateDecode", "Fl", "LZWDecode", "LZW"):
             data = (zlib.decompress(data) if f in ("FlateDecode", "Fl")
                     else _lzw_decode(data))
-            p = pdf.resolve(p) or {}
+            p = pdf.resolve(p)
+            p = p if isinstance(p, dict) else {}
             pred = int(pdf.resolve(p.get("Predictor", 1)) or 1)
             if pred >= 10:
                 data = _png_unpredict(
@@ -448,10 +457,17 @@ class PdfFile:
                     break
                 start, count = int(m.group(1)), int(m.group(2))
                 i = _skip_ws(b, i + m.end())
+                # cap at the bytes actually present: a corrupt count like
+                # 4294967295 must not spin billions of empty iterations
+                count = min(count, max(0, (len(b) - i) // 20))
                 for k in range(count):
                     ent = b[i:i + 20]
                     if ent[17:18] == b"n" or ent.rstrip()[-1:] == b"n":
                         self._put(start + k, ("n", int(ent[:10])))
+                    else:
+                        # FREE entry: the newest section's deletion must
+                        # shadow any older 'n' row in a /Prev section
+                        self._put(start + k, ("z",))
                     i += 20
             for k, v in trailer.items():
                 self.trailer.setdefault(k, v)
@@ -487,6 +503,8 @@ class PdfFile:
                     self._put(start + k, ("n", fields[1]))
                 elif typ == 2:
                     self._put(start + k, ("s", fields[1], fields[2] or 0))
+                else:  # type 0 = free: shadow older sections' entries
+                    self._put(start + k, ("z",))
         return int(self.resolve(d.get("Prev", 0)) or 0)
 
     # -- objects ------------------------------------------------------------
@@ -522,7 +540,7 @@ class PdfFile:
         if num in self._cache:
             return self._cache[num]
         ent = self.xref.get(num)
-        if ent is None:
+        if ent is None or ent[0] == "z":  # absent or freed -> null
             obj = None
         elif ent[0] == "n":
             obj = self._parse_indirect_at(ent[1])
@@ -554,7 +572,13 @@ class PdfFile:
         return None
 
     def resolve(self, v):
+        seen: set[tuple] | None = None
         while isinstance(v, Ref):
+            if seen is None:
+                seen = set()
+            if tuple(v) in seen:  # circular indirect reference -> null
+                return None
+            seen.add(tuple(v))
             v = self.get(v[0])
         return v
 
@@ -565,8 +589,18 @@ class PdfFile:
     def pages(self) -> list[dict]:
         root = self.resolve(self.trailer["Root"])
         out: list[dict] = []
+        visited: set = set()
 
-        def walk(node_ref, inherited: dict) -> None:
+        def walk(node_ref, inherited: dict, depth: int) -> None:
+            # cycle + depth guards: a corrupt Kids ref back to an ancestor
+            # (or a pathologically deep tree) degrades gracefully instead
+            # of RecursionError
+            if isinstance(node_ref, Ref):
+                if tuple(node_ref) in visited:
+                    return
+                visited.add(tuple(node_ref))
+            if depth > 256:
+                return
             node = self.resolve(node_ref)
             if node is None:
                 return
@@ -576,14 +610,14 @@ class PdfFile:
                     inh[k] = node[k]
             if str(node.get("Type")) == "Pages" or "Kids" in node:
                 for kid in self.resolve(node.get("Kids", [])) or []:
-                    walk(kid, inh)
+                    walk(kid, inh, depth + 1)
             else:
                 page = dict(node)
                 for k, v in inh.items():
                     page.setdefault(k, v)
                 out.append(page)
 
-        walk(root.get("Pages"), {})
+        walk(root.get("Pages"), {}, 0)
         return out
 
 
@@ -642,15 +676,23 @@ _HEXTRIPLE_RE = re.compile(
 
 
 def _utf16_first(hexs: bytes) -> int | None:
+    """First CODE POINT of a UTF-16BE ToUnicode destination — decoded
+    properly so surrogate pairs (non-BMP math/symbol chars) yield the
+    real codepoint, never a lone surrogate that poisons later utf-8
+    encodes (Arrow serialization, HTML output)."""
     try:
         raw = bytes.fromhex(hexs.decode("ascii"))
     except ValueError:
         return None
-    if len(raw) >= 2:
-        return int.from_bytes(raw[:2], "big")
     if len(raw) == 1:
         return raw[0]
-    return None
+    if len(raw) % 2:
+        raw = raw[:-1]
+    try:
+        s = raw.decode("utf-16-be")
+    except UnicodeDecodeError:
+        return None
+    return ord(s[0]) if s else None
 
 
 def tounicode_map(cmap_bytes: bytes,
@@ -843,6 +885,39 @@ def encoding_map(pdf: PdfFile, font: dict) -> tuple[dict[int, int], bool]:
 
 _INLINE_IMG_RE = re.compile(rb"\bBI\b.*?\bEI\b", re.DOTALL)
 _BI_RE = re.compile(rb"(?<![A-Za-z0-9])BI(?![A-Za-z0-9])")
+
+
+def _mask_stream_bytes(raw: bytes) -> bytes:
+    """Blank (string) literals, <hex> strings and %-comments so operator
+    searches (BI detection) never match inside shown text; same length as
+    the input, so match positions map 1:1 onto the original bytes."""
+    out = bytearray(raw)
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i]
+        if c == 0x28:  # ( literal
+            _, j = _parse_literal(raw, i)
+            for k in range(i, min(j, n)):
+                out[k] = 0x20
+            i = max(j, i + 1)
+        elif c == 0x3C:  # < hex string (but << dicts keep scanning inside)
+            if raw.startswith(b"<<", i):
+                i += 2
+            else:
+                e = raw.find(b">", i)
+                j = (e + 1) if e != -1 else n
+                for k in range(i, j):
+                    out[k] = 0x20
+                i = j
+        elif c == 0x25:  # % comment
+            nl = min([x for x in (raw.find(b"\n", i), raw.find(b"\r", i))
+                      if x != -1], default=n)
+            for k in range(i, nl):
+                out[k] = 0x20
+            i = nl
+        else:
+            i += 1
+    return bytes(out)
 _EI_RE = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)")
 
 
@@ -857,8 +932,11 @@ def _splice_inline_images(raw: bytes, images: dict,
     out = bytearray()
     pos = 0
     n = start_idx
+    # search the string-masked copy: a "BI" inside shown text (literal or
+    # hex string) must never be taken for an inline image
+    masked = _mask_stream_bytes(raw)
     while True:
-        m = _BI_RE.search(raw, pos)
+        m = _BI_RE.search(masked, pos)
         if not m:
             out += raw[pos:]
             break
@@ -881,7 +959,8 @@ def _splice_inline_images(raw: bytes, images: dict,
                 break
             params[str(key)] = val
         if not ok:
-            out += b" "
+            # malformed inline image: keep the original bytes untouched
+            out += raw[m.start():m.end()]
             pos = m.end()
             continue
         length = params.get("L", params.get("Length"))
@@ -909,6 +988,20 @@ def _name_sub(content: str, old: str, new: str) -> str:
         return content
     return re.sub(r"/" + re.escape(old) + r"(?=[\s/\[\]()<>{}%]|$)",
                   "/" + new, content)
+
+
+def _apply_renames(content: str, renames: dict[str, str]) -> str:
+    """ALL name renames in ONE pass: sequential substitution is order-
+    dependent when one rename's target equals another's source (e.g.
+    {F1 -> Arial, Arial -> Arial.2} must not map F1's text through
+    Arial.2's cmap)."""
+    live = {o: n for o, n in renames.items() if o != n}
+    if not live:
+        return content
+    alts = "|".join(re.escape(o)
+                    for o in sorted(live, key=len, reverse=True))
+    return re.sub(r"/(" + alts + r")(?=[\s/\[\]()<>{}%]|$)",
+                  lambda m: "/" + live[m.group(1)], content)
 
 
 class _SpanBuilder:
@@ -954,7 +1047,7 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
     fam_prog: set[str] = set()
     fam_vm: set[str] = set()
     font_obj_fam: dict[tuple, str] = {}
-    emitted_forms: set[str] = set()
+    form_bodies: dict[str, str] = {}  # emitted form name -> content
 
     def register_font(rname: str, fref) -> str | None:
         key = tuple(fref) if isinstance(fref, Ref) else None
@@ -1000,7 +1093,9 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
             prior = fam_w.get(fam)
             wdelta = {c: v for c, v in fw[1].items()
                       if prior is None or prior[1].get(c) != v}
-            if prior is None or wdelta:
+            # `or vm`: a later subset that only ADDS vertical metrics must
+            # still emit a span, else the metrics are silently lost
+            if prior is None or wdelta or vm:
                 body = " ".join([f"default:{fw[0]:g}"]
                                 + [f"{c}:{v:g}"
                                    for c, v in sorted(wdelta.items())]
@@ -1063,11 +1158,22 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
                 continue
             if (str(pdf.resolve(xo.dict.get("Subtype")) or "") == "Form"
                     and depth < 4):
-                forms.add(fname)
-                if fname not in emitted_forms:
-                    emitted_forms.add(fname)
-                    body = _form_content(xo, depth, renames, images)
-                    sb.add("form", body, f"form:{fname}")
+                body = _form_content(xo, depth, renames, images)
+                # form definitions are document-global in doc_tokens but
+                # resource names are PER-CONTEXT: two pages reusing /Fm0
+                # for different forms must not collide — alias on a body
+                # conflict and rewrite the invoking content's Do
+                target, k = fname, 1
+                while (target in form_bodies
+                       and form_bodies[target] != body):
+                    k += 1
+                    target = f"{fname}.{k}"
+                if target not in form_bodies:
+                    form_bodies[target] = body
+                    sb.add("form", body, f"form:{target}")
+                if target != fname:
+                    renames[fname] = target
+                forms.add(target)
         return renames, images, forms
 
     def _form_content(xo: Stream, depth: int,
@@ -1077,8 +1183,7 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
         renames, images, _forms = process_resources(
             xo.dict.get("Resources"), depth + 1, parent_renames,
             parent_images)
-        for old, new in renames.items():
-            content = _name_sub(content, old, new)
+        content = _apply_renames(content, renames)
         # images referenced INSIDE a form cannot be spliced as standalone
         # spans (form expansion is token-level) — rewrite their Do as the
         # inline DoMedia pseudo-op the interpreter dispatches natively:
@@ -1118,8 +1223,7 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
         raw_content, inline_n = _splice_inline_images(
             b"\n".join(parts), images, inline_n)
         content = raw_content.decode("latin-1")
-        for old, new in renames.items():
-            content = _name_sub(content, old, new)
+        content = _apply_renames(content, renames)
 
         header = f"{_fmt(w)} {_fmt(h)} {rot} PG "
         if x0 or y0:

@@ -801,3 +801,141 @@ def test_form_internal_image_emits_placed_span():
     assert img["style_top"] == pytest.approx(157.0, abs=0.01)
     assert img["style_width"] == pytest.approx(30.0, abs=0.01)
     assert img["style_height"] == pytest.approx(15.0, abs=0.01)
+
+
+# --- review-driven robustness regressions ------------------------------------
+
+def _mini_pdf(objs_body: bytes) -> bytes:
+    return (b"%PDF-1.4\n" + objs_body
+            + b"trailer\n<< /Root 1 0 R >>\nstartxref\n0\n%%EOF\n")
+
+
+def test_circular_refs_resolve_to_null():
+    from pdf2dom_spark.pdfread import PdfFile, pdf_to_spans
+
+    doc = _mini_pdf(
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n3 0 R\nendobj\n"
+        b"3 0 obj\n2 0 R\nendobj\n")
+    # circular /Pages chain: resolves to null, no hang, zero pages
+    assert pdf_to_spans(doc) == []
+    pdf = PdfFile(doc)
+    from pdf2dom_spark.pdfread import Ref
+    assert pdf.resolve(Ref((2, 0))) is None
+
+
+def test_cyclic_page_tree_terminates():
+    import zlib
+
+    from pdf2dom_spark.pdfread import pdf_to_spans
+
+    c = zlib.compress(b"BT /F1 9 Tf (ok) Tj ET")
+    doc = _mini_pdf(
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R 2 0 R] /Count 2 "
+        b"/MediaBox [0 0 612 792] >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
+        b"endobj\n"
+        b"4 0 obj\n<< /Length " + str(len(c)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + c
+        + b"\nendstream\nendobj\n")
+    spans = pdf_to_spans(doc)  # Kids cycle back to the Pages node
+    assert len([s for s in spans if s["kind"] == "text"]) == 1
+
+
+def test_decodeparms_array_with_scalar_filter():
+    import zlib
+
+    from pdf2dom_spark.pdfread import PdfFile, Stream, _decode_stream
+
+    pdf = PdfFile(_mini_pdf(
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [] /Count 0 >>\nendobj\n"))
+    payload = b"\x00ABCD" * 3  # predictor rows: 3 x (tag + 4 cols)
+    d = {"Filter": "FlateDecode",
+         "DecodeParms": [{"Predictor": 10, "Columns": 4}]}
+    got = _decode_stream(d, zlib.compress(payload), pdf)
+    assert got == b"ABCD" * 3
+
+
+def test_tounicode_surrogate_pair_yields_real_codepoint():
+    from pdf2dom_spark.pdfread import tounicode_map
+
+    cmap = (b"1 beginbfchar\n<41> <D835DC00>\nendbfchar\n")
+    m = tounicode_map(cmap)
+    assert m[0x41] == 0x1D400  # MATHEMATICAL BOLD CAPITAL A, not a lone
+    # surrogate that would poison later utf-8 encodes
+
+
+def test_bi_inside_string_literal_is_preserved():
+    from pdf2dom_spark.pdfread import _splice_inline_images
+
+    raw = b"BT (no BI here) Tj ET"
+    out, n = _splice_inline_images(raw, {}, 0)
+    assert out == raw and n == 0
+
+
+def test_free_xref_entry_shadows_prev_section():
+    from pdf2dom_spark.pdfread import PdfFile, Ref
+
+    base = (b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [] /Count 0 >>\nendobj\n"
+            b"5 0 obj\n(stale)\nendobj\n")
+    off5 = base.find(b"5 0 obj")
+    # newest xref marks object 5 FREE; /Prev section still points at it
+    xref1 = (b"xref\n5 1\n%010d 00000 n \n" % off5
+             + b"trailer\n<< /Root 1 0 R >>\n")
+    x1_at = len(base)
+    doc = base + xref1
+    xref2_at = len(doc)
+    xref2 = (b"xref\n5 1\n0000000000 65535 f \n"
+             b"trailer\n<< /Root 1 0 R /Prev %d >>\n" % x1_at
+             + b"startxref\n%d\n%%%%EOF\n" % xref2_at)
+    pdf = PdfFile(doc + xref2)
+    assert pdf.resolve(Ref((5, 0))) is None  # deleted, not resurrected
+
+
+def test_chained_font_renames_single_pass():
+    """{F1 -> Arial, Arial -> Arial.2} must not map F1's tokens through
+    Arial.2 — all renames apply in one pass."""
+    from pdf2dom_spark.pdfread import _apply_renames
+
+    content = "/F1 10 Tf (a) Tj /Arial 10 Tf (b) Tj"
+    out = _apply_renames(content, {"F1": "Arial", "Arial": "Arial.2"})
+    assert out == "/Arial 10 Tf (a) Tj /Arial.2 10 Tf (b) Tj"
+
+
+def test_same_form_name_different_content_per_page():
+    """Two pages both naming their (different) form /Fm0: the second
+    page's Do must expand ITS form, not page one's."""
+    import zlib
+
+    from pdf2dom_spark.pdfread import pdf_to_spans
+
+    def stream_obj(num, extra, data):
+        z = zlib.compress(data)
+        return (b"%d 0 obj\n<< /Length %d%s /Filter /FlateDecode >>"
+                b"\nstream\n" % (num, len(z), extra) + z
+                + b"\nendstream\nendobj\n")
+
+    body = (b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 "
+            b"/MediaBox [0 0 612 792] >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /XObject << /Fm0 7 0 R >> >> >>\nendobj\n"
+            + stream_obj(4, b"", b"/Fm0 Do")
+            + b"5 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 6 0 R "
+            b"/Resources << /XObject << /Fm0 8 0 R >> >> >>\nendobj\n"
+            + stream_obj(6, b"", b"/Fm0 Do")
+            + stream_obj(7, b" /Type /XObject /Subtype /Form "
+                         b"/BBox [0 0 612 792]",
+                         b"BT /F1 9 Tf 72 700 Td (FORM-A) Tj ET")
+            + stream_obj(8, b" /Type /XObject /Subtype /Form "
+                         b"/BBox [0 0 612 792]",
+                         b"BT /F1 9 Tf 72 700 Td (FORM-B) Tj ET"))
+    spans = pdf_to_spans(_mini_pdf(body))
+    rows = extract_doc("d", spans, ExtractConfig())
+    page_texts = {p: _page_text(rows, p) for p in (1, 2)}
+    assert "FORM-A" in page_texts[1] and "FORM-B" not in page_texts[1]
+    assert "FORM-B" in page_texts[2] and "FORM-A" not in page_texts[2]
