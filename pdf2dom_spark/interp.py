@@ -166,6 +166,14 @@ def is_diacritic_char(ch: str) -> bool:
     return unicodedata.combining(ch) != 0
 
 
+def _safe_chr(c: int) -> str:
+    """chr() that never yields a lone surrogate: U+D800..DFFF (an unmapped
+    CID in that range, or a broken ToUnicode destination) becomes U+FFFD —
+    a surrogate would crash every later utf-32/utf-8 encode (Arrow
+    serialization, HTML output)."""
+    return "\ufffd" if 0xD800 <= c <= 0xDFFF else chr(c)
+
+
 # --- interpreter state --------------------------------------------------------
 
 @dataclass
@@ -226,7 +234,7 @@ def doc_cmaps(spans: list[dict]) -> dict[str, dict[int, str]]:
             if code == "bytes":
                 continue  # code-width declaration, not a mapping
             if code and cp:
-                m[int(code)] = chr(int(cp, 16))
+                m[int(code)] = _safe_chr(int(cp, 16))
     return maps
 
 
@@ -287,14 +295,13 @@ def doc_vmetrics(spans: list[dict]) -> dict[str, tuple[float, float, float]]:
             k, _, v = pair.partition(":")
             if k in ("ascent", "descent", "cap") and v:
                 vals[k] = float(v)
-        if vals["cap"] is not None or vals["ascent"] is not None:
-            from . import fonts as _F
+        if any(v is not None for v in vals.values()):
             out[name] = (vals["cap"] if vals["cap"] is not None
-                         else _F.CAP_HEIGHT,
+                         else F.CAP_HEIGHT,
                          vals["ascent"] if vals["ascent"] is not None
-                         else _F.ASCENT,
+                         else F.ASCENT,
                          vals["descent"] if vals["descent"] is not None
-                         else _F.DESCENT)
+                         else F.DESCENT)
     return out
 
 
@@ -513,7 +520,7 @@ class DocInterp:
                     raw = np.append(raw, np.uint32(0))
                 pair_codes = (raw[0::2] << np.uint32(8)) | raw[1::2]
                 enc2 = self.cmaps.get(g.font) or {}
-                s = "".join([enc2.get(c, chr(c))
+                s = "".join([enc2.get(c) or _safe_chr(c)
                              for c in pair_codes.tolist()])
                 if not s:
                     return
@@ -722,8 +729,10 @@ class DocInterp:
 
             # --- text state (hot ops first: Tj/Tm/TJ/Td dominate) -----------
             if op == "Tj":
-                if args:
-                    show(base, str(args[-1]))
+                # PDFBox ShowText reads arguments.get(0) and shows nothing
+                # unless it is a string (stray operands in damaged streams)
+                if args and isinstance(args[0], str):
+                    show(base, args[0])
             elif op == "Tm" and len(args) >= 6:
                 # batched fast path: a maximal run of translate-only Tm + Tj
                 # pairs under an identity CTM (see show_run)
@@ -732,10 +741,11 @@ class DocInterp:
                         and g.font not in self.widths
                         and i < ntok and tokens[i][0] == "Tj"
                         and tokens[i][1]
+                        and isinstance(tokens[i][1][0], str)
                         and args[0] == 1.0 and args[1] == 0.0
                         and args[2] == 0.0 and args[3] == 1.0):
                     run_b = [i * KEY_STRIDE]
-                    run_s = [str(tokens[i][1][-1])]
+                    run_s = [tokens[i][1][0]]
                     run_x = [float(args[4])]
                     run_y = [float(args[5])]
                     j = i + 1
@@ -747,10 +757,11 @@ class DocInterp:
                                 or tj_args[2] != 0.0 or tj_args[3] != 1.0):
                             break
                         nx_op, nx_args = tokens[j + 1]
-                        if nx_op != "Tj" or not nx_args:
+                        if (nx_op != "Tj" or not nx_args
+                                or not isinstance(nx_args[0], str)):
                             break
                         run_b.append((j + 1) * KEY_STRIDE)
-                        run_s.append(str(nx_args[-1]))
+                        run_s.append(nx_args[0])
                         run_x.append(float(tj_args[4]))
                         run_y.append(float(tj_args[5]))
                         j += 2
@@ -761,7 +772,9 @@ class DocInterp:
                 tlm = mat(*[float(a) for a in args[:6]])
                 tm = tlm.copy()
             elif op == "TJ" and args:
-                arr = args[-1] if isinstance(args[-1], list) else [args[-1]]
+                # ShowTextAdjusted: arguments.get(0) must be the array —
+                # anything else shows nothing (damaged-stream parity)
+                arr = args[0] if isinstance(args[0], list) else []
                 sub = 0
                 for el in arr:
                     if isinstance(el, str):
@@ -798,13 +811,18 @@ class DocInterp:
             elif op == "T*":
                 tlm = translate_pre(0.0, -g.tl, tlm)
                 tm = tlm.copy()
-            elif op == "'" and args:
+            elif op == "'" and args and isinstance(args[0], str):
                 tlm = translate_pre(0.0, -g.tl, tlm)
                 tm = tlm.copy()
-                show(base, str(args[-1]))
+                show(base, args[0])
             elif op == '"' and len(args) >= 3:
-                g.tw = float(args[0]); sticky_tw = g.tw
-                g.tc = float(args[1]); sticky_tc = g.tc
+                # the real text state updates (advances use it), but the
+                # STICKY Pdf2Dom style spacing does not: PDFBoxTree's
+                # switch matches only literal "Tw"/"Tc" operators
+                # (PDFBoxTree.java:425-434) and ShowTextLineAndSpace
+                # never dispatches them
+                g.tw = float(args[0])
+                g.tc = float(args[1])
                 tlm = translate_pre(0.0, -g.tl, tlm)
                 tm = tlm.copy()
                 show(base, str(args[2]))
@@ -880,10 +898,7 @@ class DocInterp:
                     path.append((p1[0], p2[1], p1[0], p1[1]))
 
             # --- path painting (PDFBoxTree.java:496-532) ----------------------
-            elif op in ("f", "f*"):
-                render_path(base, stroke=False, fill=True)
-                path = []
-            elif op == "F":
+            elif op in ("f", "F", "f*"):
                 render_path(base, stroke=False, fill=True)
                 path = []
             elif op == "S":

@@ -45,9 +45,15 @@ def test_quote_operators_advance_leading():
 def test_doublequote_sets_spacing():
     b = boxes(PG + "BT /Mono 10 Tf 14 TL 1 0 0 1 100 700 Tm "
               '(x) Tj 2 0.5 (y) " ET')
-    # " aw ac s: sets word/letter spacing (sticky style fields) then shows
-    assert b[-1]["style_word_spacing"] == pytest.approx(2.0)
-    assert b[-1]["style_letter_spacing"] == pytest.approx(0.5)
+    # " aw ac s: updates the TRUE text state (advances) but NOT the sticky
+    # Pdf2Dom style fields — PDFBoxTree's switch matches only literal
+    # Tw/Tc operators (PDFBoxTree.java:425-434) and PDFBox's
+    # ShowTextLineAndSpace never dispatches them (corrected in round 4;
+    # this test previously pinned the unfaithful transposition)
+    assert b[-1]["style_word_spacing"] == pytest.approx(0.0)
+    assert b[-1]["style_letter_spacing"] == pytest.approx(0.0)
+    # the next-line move (T*-equivalent) still happened
+    assert b[-1]["style_top"] - b[0]["style_top"] == pytest.approx(14.0)
 
 
 def test_tj_positive_kern_splits():
@@ -368,3 +374,68 @@ def test_widths_spans_replicated_by_pagesplit():
     assert len(groups) == 2
     for g in groups:
         assert any(s["kind"] == "widths" for s in g["spans"])
+
+
+def test_unmapped_surrogate_cid_never_crashes():
+    """An Identity-H show string whose CID lands in the surrogate range
+    (and a cmap entry mapping INTO it) must extract as U+FFFD, not raise
+    UnicodeEncodeError and kill the task."""
+    from pdf2dom_spark.extract import ExtractConfig, extract_doc
+
+    spans = [
+        {"kind": "cmap", "text": "bytes:2 65:d835", "media_ref": "cmap:S",
+         "offset": 0},
+        {"kind": "text", "text": (
+            "612 792 0 PG BT /S 10 Tf 1 0 0 1 50 700 Tm "
+            "(\xd8\x05\x00\x41) Tj ET"), "media_ref": None, "offset": 1},
+    ]
+    rows = extract_doc("d", spans, ExtractConfig())
+    texts = [r["text"] for r in rows if r["kind"] == "text"]
+    assert texts == ["��"]  # CID 0xD805 unmapped + 65 -> U+D835
+
+
+def test_quote_op_does_not_mutate_sticky_spacing():
+    """The '\"' operator sets the true text state (advances) but NOT the
+    sticky Pdf2Dom style spacing — PDFBoxTree's switch matches only
+    literal Tw/Tc operators."""
+    from pdf2dom_spark.extract import ExtractConfig, extract_doc
+
+    spans = [{"kind": "text", "text": (
+        '612 792 0 PG BT /Mono 10 Tf 2 Tw 1 0 0 1 50 700 Tm (a) Tj '
+        'T* 0.5 0.1 (b) " ET'), "media_ref": None, "offset": 0}]
+    rows = extract_doc("d", spans, ExtractConfig())
+    words = [r for r in rows if r["kind"] == "text"]
+    # style word_spacing stays at the literal-Tw value on BOTH shows
+    assert all(w["style_word_spacing"] == pytest.approx(2.0)
+               for w in words)
+
+
+def test_show_ops_read_first_operand():
+    """Damaged streams with stray operands: PDFBox reads arguments.get(0)
+    and requires the right type — `(a) (b) Tj` shows 'a'; `(x) [(y)] TJ`
+    shows nothing (first operand is not the array)."""
+    from pdf2dom_spark.extract import ExtractConfig, extract_doc
+
+    spans = [{"kind": "text", "text": (
+        "612 792 0 PG BT /Mono 10 Tf 1 0 0 1 50 700 Tm (a) (b) Tj "
+        "1 0 0 1 50 650 Tm (x) [(y)] TJ ET"), "media_ref": None,
+        "offset": 0}]
+    rows = extract_doc("d", spans, ExtractConfig())
+    texts = [r["text"] for r in rows if r["kind"] == "text"]
+    assert texts == ["a"]
+
+
+def test_descent_only_vmetrics_apply():
+    from pdf2dom_spark.extract import ExtractConfig, extract_doc
+
+    spans = [
+        {"kind": "widths", "text": "descent:-350", "media_ref": "widths:D",
+         "offset": 0},
+        {"kind": "text", "text": (
+            "612 792 0 PG BT /D 10 Tf 1 0 0 1 50 700 Tm (hi) Tj ET"),
+         "media_ref": None, "offset": 1},
+    ]
+    rows = extract_doc("d", spans, ExtractConfig())
+    w = next(r for r in rows if r["kind"] == "text")
+    # line height = (ascent 800 - descent -350)/1000 * 10
+    assert w["style_line_height"] == pytest.approx(11.5, abs=1e-6)
