@@ -35,10 +35,13 @@ from .extract import DEFAULT_CONFIG, ExtractConfig
 from .fonts import FontTable
 from .schema import IN_SPAN_STRUCT, SPAN_FLAT_SCHEMA
 
-# a page boundary is the PG pseudo-op with its three operands
+# a page boundary is the PG pseudo-op with its three operands; name
+# tokens use the TOKENIZER'S charset (a \S+ capture would glue '/A/B'
+# into one name the interpreter never sees)
 _PG_RE = re.compile(r"(?:[-+]?[\d.]+\s+){3}PG\b")
-_TF_RE = re.compile(r"/(\S+)\s+[-+]?[\d.]+\s+Tf\b")
-_DO_RE = re.compile(r"/(\S+)\s+Do\b")
+_NAME = r"([^\s/\[\]()<>{}%]+)"
+_TF_RE = re.compile(r"/" + _NAME + r"\s+[-+]?[\d.]+\s+Tf\b")
+_DO_RE = re.compile(r"/" + _NAME + r"\s+Do\b")
 
 
 def _mask_non_ops(text: str) -> str:
@@ -79,7 +82,6 @@ def _page_bounds(text: str) -> list[int]:
 GROUP_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType(), False),
     T.StructField("grp", T.IntegerType(), False),
-    T.StructField("n_groups", T.IntegerType(), False),
     T.StructField("page_offset", T.IntegerType(), False),
     T.StructField("emit_fonts", T.BooleanType(), False),
     T.StructField("font_seed", T.ArrayType(T.StringType()), False),
@@ -88,121 +90,149 @@ GROUP_SCHEMA = T.StructType([
 
 
 def split_doc(doc_id: str, spans: list[dict], pages_per_group: int,
-              min_bytes: int) -> list[dict]:
+              min_bytes: int, start_page: int = 0,
+              end_page: int = 2**31 - 1) -> list[dict]:
     """One document -> page-group rows (or a single passthrough row).
-    ``n_groups`` is stamped on every row so the extraction plan can route
-    single-group documents (whose ``order`` is already global) past the
-    renumber without any post-extraction information."""
+
+    ``start_page``/``end_page`` mirror the interpreter's 1-based page gate:
+    the FONT SEED must only contain fonts the unsplit kernel would
+    register — the interpreter starts with ``page_active=False`` (content
+    before the first PG contributes nothing) and skips gated-out pages'
+    font prescan entirely."""
     spans = sorted(spans, key=lambda s: s["offset"])
     size = sum(len(s.get("text") or "") for s in spans)
     if size < min_bytes:
-        return [{"doc_id": doc_id, "grp": 0, "n_groups": 1, "page_offset": 0,
+        return [{"doc_id": doc_id, "grp": 0, "page_offset": 0,
                  "emit_fonts": True, "font_seed": [], "spans": spans}]
 
     # form XObject DEFINITIONS are position-independent (doc_tokens collects
     # them before splicing): replicate them into every page-group so /Name Do
-    # expands identically on both paths; cmap (font-encoding) spans are the
-    # same kind of definition (doc_cmaps collects them before the run)
-    form_spans = [sp for sp in spans
+    # expands identically on both paths; cmap/widths/fontfile spans are the
+    # same kind of definition (their collectors run before the kernel)
+    defn_spans = [sp for sp in spans
                   if sp["kind"] in ("form", "cmap", "widths", "fontfile")]
     # document-info spans emit only at endDocument -> last group only
     meta_spans = [sp for sp in spans if sp["kind"] == "meta"]
 
-    # flatten to (kind, frag) pieces split at page boundaries
-    pieces: list[tuple[str, dict | str]] = []
-    n_pages = 0
+    # flatten to (kind, frag, masked_frag, abs_page_no) pieces split at
+    # page boundaries; masking happens ONCE per span text (it is
+    # length-preserving, so piece slices of the masked text line up)
+    pieces: list[tuple] = []
+    abs_page = 0
     for sp in spans:
         if sp["kind"] in ("form", "meta", "cmap", "widths", "fontfile"):
             continue
         if sp["kind"] == "image":
-            pieces.append(("image", sp))
+            pieces.append(("image", sp, None, abs_page))
             continue
         text = sp.get("text") or ""
-        bounds = _page_bounds(text)
+        masked = _mask_non_ops(text)
+        bounds = [m.start() for m in _PG_RE.finditer(masked)]
         if not bounds:
-            pieces.append(("frag", text))
+            pieces.append(("frag", text, masked, abs_page))
             continue
         if bounds[0] > 0:
-            pieces.append(("frag", text[:bounds[0]]))
+            pieces.append(("frag", text[:bounds[0]], masked[:bounds[0]],
+                           abs_page))
         for i, b in enumerate(bounds):
             end = bounds[i + 1] if i + 1 < len(bounds) else len(text)
-            pieces.append(("page", text[b:end]))
-            n_pages += 1
+            abs_page += 1
+            pieces.append(("page", text[b:end], masked[b:end], abs_page))
 
     groups: list[list] = []
     cur: list = []
     pages_in_cur = 0
     started = False
-    for kind, piece in pieces:
-        if kind == "page":
+    for piece in pieces:
+        if piece[0] == "page":
             if started and pages_in_cur == pages_per_group:
                 groups.append(cur)
                 cur = []
                 pages_in_cur = 0
             started = True
             pages_in_cur += 1
-        cur.append((kind, piece))
+        cur.append(piece)
     if cur:
         groups.append(cur)
+    if not groups:
+        # definitions/meta only: passthrough so the endDocument records
+        # (title, fonts) still emit instead of the doc vanishing
+        return [{"doc_id": doc_id, "grp": 0, "page_offset": 0,
+                 "emit_fonts": True, "font_seed": [], "spans": spans}]
 
     # per-group font first-use order (regex prescan mirrors
     # DocInterp._prescan_fonts granularity: names referenced by Tf on the
     # EXPANDED stream — a /Name Do of a form contributes that form's fonts
-    # at the Do position, recursively, cycle-guarded)
-    def _form_name(sp: dict) -> str:
+    # at the Do position, recursively, cycle-guarded, depth-capped to the
+    # interpreter's form expansion limit). Each form is masked and scanned
+    # ONCE; a 10k-page doc referencing a header form per page reuses the
+    # cached hit list.
+    from .interp import _FORM_DEPTH_MAX
+
+    form_texts = {}
+    for sp in defn_spans:
+        if sp["kind"] != "form":  # a same-named cmap must not clobber it
+            continue
         name = sp.get("media_ref") or ""
-        return name[5:] if name.startswith("form:") else name
+        name = name[5:] if name.startswith("form:") else name
+        form_texts[name] = sp.get("text") or ""
 
-    form_texts = {_form_name(sp): sp.get("text") or "" for sp in form_spans}
+    form_hits: dict[str, list] = {}
 
-    def _scan_fonts(text: str, seen: list[str], active: frozenset) -> None:
-        # mask literals/comments/hex so "/Name 10 Tf" inside document
-        # text is not treated as a font reference (same as _page_bounds)
-        masked = _mask_non_ops(text)
-        hits = ([(m.start(), "tf", m.group(1))
-                 for m in _TF_RE.finditer(masked)]
-                + [(m.start(), "do", m.group(1))
-                   for m in _DO_RE.finditer(masked)])
-        for _, kind_, name in sorted(hits):
+    def _hits(masked: str) -> list:
+        return sorted(
+            [(m.start(), "tf", m.group(1)) for m in _TF_RE.finditer(masked)]
+            + [(m.start(), "do", m.group(1))
+               for m in _DO_RE.finditer(masked)])
+
+    def _scan(masked_hits: list, seen: list[str], active: frozenset,
+              depth: int) -> None:
+        for _, kind_, name in masked_hits:
             if kind_ == "tf":
                 if name not in seen:
                     seen.append(name)
-            elif name in form_texts and name not in active:
-                _scan_fonts(form_texts[name], seen, active | {name})
+            elif (name in form_texts and name not in active
+                  and depth < _FORM_DEPTH_MAX):
+                hit = form_hits.get(name)
+                if hit is None:
+                    hit = _hits(_mask_non_ops(form_texts[name]))
+                    form_hits[name] = hit
+                _scan(hit, seen, active | {name}, depth + 1)
 
     group_fonts: list[list[str]] = []
     for grp in groups:
         seen: list[str] = []
-        for kind, piece in grp:
+        for kind, _piece, masked, pg_no in grp:
             if kind == "image":
                 continue
-            _scan_fonts(piece, seen, frozenset())
+            if kind == "frag" and pg_no == 0:
+                continue  # before the first PG: page_active is False
+            if kind == "page" and not (start_page <= pg_no <= end_page):
+                continue  # gated-out page: interp skips its font prescan
+            _scan(_hits(masked), seen, frozenset(), 0)
         group_fonts.append(seen)
 
     out: list[dict] = []
     page_offset = 0
     seed: list[str] = []
     for gi, grp in enumerate(groups):
-        g_spans: list[dict] = [dict(sp) for sp in form_spans]
+        g_spans: list[dict] = [dict(sp) for sp in defn_spans]
         if gi == len(groups) - 1:
             g_spans.extend(dict(sp) for sp in meta_spans)
-        off = 0
         n_pg = 0
-        for kind, piece in grp:
+        for kind, piece, _masked, _pg in grp:
             if kind == "image":
-                sp = dict(piece)
-                sp["offset"] = off
-                g_spans.append(sp)
+                g_spans.append(dict(piece))
             else:
                 g_spans.append({"kind": "text", "text": piece,
-                                "media_ref": None, "offset": off})
+                                "media_ref": None, "offset": 0})
                 if kind == "page":
                     n_pg += 1
-        # re-number offsets densely
+        # number offsets densely in emission order
         for i, sp in enumerate(g_spans):
             sp["offset"] = i
         out.append({
-            "doc_id": doc_id, "grp": gi, "n_groups": len(groups),
+            "doc_id": doc_id, "grp": gi,
             "page_offset": page_offset,
             "emit_fonts": gi == len(groups) - 1,
             "font_seed": list(seed), "spans": g_spans,
@@ -266,7 +296,9 @@ def extract_spans_paged(docs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
                 # min_bytes=0: the JVM-side route above already filtered
                 # this branch to at-threshold docs — every one splits
                 rows.extend(split_doc(str(doc_id), spans,
-                                      pages_per_group, 0))
+                                      pages_per_group, 0,
+                                      start_page=cfg.start_page,
+                                      end_page=cfg.end_page))
             yield pd.DataFrame(rows, columns=[f.name for f in GROUP_SCHEMA])
 
     groups = big.mapInPandas(split_kernel, GROUP_SCHEMA)

@@ -131,3 +131,57 @@ def test_paged_rot_text_and_forms_corpora_too(spark):
         cols = [c for c in base.columns if c != "part_id"]
         assert base.select(cols).exceptAll(paged.select(cols)).count() == 0, mode
         assert paged.select(cols).exceptAll(base.select(cols)).count() == 0, mode
+
+
+def test_split_font_seed_respects_page_gate(spark):
+    """The font seed must only contain fonts the unsplit kernel would
+    register: content before the first PG and pages outside the
+    start/end gate contribute nothing (review finding)."""
+    from pdf2dom_spark.extract import ExtractConfig, extract_doc
+
+    spans = [
+        # pre-PG fragment referencing a font the interp never registers
+        {"kind": "text", "text": "/Phantom 9 Tf", "media_ref": None,
+         "offset": 0},
+        {"kind": "text", "text": ("612 792 0 PG BT /Serif 10 Tf "
+                                  "1 0 0 1 72 700 Tm (a) Tj ET"),
+         "media_ref": None, "offset": 1},
+        {"kind": "text", "text": ("612 792 0 PG BT /Gated 10 Tf "
+                                  "1 0 0 1 72 700 Tm (b) Tj ET"),
+         "media_ref": None, "offset": 2},
+    ]
+    cfg = ExtractConfig(start_page=1, end_page=1)
+    base = extract_doc("d", spans, cfg)
+    base_fonts = [r["text"] for r in base if r["kind"] == "font"]
+    assert base_fonts == ["Serif"]
+
+    groups = split_doc("d", spans, pages_per_group=1, min_bytes=0,
+                       start_page=1, end_page=1)
+    assert len(groups) == 2
+    # neither Phantom (pre-PG) nor Gated (page 2, outside the range)
+    # leaks into any group's seed
+    all_seeds = [f for g in groups for f in g["font_seed"]]
+    assert "Phantom" not in all_seeds and "Gated" not in all_seeds
+    # split path reproduces the unsplit font records exactly
+    from pdf2dom_spark.extract import extract_doc_columnar
+    last = groups[-1]
+    cols = extract_doc_columnar("d", last["spans"], cfg,
+                                page_offset=last["page_offset"],
+                                font_seed=list(last["font_seed"]),
+                                emit_fonts=True)
+    fonts = [t for t, k in zip(cols["text"], cols["kind"]) if k == "font"]
+    assert list(fonts) == ["Serif"]
+
+
+def test_split_definitions_only_doc_survives(spark):
+    """A big document holding only definition/meta spans must pass
+    through (previously it vanished: zero groups)."""
+    spans = [
+        {"kind": "fontfile", "text": "TrueType;QUJD", "media_ref":
+         "fontfile:X", "offset": 0},
+        {"kind": "meta", "text": "Title!", "media_ref": "title",
+         "offset": 1},
+    ]
+    groups = split_doc("d", spans, pages_per_group=1, min_bytes=0)
+    assert len(groups) == 1 and groups[0]["emit_fonts"]
+    assert {s["kind"] for s in groups[0]["spans"]} == {"fontfile", "meta"}
