@@ -152,6 +152,11 @@ def cmyk_to_rgb(c, m, y, k) -> tuple[float, float, float]:
 FILL_MODES = {0, 2, 4, 6}    # FILL, FILL_STROKE, FILL_CLIP, FILL_STROKE_CLIP
 STROKE_MODES = {1, 2, 5, 6}  # STROKE, FILL_STROKE, STROKE_CLIP, F_S_CLIP
 
+# positioning ops that can open a batched show run (see DocInterp.run's
+# scan_run): translate-only Tm, the Td/TD relative moves, T* next-line,
+# and ' which fuses the next-line move with its own show
+_RUN_OPS = frozenset(("Tm", "Td", "TD", "T*", "'"))
+
 
 # --- directionality / diacritics ---------------------------------------------
 
@@ -665,6 +670,77 @@ class DocInterp:
             tm = tlm.copy()
             tm[2, 0] += float(adv_all[offs[-2]:].sum())  # tm[0,0] == 1
 
+        def scan_run(j):
+            """Collect a maximal run of (positioning, show) pairs starting at
+            token ``j``, under an identity CTM and a translation-only
+            text-line matrix. Accepted positioning shapes: translate-only
+            ``Tm``, ``Td``, ``TD`` (which also rebinds the leading), ``T*``,
+            and ``'`` (next-line move fused with its show). Returns
+            ``(bases, strs, xs, ys, next_i, tl)`` when the run has >= 2
+            shows, else None.
+
+            Bit-equality with the scalar handlers: on a translation-only
+            tlm, ``translate_pre(tx, ty, tlm)`` adds ``tx*1.0 + ty*0.0``
+            to x and ``tx*0.0 + ty*1.0`` to y — exact ``cx += tx`` /
+            ``cy += ty`` (float addition of an exact +0.0), so the
+            accumulated positions match the matrix chain bit for bit."""
+            tlm_ok = (tlm[0, 0] == 1.0 and tlm[0, 1] == 0.0
+                      and tlm[1, 0] == 0.0 and tlm[1, 1] == 1.0)
+            cx, cy = float(tlm[2, 0]), float(tlm[2, 1])
+            tl = g.tl
+            bases: list[int] = []
+            strs: list[str] = []
+            xs: list[float] = []
+            ys: list[float] = []
+            while j < ntok:
+                op1, a1 = tokens[j]
+                if op1 == "'":
+                    if not tlm_ok or not a1 or not isinstance(a1[0], str):
+                        break
+                    cy -= tl
+                    bases.append(j * KEY_STRIDE)
+                    strs.append(a1[0])
+                    xs.append(cx)
+                    ys.append(cy)
+                    j += 1
+                    continue
+                if j + 1 >= ntok:
+                    break
+                op2, a2 = tokens[j + 1]
+                if op2 != "Tj" or not a2 or not isinstance(a2[0], str):
+                    break
+                if op1 == "Tm":
+                    if (len(a1) < 6 or a1[0] != 1.0 or a1[1] != 0.0
+                            or a1[2] != 0.0 or a1[3] != 1.0
+                            or not isinstance(a1[4], float)
+                            or not isinstance(a1[5], float)):
+                        break
+                    cx, cy = a1[4], a1[5]
+                    tlm_ok = True
+                elif op1 == "Td" or op1 == "TD":
+                    if (not tlm_ok or len(a1) < 2
+                            or not isinstance(a1[0], float)
+                            or not isinstance(a1[1], float)):
+                        break
+                    if op1 == "TD":
+                        tl = -a1[1]
+                    cx += a1[0]
+                    cy += a1[1]
+                elif op1 == "T*":
+                    if not tlm_ok:
+                        break
+                    cy -= tl
+                else:
+                    break
+                bases.append((j + 1) * KEY_STRIDE)
+                strs.append(a2[0])
+                xs.append(cx)
+                ys.append(cy)
+                j += 2
+            if len(strs) < 2:
+                return None
+            return bases, strs, xs, ys, j, tl
+
         def do_image(key: int, media_ref: str, iw: float, ih: float,
                      name: str) -> None:
             """processImageOperation + calculateImagePosition
@@ -733,42 +809,18 @@ class DocInterp:
                 # unless it is a string (stray operands in damaged streams)
                 if args and isinstance(args[0], str):
                     show(base, args[0])
+            elif (op in _RUN_OPS and self.batch_runs and g.ctm_ident
+                    and g.font not in self.cid2_fonts
+                    and g.font not in self.widths
+                    and (res := scan_run(i - 1)) is not None):
+                # batched fast path: a maximal run of (positioning, show)
+                # pairs — translate-only Tm / Td / TD / T* / ' chains under
+                # an identity CTM (see show_run / scan_run)
+                run_b, run_s, run_x, run_y, j, tl_final = res
+                show_run(run_b, run_s, run_x, run_y)
+                g.tl = tl_final
+                i = j
             elif op == "Tm" and len(args) >= 6:
-                # batched fast path: a maximal run of translate-only Tm + Tj
-                # pairs under an identity CTM (see show_run)
-                if (self.batch_runs and g.ctm_ident
-                        and g.font not in self.cid2_fonts
-                        and g.font not in self.widths
-                        and i < ntok and tokens[i][0] == "Tj"
-                        and tokens[i][1]
-                        and isinstance(tokens[i][1][0], str)
-                        and args[0] == 1.0 and args[1] == 0.0
-                        and args[2] == 0.0 and args[3] == 1.0):
-                    run_b = [i * KEY_STRIDE]
-                    run_s = [tokens[i][1][0]]
-                    run_x = [float(args[4])]
-                    run_y = [float(args[5])]
-                    j = i + 1
-                    while j + 1 < ntok:
-                        tj_op, tj_args = tokens[j]
-                        if tj_op != "Tm" or len(tj_args) < 6:
-                            break
-                        if (tj_args[0] != 1.0 or tj_args[1] != 0.0
-                                or tj_args[2] != 0.0 or tj_args[3] != 1.0):
-                            break
-                        nx_op, nx_args = tokens[j + 1]
-                        if (nx_op != "Tj" or not nx_args
-                                or not isinstance(nx_args[0], str)):
-                            break
-                        run_b.append((j + 1) * KEY_STRIDE)
-                        run_s.append(nx_args[0])
-                        run_x.append(float(tj_args[4]))
-                        run_y.append(float(tj_args[5]))
-                        j += 2
-                    if len(run_s) >= 2:
-                        show_run(run_b, run_s, run_x, run_y)
-                        i = j
-                        continue
                 tlm = mat(*[float(a) for a in args[:6]])
                 tm = tlm.copy()
             elif op == "TJ" and args:
