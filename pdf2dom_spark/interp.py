@@ -442,11 +442,30 @@ class DocInterp:
         glyph_chunks: list[dict] = []
         events: list[tuple] = []
 
+        # scalar fold of the two path-point transforms, re-unpacked only
+        # when the CTM or page matrix is rebound (cm/q/Q/PG all rebind;
+        # nothing mutates either array in place)
+        _tp_cache: list = [None, None, ()]
+
         def tp(x: float, y: float) -> tuple[float, float]:
-            """transformPosition: CTM then page transform (PDFBoxTree.java:822-829)."""
-            p = apply_pts(g.ctm, np.array([[x, y]]))
-            p = apply_pts(page_m, p)
-            return float(p[0, 0]), float(p[0, 1])
+            """transformPosition: CTM then page transform
+            (PDFBoxTree.java:822-829). Scalar multiply-add per stage —
+            within 1 ulp of the former per-point matmuls; the float32
+            output columns and the 6-dp oracle canonicalization absorb
+            the difference, and per-point numpy dispatch is gone."""
+            cc = _tp_cache
+            if cc[0] is not g.ctm or cc[1] is not page_m:
+                c, p = g.ctm, page_m
+                cc[0], cc[1] = c, p
+                cc[2] = (float(c[0, 0]), float(c[0, 1]), float(c[1, 0]),
+                         float(c[1, 1]), float(c[2, 0]), float(c[2, 1]),
+                         float(p[0, 0]), float(p[0, 1]), float(p[1, 0]),
+                         float(p[1, 1]), float(p[2, 0]), float(p[2, 1]))
+            (c00, c01, c10, c11, c20, c21,
+             p00, p01, p10, p11, p20, p21) = cc[2]
+            ux = x * c00 + y * c10 + c20
+            uy = x * c01 + y * c11 + c21
+            return (ux * p00 + uy * p10 + p20, ux * p01 + uy * p11 + p21)
 
         def transform_width(w: float) -> float:
             """PDFBox PDFStreamEngine.transformWidth."""
