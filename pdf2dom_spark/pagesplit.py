@@ -35,6 +35,11 @@ from .extract import DEFAULT_CONFIG, ExtractConfig
 from .fonts import FontTable
 from .schema import IN_SPAN_STRUCT, SPAN_FLAT_SCHEMA
 
+# chars that open a region the tokenizer treats as non-operator content
+# (string/hex literal, dict operand, comment) — everything else is
+# skipped regex-fast by _mask_non_ops
+_SPECIAL_RE = re.compile(r"[(<%]")
+
 # a page boundary is the PG pseudo-op with its three operands; name
 # tokens use the TOKENIZER'S charset (a \S+ capture would glue '/A/B'
 # into one name the interpreter never sees)
@@ -52,9 +57,14 @@ def _mask_non_ops(text: str) -> str:
     is never mistaken for an operator by the regex prescans below."""
     from .tokenizer import _scan_hex, _scan_literal, _skip_dict
 
-    out = list(text)
+    out: list[str] = []
     i, n = 0, len(text)
+    last = 0  # start of the pending clear (unmasked) stretch
     while i < n:
+        m = _SPECIAL_RE.search(text, i)
+        if m is None:
+            break
+        i = m.start()
         c = text[i]
         if c == "(":
             _, j = _scan_literal(text, i)
@@ -62,16 +72,17 @@ def _mask_non_ops(text: str) -> str:
             j = _skip_dict(text, i)
         elif c == "<":
             _, j = _scan_hex(text, i)
-        elif c == "%":
+        else:  # %
             nl = [x for x in (text.find("\n", i), text.find("\r", i))
                   if x != -1]
             j = min(nl) + 1 if nl else n
-        else:
-            i += 1
-            continue
-        for k in range(i, min(j, n)):
-            out[k] = " "
+        mask_end = min(j, n)
+        if mask_end > i:
+            out.append(text[last:i])
+            out.append(" " * (mask_end - i))
+            last = mask_end
         i = max(j, i + 1)
+    out.append(text[last:])
     return "".join(out)
 
 

@@ -78,9 +78,17 @@ def _unescape(body: str) -> str:
     return "".join(out)
 
 
+_SIMPLE_LIT_RE = re.compile(r"\(([^()\\\r]*)\)")
+
+
 def _scan_literal(s: str, pos: int) -> tuple[str, int]:
     """Balanced (string) literal starting at s[pos] == '(': PDF escapes,
     octal codes, line continuations, nested unescaped parens."""
+    # fast path: no escapes, no nesting, no CR normalization — the body is
+    # the literal verbatim (the overwhelmingly common shape)
+    m = _SIMPLE_LIT_RE.match(s, pos)
+    if m is not None:
+        return m.group(1), m.end()
     depth = 1
     i = pos + 1
     n = len(s)
@@ -89,16 +97,20 @@ def _scan_literal(s: str, pos: int) -> tuple[str, int]:
         c = s[i]
         if c == "\\":
             nxt = s[i + 1] if i + 1 < n else ""
+            # NB: the nxt checks below must guard against "" (backslash as
+            # the last byte of a truncated stream): "" is a substring of
+            # every string, so a bare `nxt in "01234567"` would take the
+            # octal branch and crash on int("", 8)
             if nxt in _ESCAPES:
                 out.append(_ESCAPES[nxt])
                 i += 2
-            elif nxt in "01234567":
+            elif nxt and nxt in "01234567":
                 j = i + 1
                 while j < n and j < i + 4 and s[j] in "01234567":
                     j += 1
                 out.append(chr(int(s[i + 1:j], 8) & 0xFF))
                 i = j
-            elif nxt in "\r\n":  # line continuation
+            elif nxt and nxt in "\r\n":  # line continuation
                 i += 2
                 if nxt == "\r" and i < n and s[i] == "\n":
                     i += 1
