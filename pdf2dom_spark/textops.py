@@ -103,6 +103,83 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# URL canonicalization + dedup: the standard web-crawl front door (strip
+# fragment -> strip utm_* tracking params -> lowercase -> strip trailing
+# slash, then keep one doc per canonical URL). The corpus carries no real
+# URLs, so the query synthesizes them deterministically from (doc_id,
+# source) with case/slash/param/fragment variations — the same
+# synthesize-inside-the-query pattern as pii_scrub. 100 TB shape: a narrow
+# deterministic map then ONE map-side-combinable groupBy on the canonical
+# string (identical to dedup_exact); regexes stay in the Java-regex ∩ RE2
+# subset so Spark and DuckDB agree byte-for-byte.
+# ---------------------------------------------------------------------------
+
+_URL_SYNTH_SQL = """
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         'https://' ||
+         CASE WHEN doc_id % 3 = 0
+              THEN upper('www.' || source || '.example.com')
+              ELSE 'www.' || source || '.example.com' END ||
+         '/docs/' || CAST(doc_id % 7 AS VARCHAR) ||
+         CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0
+              THEN '?utm_source=feed&utm_id=' || CAST(doc_id % 9 AS VARCHAR)
+              ELSE '' END ||
+         CASE WHEN doc_id % 2 = 0
+              THEN '#sec' || CAST(doc_id % 6 AS VARCHAR)
+              ELSE '' END AS url
+  FROM documents
+"""
+
+
+@_reg("url_canonicalize", f"""
+WITH u AS ({_URL_SYNTH_SQL}),
+c AS (
+  SELECT doc_id, url,
+         regexp_replace(lower(regexp_replace(regexp_replace(
+             url, '#.*', ''), '[?&]utm_[^&#]*', '', 'g')),
+             '/+$', '') AS canonical_url
+  FROM u
+)
+SELECT canonical_url,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS dup_count,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants
+FROM c GROUP BY canonical_url
+""")
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source")
+    host_raw = F.concat(F.lit("www."), F.col("source"),
+                        F.lit(".example.com"))
+    host = F.when(F.col("doc_id") % 3 == 0,
+                  F.upper(host_raw)).otherwise(host_raw)
+    path = F.concat(F.lit("/docs/"), (F.col("doc_id") % 7).cast("string"))
+    slash = F.when(F.col("doc_id") % 4 == 0,
+                   F.lit("/")).otherwise(F.lit(""))
+    query = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit("?utm_source=feed&utm_id="),
+                 (F.col("doc_id") % 9).cast("string"))).otherwise(F.lit(""))
+    frag = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("#sec"),
+                 (F.col("doc_id") % 6).cast("string"))).otherwise(F.lit(""))
+    url = F.concat(F.lit("https://"), host, path, slash, query, frag)
+    # canonical order matters and matches the oracle exactly:
+    # fragment -> utm params -> lowercase -> trailing slash
+    canon = F.regexp_replace(
+        F.lower(F.regexp_replace(F.regexp_replace(url, "#.*", ""),
+                                 "[?&]utm_[^&#]*", "")),
+        "/+$", "")
+    u = d.select("doc_id", url.alias("url"), canon.alias("canonical_url"))
+    return (u.groupBy("canonical_url")
+             .agg(F.min("doc_id").alias("keeper_doc_id"),
+                  F.count(F.lit(1)).alias("dup_count"),
+                  F.countDistinct("url").alias("n_variants")))
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup: shingle -> per-lang pairwise (bounded candidates)
 # ---------------------------------------------------------------------------
 
