@@ -240,23 +240,23 @@ def tokenize(fragment: str) -> list[tuple[str, list]]:
     ops: list[tuple[str, list]] = []
     args: list = []
     arr: list | None = None
-    # group indices: 1 num, 2 name, 3 str, 4 lbrk, 5 rbrk, 6 op (integer
-    # lastindex dispatch beats the lastgroup name lookup in the hot loop)
-    for m in _TOKEN_RE.finditer(fragment):
-        kind = m.lastindex
-        if kind == 1:
-            (arr if arr is not None else args).append(float(m.group(0)))
-        elif kind == 6:  # operator
-            ops.append((m.group(0), args))
+    # findall yields one 6-tuple per token; exactly one group participates
+    # per match and none can match the empty string, so truthiness IS the
+    # dispatch — no match objects, no group() calls in the hot loop
+    for num, name, sstr, lbrk, _rbrk, opname in _TOKEN_RE.findall(fragment):
+        if num:
+            (arr if arr is not None else args).append(float(num))
+        elif opname:
+            ops.append((opname, args))
             args = []
-        elif kind == 3:
-            s = _unescape(m.group(0)[1:-1])
+        elif sstr:
+            s = _unescape(sstr[1:-1])
             (arr if arr is not None else args).append(s)
-        elif kind == 2:
-            args.append(m.group(0)[1:])
-        elif kind == 4:
+        elif name:
+            args.append(name[1:])
+        elif lbrk:
             arr = []
-        else:  # 5: rbrk
+        else:  # rbrk
             args.append(arr if arr is not None else [])
             arr = None
     return ops
