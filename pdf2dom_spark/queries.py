@@ -208,6 +208,48 @@ def extract_spans_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 1a-flags. P4 graphics/image disable flags under the cross-engine gate:
+# the kernel never creates rect/line/image records, the remaining records
+# keep their relative order and renumber densely — the oracle filters the
+# same closed form and re-ranks ord (previously pytest-only).
+
+@_reg("extract_spans_nographics", f"""
+WITH f AS (
+  SELECT * FROM ({_ORACLE_SPANS_SQL}) WHERE kind NOT IN ('rect', 'image')
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord) - 1
+            AS INT) AS ord,
+       kind, text, media_ref, page_no, left_pt, top_pt, width_pt,
+       height_pt, line_height, font_size, color, font_family
+FROM f
+""")
+def extract_spans_nographics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flat = _extract_flat(
+        spark, sf_dir, mode="oracle",
+        cfg=ExtractConfig(disable_graphics=True, disable_images=True))
+    return _oracle_proj(flat)
+
+
+# 1a-ignore. S9 ignore-resource handler under the cross-engine gate: image
+# spans keep their slot and geometry but emit an EMPTY src
+# (PDFDomTree.java:435-438, IgnoreResourceHandler) — previously
+# pytest-only.
+
+@_reg("extract_spans_ignore_images", f"""
+SELECT doc_id, ord, kind, text,
+       CASE WHEN kind = 'image' THEN '' ELSE media_ref END AS media_ref,
+       page_no, left_pt, top_pt, width_pt, height_pt, line_height,
+       font_size, color, font_family
+FROM ({_ORACLE_SPANS_SQL})
+""")
+def extract_spans_ignore_images(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    flat = _extract_flat(spark, sf_dir, mode="oracle",
+                         cfg=ExtractConfig(image_handler="ignore"))
+    return _oracle_proj(flat)
+
+
 # 1a-rich. FULL kernel vs closed-form SQL on the rich-lite corpus: every
 # "rich" text feature with derivable geometry — Tr stroke-only rendering
 # mode, Tw/Tc sticky spacing, TJ kerning splits, RTL reverse, diacritic
