@@ -1217,6 +1217,92 @@ def page_transform_quadrants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ry + ty, 2).alias("dev_y"))
 
 
+# 2b. G12 line-width transform under the cross-engine gate (previously
+# pytest-only): per-doc synthesized streams draw one horizontal, slanted,
+# or vertical line under a diagonal cm scale; the kernel's
+# transformWidth (w * sqrt((a^2 + d^2) / 2), PDFBox
+# PDFStreamEngine.transformWidth) and the full HtmlDivLine placement math
+# (graphics.line_record) are compared to their closed forms.
+
+@_reg("line_width_transform", """
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         1.0 + (doc_id % 5) * 0.5 AS a,
+         1.0 + (doc_id % 3) * 0.25 AS d,
+         0.5 + (doc_id % 4) AS s,
+         CAST(100 + (doc_id % 7) * 10 AS DOUBLE) AS x1,
+         doc_id % 3 AS sel
+  FROM documents
+),
+g AS (
+  SELECT doc_id, sel,
+         x1 * a AS X1, 792 - 100 * d AS Y1,
+         CASE WHEN sel < 2 THEN 300 * a ELSE x1 * a END AS X2,
+         792 - CASE WHEN sel = 0 THEN 100 ELSE 180 END * d AS Y2,
+         GREATEST(s * sqrt((a * a + d * d) / 2), 0.5) AS sw
+  FROM p
+),
+m AS (
+  SELECT *, sqrt((X2 - X1) * (X2 - X1) + (Y2 - Y1) * (Y2 - Y1)) AS hyp
+  FROM g
+)
+SELECT doc_id,
+       ROUND(CASE WHEN sel = 1 THEN ABS((X2 + X1) / 2) - hyp / 2
+                  ELSE LEAST(X1, X2) END, 2) AS left_pt,
+       ROUND(CASE WHEN sel = 1 THEN ABS((Y2 + Y1) / 2) - sw / 2
+                  ELSE LEAST(Y1, Y2) END, 2) AS top_pt,
+       ROUND(CASE WHEN sel = 0 THEN ABS(X2 - X1)
+                  WHEN sel = 1 THEN hyp ELSE 0.0 END, 2) AS width_pt,
+       ROUND(CASE WHEN sel = 2 THEN ABS(Y2 - Y1) ELSE 0.0 END, 2)
+           AS height_pt,
+       ROUND(sw, 2) AS stroke_width,
+       ROUND(CASE WHEN sel = 1
+                  THEN degrees(atan((Y2 - Y1) / (X2 - X1)))
+                  ELSE 0.0 END, 2) AS angle,
+       '#0000e5' AS stroke_color
+FROM m
+""")
+def line_width_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .extract import docs_frame_to_spans
+
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    src = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .select("doc_id").repartition(p, F.xxhash64("doc_id")))
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "spans": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                a = 1.0 + (i % 5) * 0.5
+                d = 1.0 + (i % 3) * 0.25
+                s = 0.5 + (i % 4)
+                x1 = 100 + (i % 7) * 10
+                sel = i % 3
+                x2 = 300 if sel < 2 else x1
+                y2 = 100 if sel == 0 else 180
+                frag = (f"612 792 0 PG q {a:g} 0 0 {d:g} 0 0 cm {s:g} w "
+                        f"0 0 0.9 RG {x1:g} 100 m {x2:g} {y2:g} l S Q")
+                rows["doc_id"].append(str(i))
+                rows["spans"].append([{"kind": "text", "text": frag,
+                                       "media_ref": None, "offset": 0}])
+            yield docs_frame_to_spans(pd.DataFrame(rows), ExtractConfig())
+
+    flat = src.mapInPandas(kernel, SPAN_FLAT_SCHEMA)
+    return (flat.where(F.col("kind") == "line").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(F.col("style_left").cast("double"), 2).alias("left_pt"),
+        F.round(F.col("style_top").cast("double"), 2).alias("top_pt"),
+        F.round(F.col("style_width").cast("double"), 2).alias("width_pt"),
+        F.round(F.col("style_height").cast("double"), 2).alias("height_pt"),
+        F.round(F.col("style_stroke_width").cast("double"), 2)
+            .alias("stroke_width"),
+        F.round(F.col("style_angle").cast("double"), 2).alias("angle"),
+        F.col("style_stroke_color").alias("stroke_color")))
+
+
 # ---------------------------------------------------------------------------
 # 3. relational shapes the pipeline relies on
 # ---------------------------------------------------------------------------
