@@ -2290,6 +2290,69 @@ def rich_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
           for k in ("page", "meta", "rect", "line", "image")])
 
 
+# O7 document skeleton / title / global style under the cross-engine gate
+# (previously pytest-only): the REAL renderer (render_html_df ->
+# render_doc_html, the endDocument transposition of PDFDomTree.java:
+# 165-174 title override + createFontFaces) runs over the rich corpus and
+# the skeleton is counted back out of the HTML with JVM string functions;
+# the oracle derives title, page-div, graphics-div, img, and @font-face
+# counts from the same md5 arithmetic rich_structure uses. Text-box
+# counts stay rows-only by design (box splits are per-glyph geometry).
+
+@_reg("render_doc_skeleton", f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS h16,
+         GREATEST(len(list_filter(string_split(text, ' '), w -> w <> '')),
+                  1) AS w
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, ({{_H16_}}) AS h, w FROM base
+),
+sized AS (
+  SELECT doc_id, h,
+         (w * (CASE WHEN h % 37 = 0 THEN 12 ELSE 1 END) + 23) // 24
+             AS n_pages
+  FROM hashed
+),
+pages AS (
+  SELECT doc_id, h, n_pages, unnest(generate_series(0, n_pages - 1)) AS p
+  FROM sized
+)
+SELECT doc_id,
+  CASE WHEN MAX(h) % 7 = 3 THEN 'Document ' || CAST(doc_id AS VARCHAR)
+       ELSE 'PDF Document' END AS title,
+  CAST(MAX(n_pages) AS BIGINT) AS n_page_divs,
+  CAST(SUM(CASE WHEN (h + p) % 5 IN (0, 1, 4) THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_graphic_divs,
+  CAST(SUM(CASE WHEN (h + p) % 5 IN (2, 3) THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_imgs,
+  CAST(COUNT(DISTINCT (h + p) % 7)
+       + CASE WHEN MAX(h) % 5 = 0
+              AND SUM(CASE WHEN (h + p) % 7 = 1 THEN 1 ELSE 0 END) = 0
+              THEN 1 ELSE 0 END AS BIGINT) AS n_font_faces
+FROM pages GROUP BY doc_id
+""".replace("{_H16_}", _H16))
+def render_doc_skeleton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .render_html import render_html_df
+
+    flat = _extract_flat(spark, sf_dir, mode="rich")
+    html = render_html_df(flat)
+
+    def occ(lit: str):
+        return (F.size(F.split(F.col("html"), F.lit(lit), -1)) - 1
+                ).cast("long")
+
+    return html.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.regexp_extract("html", "<title>([^<]*)</title>", 1).alias("title"),
+        occ('<div id="page_').alias("n_page_divs"),
+        occ('class="r"').alias("n_graphic_divs"),
+        occ("<img ").alias("n_imgs"),
+        occ("@font-face").alias("n_font_faces"))
+
+
 # ---------------------------------------------------------------------------
 # rows-only (non-SQL-expressible): full interleaved corpus extraction
 # ---------------------------------------------------------------------------
