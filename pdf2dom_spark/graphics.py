@@ -56,7 +56,12 @@ def line_record(ev: tuple) -> dict:
     elif horizontal:
         out_w = width
     else:
-        out_w = math.sqrt((x1 - x2) ** 2 + (y1 - y2) ** 2)
+        try:
+            out_w = math.sqrt((x1 - x2) ** 2 + (y1 - y2) ** 2)
+        except OverflowError:
+            # ~1e308 coordinates from a damaged stream: Python raises
+            # where C would yield inf — match the C behavior
+            out_w = math.inf
     stroke_w = max(lw, 0.5)  # HtmlDivLine.getLineStrokeWidth (:77-83)
     if horizontal or vertical:
         left = min(x1, x2)

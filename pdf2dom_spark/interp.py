@@ -130,14 +130,24 @@ def page_transform_cached(w: float, h: float, rot: int) -> np.ndarray:
 _HEX_CACHE: dict[tuple, str] = {}
 
 
+def _color_byte(c: float) -> int:
+    """(int) truncation of c*255 then clamp — reordered so inf/NaN color
+    operands from damaged streams clamp instead of raising on int()."""
+    v = c * 255.0
+    if not v > 0.0:      # negatives and NaN
+        return 0
+    if v > 255.0:        # incl. +inf
+        return 255
+    return int(v)
+
+
 def color_hex(rgb: tuple[float, float, float]) -> str:
     """colorString: '#%02x%02x%02x' with (int) truncation of c*255
     (PDFBoxTree.java:915-930)."""
     hit = _HEX_CACHE.get(rgb)
     if hit is None:
-        r, g, b = (int(c * 255) for c in rgb)
-        hit = "#%02x%02x%02x" % (max(0, min(255, r)), max(0, min(255, g)),
-                                 max(0, min(255, b)))
+        hit = "#%02x%02x%02x" % (_color_byte(rgb[0]), _color_byte(rgb[1]),
+                                 _color_byte(rgb[2]))
         if len(_HEX_CACHE) < 65536:
             _HEX_CACHE[rgb] = hit
     return hit
@@ -156,6 +166,34 @@ STROKE_MODES = {1, 2, 5, 6}  # STROKE, FILL_STROKE, STROKE_CLIP, F_S_CLIP
 # scan_run): translate-only Tm, the Td/TD relative moves, T* next-line,
 # and ' which fuses the next-line move with its own show
 _RUN_OPS = frozenset(("Tm", "Td", "TD", "T*", "'"))
+
+
+def _jint(v: float) -> int:
+    """Java (int) cast semantics for doubles: NaN -> 0, out-of-range
+    saturates — damaged-stream path coordinates must not raise."""
+    if v != v:
+        return 0
+    if v >= 2147483647.0:
+        return 2147483647
+    if v <= -2147483648.0:
+        return -2147483648
+    return int(v)
+
+
+def _nums(args: list, k: int) -> list | None:
+    """First ``k`` operands when ALL are numeric, else None. The tokenizer
+    emits every number as float, so a non-float here is a damaged stream
+    that put a string/name/array where a number belongs — the hardened
+    PDFBox operator processors return without processing on that operand
+    shape, and a 10^12-document corpus WILL contain such streams; one of
+    them must never kill a whole Arrow batch."""
+    if len(args) < k:
+        return None
+    out = args[:k]
+    for a in out:
+        if type(a) is not float:
+            return None
+    return out
 
 
 # --- directionality / diacritics ---------------------------------------------
@@ -490,8 +528,8 @@ class DocInterp:
             elif path:
                 # PathDrawer.drawPath bounds (PathDrawer.java:43-136):
                 # int-truncated min/max over both endpoints; degenerate -> 1x1.
-                xs = [int(v) for s in path for v in (s[0], s[2])]
-                ys = [int(v) for s in path for v in (s[1], s[3])]
+                xs = [_jint(v) for s in path for v in (s[0], s[2])]
+                ys = [_jint(v) for s in path for v in (s[1], s[3])]
                 x0, y0 = min(xs), min(ys)
                 w, h = max(xs) - x0, max(ys) - y0
                 if w <= 0 or h <= 0:
@@ -502,7 +540,8 @@ class DocInterp:
                 else:
                     ref = "path:" + hashlib.sha256(
                         (";".join(
-                            f"{int(s[0])},{int(s[1])},{int(s[2])},{int(s[3])}"
+                            f"{_jint(s[0])},{_jint(s[1])},"
+                            f"{_jint(s[2])},{_jint(s[3])}"
                             for s in path)
                          + "|" + color_hex(g.fill_rgb)).encode()
                     ).hexdigest()[:16]
@@ -802,9 +841,16 @@ class DocInterp:
                         i += 1
                     # note: page_no keeps counting via the next PG
                     continue
-                page_w = float(args[0]) if len(args) > 0 else 612.0
-                page_h = float(args[1]) if len(args) > 1 else 792.0
-                page_rot = int(args[2]) if len(args) > 2 else 0
+                # per-arg fallback to defaults: PG is our own pseudo-op but
+                # its operands ride the untrusted span text, and a stray
+                # string before a PG lands in its args on damaged streams
+                page_w = (args[0] if len(args) > 0
+                          and type(args[0]) is float else 612.0)
+                page_h = (args[1] if len(args) > 1
+                          and type(args[1]) is float else 792.0)
+                page_rot = (int(args[2]) if len(args) > 2
+                            and type(args[2]) is float
+                            and math.isfinite(args[2]) else 0)
                 page_m = page_transform_cached(page_w, page_h, page_rot)
                 # fresh per-page graphics state including text state —
                 # PDFBox builds a new PDGraphicsState per page, so the font
@@ -839,8 +885,8 @@ class DocInterp:
                 show_run(run_b, run_s, run_x, run_y)
                 g.tl = tl_final
                 i = j
-            elif op == "Tm" and len(args) >= 6:
-                tlm = mat(*[float(a) for a in args[:6]])
+            elif op == "Tm" and (nv := _nums(args, 6)) is not None:
+                tlm = mat(*nv)
                 tm = tlm.copy()
             elif op == "TJ" and args:
                 # ShowTextAdjusted: arguments.get(0) must be the array —
@@ -851,33 +897,36 @@ class DocInterp:
                     if isinstance(el, str):
                         show(base + sub, el)
                         sub += len(el)
-                    else:
-                        shift = -float(el) / 1000.0 * g.fsize * g.th
+                    elif type(el) is float:
+                        shift = -el / 1000.0 * g.fsize * g.th
                         tm = translate_pre(shift, 0.0, tm)
-            elif op == "Td" and len(args) >= 2:
-                tlm = translate_pre(float(args[0]), float(args[1]), tlm)
+                    # nested array / name inside the TJ array: skipped
+                    # element-wise (PDFBox ShowTextAdjusted instanceof chain)
+            elif op == "Td" and (nv := _nums(args, 2)) is not None:
+                tlm = translate_pre(nv[0], nv[1], tlm)
                 tm = tlm.copy()
             elif op == "BT":
                 tm = ident(); tlm = ident()
             elif op == "ET":
                 pass
-            elif op == "Tf" and len(args) >= 2:
-                g.font = str(args[0]); g.fsize = float(args[1])
-            elif op == "Tw" and args:
-                g.tw = float(args[0]); sticky_tw = float(args[0])
-            elif op == "Tc" and args:
-                g.tc = float(args[0]); sticky_tc = float(args[0])
-            elif op == "Tz" and args:
-                g.th = float(args[0]) / 100.0
-            elif op == "TL" and args:
-                g.tl = float(args[0])
-            elif op == "Ts" and args:
-                g.ts = float(args[0])
-            elif op == "Tr" and args:
-                g.tr = int(args[0])
-            elif op == "TD" and len(args) >= 2:
-                g.tl = -float(args[1])
-                tlm = translate_pre(float(args[0]), float(args[1]), tlm)
+            elif op == "Tf" and len(args) >= 2 and type(args[1]) is float:
+                g.font = str(args[0]); g.fsize = args[1]
+            elif op == "Tw" and (nv := _nums(args, 1)) is not None:
+                g.tw = nv[0]; sticky_tw = nv[0]
+            elif op == "Tc" and (nv := _nums(args, 1)) is not None:
+                g.tc = nv[0]; sticky_tc = nv[0]
+            elif op == "Tz" and (nv := _nums(args, 1)) is not None:
+                g.th = nv[0] / 100.0
+            elif op == "TL" and (nv := _nums(args, 1)) is not None:
+                g.tl = nv[0]
+            elif op == "Ts" and (nv := _nums(args, 1)) is not None:
+                g.ts = nv[0]
+            elif op == "Tr" and (nv := _nums(args, 1)) is not None:
+                if math.isfinite(nv[0]):
+                    g.tr = int(nv[0])
+            elif op == "TD" and (nv := _nums(args, 2)) is not None:
+                g.tl = -nv[1]
+                tlm = translate_pre(nv[0], nv[1], tlm)
                 tm = tlm.copy()
             elif op == "T*":
                 tlm = translate_pre(0.0, -g.tl, tlm)
@@ -886,17 +935,19 @@ class DocInterp:
                 tlm = translate_pre(0.0, -g.tl, tlm)
                 tm = tlm.copy()
                 show(base, args[0])
-            elif op == '"' and len(args) >= 3:
+            elif (op == '"' and len(args) >= 3
+                    and (nv := _nums(args, 2)) is not None
+                    and isinstance(args[2], str)):
                 # the real text state updates (advances use it), but the
                 # STICKY Pdf2Dom style spacing does not: PDFBoxTree's
                 # switch matches only literal "Tw"/"Tc" operators
                 # (PDFBoxTree.java:425-434) and ShowTextLineAndSpace
                 # never dispatches them
-                g.tw = float(args[0])
-                g.tc = float(args[1])
+                g.tw = nv[0]
+                g.tc = nv[1]
                 tlm = translate_pre(0.0, -g.tl, tlm)
                 tm = tlm.copy()
-                show(base, str(args[2]))
+                show(base, args[2])
 
             # --- graphics state ----------------------------------------------
             elif op == "q":
@@ -904,23 +955,23 @@ class DocInterp:
             elif op == "Q":
                 if stack:
                     g = stack.pop()
-            elif op == "cm" and len(args) >= 6:
-                g.ctm = compose(mat(*[float(a) for a in args[:6]]), g.ctm)
+            elif op == "cm" and (nv := _nums(args, 6)) is not None:
+                g.ctm = compose(mat(*nv), g.ctm)
                 g.ctm_ident = False
-            elif op == "w" and args:
-                g.line_width = float(args[0])
-            elif op == "rg" and len(args) >= 3:
-                g.fill_rgb = (float(args[0]), float(args[1]), float(args[2]))
-            elif op == "RG" and len(args) >= 3:
-                g.stroke_rgb = (float(args[0]), float(args[1]), float(args[2]))
-            elif op == "g" and args:
-                v = float(args[0]); g.fill_rgb = (v, v, v)
-            elif op == "G" and args:
-                v = float(args[0]); g.stroke_rgb = (v, v, v)
-            elif op == "k" and len(args) >= 4:
-                g.fill_rgb = cmyk_to_rgb(*[float(a) for a in args[:4]])
-            elif op == "K" and len(args) >= 4:
-                g.stroke_rgb = cmyk_to_rgb(*[float(a) for a in args[:4]])
+            elif op == "w" and (nv := _nums(args, 1)) is not None:
+                g.line_width = nv[0]
+            elif op == "rg" and (nv := _nums(args, 3)) is not None:
+                g.fill_rgb = (nv[0], nv[1], nv[2])
+            elif op == "RG" and (nv := _nums(args, 3)) is not None:
+                g.stroke_rgb = (nv[0], nv[1], nv[2])
+            elif op == "g" and (nv := _nums(args, 1)) is not None:
+                v = nv[0]; g.fill_rgb = (v, v, v)
+            elif op == "G" and (nv := _nums(args, 1)) is not None:
+                v = nv[0]; g.stroke_rgb = (v, v, v)
+            elif op == "k" and (nv := _nums(args, 4)) is not None:
+                g.fill_rgb = cmyk_to_rgb(*nv)
+            elif op == "K" and (nv := _nums(args, 4)) is not None:
+                g.stroke_rgb = cmyk_to_rgb(*nv)
             elif op in ("sc", "scn"):
                 nums = [a for a in args if isinstance(a, float)]
                 if len(nums) == 1:
@@ -940,12 +991,14 @@ class DocInterp:
 
             # --- path construction (PDFBoxTree.java:437-493) ------------------
             elif op == "m":
-                if not self.disable_graphics and len(args) >= 2:
-                    px, py = tp(float(args[0]), float(args[1]))
+                if (not self.disable_graphics
+                        and (nv := _nums(args, 2)) is not None):
+                    px, py = tp(nv[0], nv[1])
                     psx, psy = px, py
             elif op == "l":
-                if not self.disable_graphics and len(args) >= 2:
-                    nx, ny = tp(float(args[0]), float(args[1]))
+                if (not self.disable_graphics
+                        and (nv := _nums(args, 2)) is not None):
+                    nx, ny = tp(nv[0], nv[1])
                     path.append((px, py, nx, ny))
                     px, py = nx, ny
             elif op == "h":
@@ -958,9 +1011,9 @@ class DocInterp:
                 # this is NOT the true transformed quad; mirrored
                 # bug-for-bug (a faithful 4-corner transform would change
                 # kinds/coords vs the reference on such CTMs).
-                if not self.disable_graphics and len(args) >= 4:
-                    x, y = float(args[0]), float(args[1])
-                    w_, h_ = float(args[2]), float(args[3])
+                if (not self.disable_graphics
+                        and (nv := _nums(args, 4)) is not None):
+                    x, y, w_, h_ = nv
                     p1 = tp(x, y)
                     p2 = tp(x + w_, y + h_)
                     path.append((p1[0], p1[1], p2[0], p1[1]))
@@ -991,8 +1044,13 @@ class DocInterp:
 
             # --- images -------------------------------------------------------
             elif op == "DoMedia" and len(args) >= 3:
-                if not self.disable_images:
-                    do_image(base, str(args[0]), float(args[1]), float(args[2]),
+                # normally synthesized by doc_tokens (trusted floats), but
+                # the literal text "DoMedia" in a hostile stream arrives
+                # with arbitrary operands — same _nums discipline
+                if (not self.disable_images
+                        and isinstance(args[0], str)
+                        and (nv := _nums(args[1:3], 2)) is not None):
+                    do_image(base, args[0], nv[0], nv[1],
                              str(args[3]) if len(args) > 3 else "Untitled")
             # plain named Do without a registry entry: not an image XObject
             # -> ignored (PDFBoxTree.java:548 instanceof check)
@@ -1183,8 +1241,20 @@ def doc_tokens(spans: list[dict]) -> list[tuple[str, list]]:
             continue  # definitions/document-info/encodings are not content
         if kind == "image":
             meta = (sp.get("text") or "").split()
-            w = float(meta[0]) if len(meta) > 0 else 1.0
-            h = float(meta[1]) if len(meta) > 1 else 1.0
+
+            def _dim(idx: int) -> float:
+                # image metadata rides the untrusted span text: a
+                # non-numeric dimension falls back to 1.0 instead of
+                # killing the document
+                if len(meta) > idx:
+                    try:
+                        return float(meta[idx])
+                    except ValueError:
+                        return 1.0
+                return 1.0
+
+            w = _dim(0)
+            h = _dim(1)
             name = meta[2] if len(meta) > 2 else "Untitled"
             toks.append(("DoMedia", [sp.get("media_ref") or "", w, h, name]))
         else:

@@ -1,0 +1,97 @@
+"""Damaged-stream crash-freedom: a 10^12-document corpus WILL contain
+streams with operand-type garbage (strings where numbers belong, arrays
+inside TJ, 10^400 numerals that overflow to inf, NaN geometry, lone
+trailing backslashes), and one such document must never kill an Arrow
+batch. The interpreter mirrors the hardened PDFBox operator processors:
+an op with a mismatched operand shape is skipped (interp._nums),
+Java (int) cast semantics saturate instead of raising (interp._jint),
+and color bytes clamp inf/NaN (interp._color_byte).
+
+This is a bounded deterministic fuzz (fixed seed), not a property
+search — ~3s. The generative deep fuzz that found the original crashes
+ran 24k documents across three seeds at zero failures.
+"""
+
+from __future__ import annotations
+
+import random
+import string
+import warnings
+
+from pdf2dom_spark.extract import ExtractConfig, extract_doc
+
+_POOL = (list("()<>%\\\n\r\t PG0123456789.-+[]/{}")
+         + list(string.ascii_letters) + ["\x00", "\xff", "é", "ש"])
+_OPS = ["PG", "Tj", "Tm", "Td", "TD", "T*", "'", '"', "BT", "ET", "q", "Q",
+        "cm", "re", "f", "F", "f*", "S", "s", "B", "b*", "n", "m", "l", "h",
+        "Tf", "TJ", "Do", "DoMedia", "rg", "RG", "g", "G", "k", "K", "sc",
+        "scn", "SC", "SCN", "w", "Tz", "Tc", "Tw", "TL", "Ts", "Tr"]
+_KINDS = ["text", "text", "text", "image", "widths", "cmap", "form", "meta",
+          "rect", "fontfile"]
+
+
+def _hostile_stream(rng: random.Random, trial: int) -> str:
+    if trial % 3 == 0:  # pure byte soup
+        return "".join(rng.choice(_POOL) for _ in range(rng.randint(0, 160)))
+    parts: list[str] = []
+    for _ in range(rng.randint(0, 20)):
+        for _ in range(rng.randint(0, 4)):
+            parts.append(rng.choice([
+                str(rng.uniform(-1000, 1000)),
+                "9" * rng.randint(1, 400),            # overflows to inf
+                "-" + "9" * rng.randint(1, 400),
+                "(" + "".join(rng.choice(_POOL)
+                              for _ in range(rng.randint(0, 8))) + ")",
+                "/" + "".join(rng.choice(string.ascii_letters)
+                              for _ in range(3)),
+                "[", "]", "<abc>", "<<", ">>", "%cmt",
+            ]))
+        parts.append(rng.choice(_OPS))
+    return " ".join(parts)
+
+
+def test_hostile_streams_never_crash():
+    rng = random.Random(20260817)
+    with warnings.catch_warnings():
+        # inf/NaN geometry legitimately raises numpy RuntimeWarnings on
+        # its way to clamped output; crash-freedom is the contract here
+        warnings.simplefilter("ignore", RuntimeWarning)
+        for trial in range(600):
+            s = _hostile_stream(rng, trial)
+            kind = rng.choice(_KINDS)
+            spans = [
+                {"kind": kind, "text": s,
+                 "media_ref": rng.choice(
+                     [None, "sha:x", "widths:F", "cmap:F", "form:Hdr",
+                      "title", "font:F"]),
+                 "offset": 0},
+                {"kind": "text",
+                 "text": "612 792 0 PG BT /F 10 Tf (ok) Tj ET " + s,
+                 "media_ref": None, "offset": 1},
+            ]
+            rows = extract_doc("f", spans, ExtractConfig())
+            assert isinstance(rows, list)  # produced SOMETHING, no raise
+
+
+def test_specific_damage_shapes():
+    """The exact shapes the fuzz campaign originally crashed on."""
+    cases = [
+        "612 792 0 PG BT (x\\",                      # trailing backslash
+        "612 792 0 PG BT /F 10 Tf /name 5 Td (a) Tj ET",   # name where num
+        "612 792 0 PG [ 1 2 ] 3 Tm",                 # array operand in Tm
+        "612 792 0 PG " + "9" * 400 + " w 1 1 m 2 2 l S",  # inf width
+        "612 792 0 PG " + "9" * 400 + " g 10 10 100 100 re f",  # inf gray
+        "(s) 792 0 PG BT (t) Tj ET",                 # string in PG args
+        "612 792 " + "9" * 400 + " PG",              # inf rotation
+        "612 792 0 PG " + "9" * 400 + " " + "-" + "9" * 400 +
+        " m 5 5 l 9 9 l h f",                        # NaN path bounds
+        '612 792 0 PG BT /F 9 Tf 1 2 (x) " ET',      # quote-op well-formed
+        '612 792 0 PG BT /F 9 Tf (a) 2 (x) " ET',    # quote-op bad operand
+    ]
+    for frag in cases:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            rows = extract_doc(
+                "d", [{"kind": "text", "text": frag, "media_ref": None,
+                       "offset": 0}], ExtractConfig())
+        assert isinstance(rows, list), frag
