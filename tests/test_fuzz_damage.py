@@ -73,6 +73,40 @@ def test_hostile_streams_never_crash():
             assert isinstance(rows, list)  # produced SOMETHING, no raise
 
 
+def test_corrupt_pdf_bytes_terminate():
+    """pdf_to_spans on mutated/truncated/garbage PDF bytes must TERMINATE
+    (raise or return) — never hang or corrupt state. The production ingest
+    (pdfread.pdf_docs_df) wraps the per-file parse in a broad except and
+    skips, so any exception class is batch-safe; what it cannot survive is
+    a parser loop that stops advancing."""
+    from pdf2dom_spark.pdfread import pdf_to_spans
+
+    real = open("/root/reference/src/test/resources/3-page-document.pdf",
+                "rb").read()
+    rng = random.Random(20260817)
+    done = 0
+    for trial in range(120):
+        mode = trial % 4
+        if mode == 0:
+            b = bytes(rng.randrange(256) for _ in range(rng.randint(0, 300)))
+        elif mode == 1:
+            b = real[:rng.randint(0, len(real))]
+        elif mode == 2:
+            ba = bytearray(real)
+            for _ in range(rng.randint(1, 40)):
+                ba[rng.randrange(len(ba))] = rng.randrange(256)
+            b = bytes(ba)
+        else:
+            i, j = sorted((rng.randrange(len(real)), rng.randrange(len(real))))
+            b = real[:i] + real[j:]
+        try:
+            pdf_to_spans(b)
+        except Exception:
+            pass
+        done += 1
+    assert done == 120
+
+
 def test_specific_damage_shapes():
     """The exact shapes the fuzz campaign originally crashed on."""
     cases = [
