@@ -1037,6 +1037,51 @@ def color_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") * 83 % 256).cast("int")).alias("hex"))
 
 
+# 1e-cos. M7 COS value coercion under the cross-engine gate (previously
+# pytest-only): per-doc streams exercise the full-tier tokenizer's string
+# coercions — 3-digit octal escapes, escaped parens/backslash, and a
+# <hex> string shown as a second Tj into the same box — and the decoded
+# box text is compared to a chr()-arithmetic closed form.
+
+@_reg("cos_coercion", """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       chr(CAST(65 + doc_id % 26 AS INT))
+       || chr(CAST(66 + doc_id % 25 AS INT))
+       || '()\\'
+       || 'A' || chr(CAST(67 + doc_id % 24 AS INT)) || chr(255) AS text
+FROM documents
+""")
+def cos_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .extract import docs_frame_to_spans
+
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    src = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .select("doc_id").repartition(p, F.xxhash64("doc_id")))
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "spans": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                c1 = 65 + i % 26
+                c2 = 66 + i % 25
+                c3 = 67 + i % 24
+                lit = (chr(c1) + "\\" + format(c2, "03o")
+                       + "\\(" + "\\)" + "\\\\")
+                frag = ("612 792 0 PG BT /Mono 10 Tf 1 0 0 1 72 700 Tm "
+                        f"({lit}) Tj <41{c3:02x}ff> Tj ET")
+                rows["doc_id"].append(str(i))
+                rows["spans"].append([{"kind": "text", "text": frag,
+                                       "media_ref": None, "offset": 0}])
+            yield docs_frame_to_spans(pd.DataFrame(rows), ExtractConfig())
+
+    flat = src.mapInPandas(kernel, SPAN_FLAT_SCHEMA)
+    return flat.where(F.col("kind") == "text").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+
+
 # 1f. font family parse (F1; FontTable.java:31,105-118)
 _FAM_RE = "([^+^-]*)[+-]([^+]*)"
 
