@@ -42,7 +42,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from . import fonts as F
-from .tokenizer import tokenize
+from .tokenizer import PdfName, tokenize
 
 # Sub-ordering space per token: event key = token_seq * KEY_STRIDE + sub.
 KEY_STRIDE = 1 << 20
@@ -742,10 +742,19 @@ class DocInterp:
             to x and ``tx*0.0 + ty*1.0`` to y — exact ``cx += tx`` /
             ``cy += ty`` (float addition of an exact +0.0), so the
             accumulated positions match the matrix chain bit for bit."""
+            # finiteness is part of the batched-eligibility contract: the
+            # scalar translate_pre multiplies each operand by 0.0/1.0, so
+            # an inf/NaN operand yields NaN there while plain `cx += tx`
+            # would keep inf — non-finite state falls back to the scalar
+            # path to stay bit-equal even on damaged streams
             tlm_ok = (tlm[0, 0] == 1.0 and tlm[0, 1] == 0.0
-                      and tlm[1, 0] == 0.0 and tlm[1, 1] == 1.0)
+                      and tlm[1, 0] == 0.0 and tlm[1, 1] == 1.0
+                      and math.isfinite(tlm[2, 0])
+                      and math.isfinite(tlm[2, 1]))
             cx, cy = float(tlm[2, 0]), float(tlm[2, 1])
             tl = g.tl
+            if not math.isfinite(tl):
+                return None
             bases: list[int] = []
             strs: list[str] = []
             xs: list[float] = []
@@ -753,7 +762,7 @@ class DocInterp:
             while j < ntok:
                 op1, a1 = tokens[j]
                 if op1 == "'":
-                    if not tlm_ok or not a1 or not isinstance(a1[0], str):
+                    if not tlm_ok or not a1 or type(a1[0]) is not str:
                         break
                     cy -= tl
                     bases.append(j * KEY_STRIDE)
@@ -765,20 +774,24 @@ class DocInterp:
                 if j + 1 >= ntok:
                     break
                 op2, a2 = tokens[j + 1]
-                if op2 != "Tj" or not a2 or not isinstance(a2[0], str):
+                if op2 != "Tj" or not a2 or type(a2[0]) is not str:
                     break
                 if op1 == "Tm":
                     if (len(a1) < 6 or a1[0] != 1.0 or a1[1] != 0.0
                             or a1[2] != 0.0 or a1[3] != 1.0
-                            or not isinstance(a1[4], float)
-                            or not isinstance(a1[5], float)):
+                            or type(a1[4]) is not float
+                            or type(a1[5]) is not float
+                            or not math.isfinite(a1[4])
+                            or not math.isfinite(a1[5])):
                         break
                     cx, cy = a1[4], a1[5]
                     tlm_ok = True
                 elif op1 == "Td" or op1 == "TD":
                     if (not tlm_ok or len(a1) < 2
-                            or not isinstance(a1[0], float)
-                            or not isinstance(a1[1], float)):
+                            or type(a1[0]) is not float
+                            or type(a1[1]) is not float
+                            or not math.isfinite(a1[0])
+                            or not math.isfinite(a1[1])):
                         break
                     if op1 == "TD":
                         tl = -a1[1]
@@ -871,8 +884,9 @@ class DocInterp:
             # --- text state (hot ops first: Tj/Tm/TJ/Td dominate) -----------
             if op == "Tj":
                 # PDFBox ShowText reads arguments.get(0) and shows nothing
-                # unless it is a string (stray operands in damaged streams)
-                if args and isinstance(args[0], str):
+                # unless it is a COSString — a /Name operand (PdfName) or
+                # number in a damaged stream is skipped
+                if args and type(args[0]) is str:
                     show(base, args[0])
             elif (op in _RUN_OPS and self.batch_runs and g.ctm_ident
                     and g.font not in self.cid2_fonts
@@ -894,7 +908,7 @@ class DocInterp:
                 arr = args[0] if isinstance(args[0], list) else []
                 sub = 0
                 for el in arr:
-                    if isinstance(el, str):
+                    if type(el) is str:
                         show(base + sub, el)
                         sub += len(el)
                     elif type(el) is float:
@@ -909,7 +923,13 @@ class DocInterp:
                 tm = ident(); tlm = ident()
             elif op == "ET":
                 pass
-            elif op == "Tf" and len(args) >= 2 and type(args[1]) is float:
+            elif (op == "Tf" and len(args) >= 2
+                    and type(args[0]) is PdfName
+                    and type(args[1]) is float):
+                # SetFontAndSize: COSName + COSNumber or no processing —
+                # the SAME acceptance rule as _prescan_fonts and
+                # pagesplit._TF_RE, so split and unsplit extraction agree
+                # on the font table even for damaged streams
                 g.font = str(args[0]); g.fsize = args[1]
             elif op == "Tw" and (nv := _nums(args, 1)) is not None:
                 g.tw = nv[0]; sticky_tw = nv[0]
@@ -922,8 +942,10 @@ class DocInterp:
             elif op == "Ts" and (nv := _nums(args, 1)) is not None:
                 g.ts = nv[0]
             elif op == "Tr" and (nv := _nums(args, 1)) is not None:
-                if math.isfinite(nv[0]):
-                    g.tr = int(nv[0])
+                # Java (int) semantics: NaN -> 0, inf saturates — an inf
+                # mode lands outside FILL/STROKE sets = invisible text,
+                # exactly what the reference's intValue() produces
+                g.tr = _jint(nv[0])
             elif op == "TD" and (nv := _nums(args, 2)) is not None:
                 g.tl = -nv[1]
                 tlm = translate_pre(nv[0], nv[1], tlm)
@@ -931,13 +953,13 @@ class DocInterp:
             elif op == "T*":
                 tlm = translate_pre(0.0, -g.tl, tlm)
                 tm = tlm.copy()
-            elif op == "'" and args and isinstance(args[0], str):
+            elif op == "'" and args and type(args[0]) is str:
                 tlm = translate_pre(0.0, -g.tl, tlm)
                 tm = tlm.copy()
                 show(base, args[0])
             elif (op == '"' and len(args) >= 3
                     and (nv := _nums(args, 2)) is not None
-                    and isinstance(args[2], str)):
+                    and type(args[2]) is str):
                 # the real text state updates (advances use it), but the
                 # STICKY Pdf2Dom style spacing does not: PDFBoxTree's
                 # switch matches only literal "Tw"/"Tc" operators
@@ -1068,7 +1090,13 @@ class DocInterp:
         j = start
         while j < len(tokens) and tokens[j][0] != "PG":
             op, args = tokens[j]
-            if op == "Tf" and args:
+            # the SAME Tf acceptance rule as the run-loop handler and
+            # pagesplit._TF_RE: a name plus a numeric size — otherwise a
+            # damaged Tf would register a font the split path's seed scan
+            # cannot see, desynchronizing split vs unsplit font tables
+            if (op == "Tf" and len(args) >= 2
+                    and type(args[0]) is PdfName
+                    and type(args[1]) is float):
                 self.font_table.add_entry(str(args[0]))
             j += 1
 
@@ -1225,7 +1253,11 @@ def doc_tokens(spans: list[dict]) -> list[tuple[str, list]]:
 
     def expand(sub: list, active: frozenset, depth: int) -> None:
         for op, args in sub:
-            if (op == "Do" and args and str(args[-1]) in forms
+            # Do requires a COSName operand (PDFBoxTree.java:548); a
+            # string literal that happens to equal a form name must not
+            # trigger expansion
+            if (op == "Do" and args and type(args[-1]) is PdfName
+                    and str(args[-1]) in forms
                     and str(args[-1]) not in active
                     and depth < _FORM_DEPTH_MAX):
                 nm = str(args[-1])

@@ -45,7 +45,10 @@ _SPECIAL_RE = re.compile(r"[(<%]")
 # into one name the interpreter never sees)
 _PG_RE = re.compile(r"(?:[-+]?[\d.]+\s+){3}PG\b")
 _NAME = r"([^\s/\[\]()<>{}%]+)"
-_TF_RE = re.compile(r"/" + _NAME + r"\s+[-+]?[\d.]+\s+Tf\b")
+# the size operand uses the TOKENIZER'S number shape (a lone '.' is not a
+# number there), so this prescan accepts exactly the Tf ops the
+# interpreter's COSName+COSNumber acceptance rule processes
+_TF_RE = re.compile(r"/" + _NAME + r"\s+[-+]?(?:\d+\.\d*|\.\d+|\d+)\s+Tf\b")
 _DO_RE = re.compile(r"/" + _NAME + r"\s+Do\b")
 
 

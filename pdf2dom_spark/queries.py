@@ -1037,6 +1037,14 @@ def color_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") * 83 % 256).cast("int")).alias("hex"))
 
 
+def _doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id-only source, salted on the raw 64-bit hash — the shared
+    scaffold of the synthesize-inside-the-query kernel gates."""
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id").repartition(p, F.xxhash64("doc_id")))
+
+
 # 1e-cos. M7 COS value coercion under the cross-engine gate (previously
 # pytest-only): per-doc streams exercise the full-tier tokenizer's string
 # coercions — 3-digit octal escapes, escaped parens/backslash, and a
@@ -1056,9 +1064,7 @@ def cos_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .extract import docs_frame_to_spans
 
-    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    src = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-           .select("doc_id").repartition(p, F.xxhash64("doc_id")))
+    src = _doc_ids(spark, sf_dir)
 
     def kernel(batches):
         for pdf in batches:
@@ -1312,9 +1318,7 @@ def line_width_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .extract import docs_frame_to_spans
 
-    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    src = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-           .select("doc_id").repartition(p, F.xxhash64("doc_id")))
+    src = _doc_ids(spark, sf_dir)
 
     def kernel(batches):
         for pdf in batches:

@@ -57,6 +57,16 @@ _NUM_RE = re.compile(r"[-+]?(?:\d+\.\d*|\.\d+|\d+)")
 _OP_RE = re.compile(r"[A-Za-z'\"][A-Za-z0-9*'\"]*")
 _WS = " \t\r\n\f\x00"
 
+class PdfName(str):
+    """A /Name operand. Subclassing str keeps every existing consumer
+    working (equality, hashing, str() all behave like the bare name), but
+    lets operator handlers mirror PDFBox's COSName-vs-COSString operand
+    typing: Tf and Do require a NAME, show operators require a STRING —
+    a damaged stream putting one where the other belongs is skipped,
+    exactly like the reference's instanceof checks."""
+    __slots__ = ()
+
+
 _ESCAPES = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f",
             "(": "(", ")": ")", "\\": "\\"}
 
@@ -211,7 +221,7 @@ def _tokenize_full(fragment: str) -> list[tuple[str, list]]:
             pos += 1
         elif c == "/":
             m = _NAME_RE.match(fragment, pos)
-            args.append(m.group(0)[1:])
+            args.append(PdfName(m.group(0)[1:]))
             pos = m.end()
         else:
             m = _NUM_RE.match(fragment, pos)
@@ -253,7 +263,7 @@ def tokenize(fragment: str) -> list[tuple[str, list]]:
             s = _unescape(sstr[1:-1])
             (arr if arr is not None else args).append(s)
         elif name:
-            args.append(name[1:])
+            args.append(PdfName(name[1:]))
         elif lbrk:
             arr = []
         else:  # rbrk

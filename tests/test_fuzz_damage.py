@@ -73,6 +73,55 @@ def test_hostile_streams_never_crash():
             assert isinstance(rows, list)  # produced SOMETHING, no raise
 
 
+def test_operand_typing_matches_reference():
+    """COSName-vs-COSString operand typing (tokenizer.PdfName): Tf requires
+    a name + number (same rule in the interpreter, _prescan_fonts, and
+    pagesplit._TF_RE — a damaged Tf must not desynchronize split vs
+    unsplit font tables); show operators require a string; Tr applies
+    Java (int) semantics to non-finite modes."""
+    pg = "612 792 0 PG "
+
+    # Tf with a string size: skipped everywhere -> no such font entry
+    rows = extract_doc("d", [{"kind": "text", "text":
+        pg + "BT /AAA+Helvetica (x) Tf /Mono 10 Tf (t) Tj ET",
+        "media_ref": None, "offset": 0}], ExtractConfig())
+    fonts = [r["text"] for r in rows if r["kind"] == "font"]
+    assert fonts == ["Mono"], fonts
+
+    # Tf with a string-literal "name": also skipped (COSName required)
+    rows = extract_doc("d", [{"kind": "text", "text":
+        pg + "BT (lit) 10 Tf /Mono 10 Tf (t) Tj ET",
+        "media_ref": None, "offset": 0}], ExtractConfig())
+    fonts = [r["text"] for r in rows if r["kind"] == "font"]
+    assert fonts == ["Mono"], fonts
+
+    # a /Name operand to Tj shows nothing (ShowText requires COSString)
+    rows = extract_doc("d", [{"kind": "text", "text":
+        pg + "BT /Mono 10 Tf 72 700 Td /NotText Tj (real) Tj ET",
+        "media_ref": None, "offset": 0}], ExtractConfig())
+    texts = [r["text"] for r in rows if r["kind"] == "text"]
+    assert texts == ["real"], texts
+
+    # a string literal equal to a form name must NOT trigger Do expansion
+    rows = extract_doc("d", [
+        {"kind": "form", "text": "/Helvetica 8 Tf 1 0 0 1 72 770 Tm (hdr) Tj",
+         "media_ref": "form:Hdr", "offset": 0},
+        {"kind": "text", "text":
+         pg + "BT (Hdr) Do /Mono 10 Tf 72 700 Td (body) Tj ET",
+         "media_ref": None, "offset": 1}], ExtractConfig())
+    texts = [r["text"] for r in rows if r["kind"] == "text"]
+    assert texts == ["body"], texts
+
+    # inf rendering mode -> Java intValue() saturates out of the FILL set:
+    # text renders with transparent colors, not the stale previous mode
+    rows = extract_doc("d", [{"kind": "text", "text":
+        pg + "BT /Mono 10 Tf 72 700 Td " + "9" * 350 +
+        " Tr (ghost) Tj ET", "media_ref": None, "offset": 0}],
+        ExtractConfig())
+    tx = next(r for r in rows if r["kind"] == "text")
+    assert tx["style_color"] == "rgba(0,0,0,0)", tx["style_color"]
+
+
 def test_corrupt_pdf_bytes_terminate():
     """pdf_to_spans on mutated/truncated/garbage PDF bytes must TERMINATE
     (raise or return) — never hang or corrupt state. The production ingest

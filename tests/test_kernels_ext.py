@@ -301,6 +301,10 @@ def test_show_run_batched_equals_scalar():
             assert len(va) == len(vb), (ctx, k)
             if getattr(va, "dtype", None) is not None and va.dtype == object:
                 assert all(x == y for x, y in zip(va, vb)), (ctx, k)
+            elif va.dtype.kind == "f":
+                # bit-equality including NaN slots (inf-operand chains
+                # produce NaN positions on BOTH paths by design)
+                assert np.array_equal(va, vb, equal_nan=True), (ctx, k)
             else:
                 assert np.array_equal(va, vb), (ctx, k)
 
@@ -337,6 +341,10 @@ def test_show_run_batched_equals_scalar():
              "T* (l3) Tj T* (l4) Tj ET",                  # TD rebinds TL
         pg + "BT /Helvetica 12 Tf 2 0 0 2 72 700 Tm (scaled) Tj "
              "0 -14 Td (still scaled) Tj ET",             # non-translate tlm
+        pg + "BT /Helvetica 12 Tf 72 700 Td (a) Tj 0 " + "9" * 350 +
+             " Td (b) Tj 0 -14 Td (c) Tj ET",  # inf operand -> scalar path
+        pg + "BT /Helvetica 12 Tf 72 700 Td (a) Tj 0 -5 Td /Nm Tj "
+             "0 -5 Td (c) Tj ET",              # name breaks the run
     ]
     for ci, frag in enumerate(chains):
         spans = [{"kind": "text", "text": frag, "media_ref": None,
