@@ -119,13 +119,27 @@ CSS_FONT_WEIGHT = ["normal", "normal", "bold", "normal", "bold"]
 CSS_FONT_STYLE = ["normal", "normal", "normal", "italic", "italic"]
 
 
+# pure functions of the PDF font name, called once per show op in the
+# kernel hot loop — a corpus has few distinct font names, so a bounded
+# dict memo turns the linear keyword scans into one hash probe
+_KNOWN_FAMILY_CACHE: dict[str, str] = {}
+_WEIGHT_STYLE_CACHE: dict[str, tuple[str, str]] = {}
+
+
 def find_known_font_family(font_name: str) -> str:
     """PDFBoxTree.findKnownFontFamily (PDFBoxTree.java:756-764)."""
+    hit = _KNOWN_FAMILY_CACHE.get(font_name)
+    if hit is not None:
+        return hit
     low = font_name.lower()
+    out = ""
     for fam in CSS_FONT_FAMILY:
         if low.find(fam.lower().replace(" ", "")) >= 0:
-            return fam
-    return ""
+            out = fam
+            break
+    if len(_KNOWN_FAMILY_CACHE) < 65536:
+        _KNOWN_FAMILY_CACHE[font_name] = out
+    return out
 
 
 def font_weight_style(font_name: str) -> tuple[str, str]:
@@ -135,11 +149,18 @@ def font_weight_style(font_name: str) -> tuple[str, str]:
     ``lastIndexOf >= 0`` hit, so "bolditalic" can never win over "bold"
     (mirrored bug-for-bug).
     """
+    hit = _WEIGHT_STYLE_CACHE.get(font_name)
+    if hit is not None:
+        return hit
     low = font_name.lower()
+    out = (CSS_FONT_WEIGHT[0], CSS_FONT_STYLE[0])
     for i, key in enumerate(PD_FONT_TYPE):
         if low.rfind(key) >= 0:
-            return (CSS_FONT_WEIGHT[i], CSS_FONT_STYLE[i])
-    return (CSS_FONT_WEIGHT[0], CSS_FONT_STYLE[0])
+            out = (CSS_FONT_WEIGHT[i], CSS_FONT_STYLE[i])
+            break
+    if len(_WEIGHT_STYLE_CACHE) < 65536:
+        _WEIGHT_STYLE_CACHE[font_name] = out
+    return out
 
 
 # --- FontTable (FontTable.java) ---------------------------------------------
@@ -173,6 +194,9 @@ class FontTable:
         self.entries: list[dict] = []
         self._keys: set[tuple[str, str, str]] = set()
         self._used_names: set[str] = set()
+        # name -> used_name index: type/subtype are functions of the name,
+        # so one entry per name and the dict mirrors the list exactly
+        self._by_name: dict[str, str] = {}
 
     def add_entry(self, font_name: str) -> None:
         if not is_supported(font_name):
@@ -189,6 +213,7 @@ class FontTable:
             {"name": font_name, "family": family, "used_name": used,
              "type": ftype, "subtype": subtype}
         )
+        self._by_name[font_name] = used
 
     def _next_used_name(self, family: str) -> str:
         used, i = family, 0
@@ -199,10 +224,7 @@ class FontTable:
 
     def get_used_name(self, font_name: str) -> str | None:
         """FontTable.getUsedName — lookup by font, None when absent."""
-        for e in self.entries:
-            if e["name"] == font_name:
-                return e["used_name"]
-        return None
+        return self._by_name.get(font_name)
 
 
 def resolve_family(font_name: str, table: FontTable) -> str:
