@@ -1088,6 +1088,98 @@ def cos_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"), "text")
 
 
+# 1e-embed. S7 embed resource handler under the cross-engine gate
+# (previously pytest-only): the kernel runs with image_handler="embed",
+# which must pass the image XObject's media_ref through UNCHANGED
+# (EmbedAsBase64Handler keeps the payload inline,
+# PDFDomTree.java:431-434); the data-URI is then assembled JVM-side from
+# deterministic per-ref bytes — concat + base64(unhex(md5(ref))) — so the
+# value hash covers both the handler passthrough and the base64 codec
+# against DuckDB's to_base64/unhex/md5.
+
+@_reg("resource_embed_datauri", """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'data:image/png;base64,'
+       || to_base64(unhex(md5('media:' || doc_id))) AS data_uri
+FROM documents
+""")
+def resource_embed_datauri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .extract import docs_frame_to_spans
+
+    src = _doc_ids(spark, sf_dir)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "spans": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                rows["doc_id"].append(str(i))
+                rows["spans"].append([
+                    {"kind": "text", "text": "612 792 0 PG",
+                     "media_ref": None, "offset": 0},
+                    {"kind": "image", "text": f"64 48 Im{i % 7}",
+                     "media_ref": f"media:{i}", "offset": 1},
+                ])
+            yield docs_frame_to_spans(
+                pd.DataFrame(rows), ExtractConfig(image_handler="embed"))
+
+    flat = src.mapInPandas(kernel, SPAN_FLAT_SCHEMA)
+    return (flat.where(F.col("kind") == "image")
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.concat(F.lit("data:image/png;base64,"),
+                             F.base64(F.unhex(F.md5(F.col("media_ref")))))
+                    .alias("data_uri")))
+
+
+# 1e-dup. P2/P3 vestigial-filter discovery under the cross-engine gate:
+# the reference's duplicate-overlap suppression and position sort are
+# DEAD CODE (processTextPosition overridden without super,
+# PDFBoxTree.java:158,592-656) — so a show sequence B, A, B where the two
+# B's overlap EXACTLY and A sits above them must come out as THREE boxes
+# in stream order, duplicates intact, never re-sorted by position. The
+# oracle enumerates that order in closed form; any suppression (2 rows)
+# or position sort (A first) breaks the value hash.
+
+@_reg("dup_overlap_stream_order", """
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, o.ord,
+       CASE WHEN o.ord = 1
+            THEN 'A' || chr(CAST(65 + d.doc_id % 26 AS INT))
+            ELSE 'B' || chr(CAST(65 + d.doc_id % 26 AS INT)) END AS text
+FROM documents d
+CROSS JOIN (SELECT unnest([0, 1, 2]) AS ord) o
+""")
+def dup_overlap_stream_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .extract import docs_frame_to_spans
+
+    src = _doc_ids(spark, sf_dir)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "spans": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                c = chr(65 + i % 26)
+                frag = ("612 792 0 PG BT /Mono 10 Tf "
+                        f"1 0 0 1 72 700 Tm (B{c}) Tj "
+                        f"1 0 0 1 72 750 Tm (A{c}) Tj "
+                        f"1 0 0 1 72 700 Tm (B{c}) Tj ET")
+                rows["doc_id"].append(str(i))
+                rows["spans"].append([{"kind": "text", "text": frag,
+                                       "media_ref": None, "offset": 0}])
+            yield docs_frame_to_spans(pd.DataFrame(rows), ExtractConfig())
+
+    flat = src.mapInPandas(kernel, SPAN_FLAT_SCHEMA)
+    w = Window.partitionBy("doc_id").orderBy("order")
+    return (flat.where(F.col("kind") == "text")
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    (F.row_number().over(w) - 1).cast("int").alias("ord"),
+                    "text"))
+
+
 # 1f. font family parse (F1; FontTable.java:31,105-118)
 _FAM_RE = "([^+^-]*)[+-]([^+]*)"
 
