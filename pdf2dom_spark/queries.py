@@ -1180,6 +1180,78 @@ def dup_overlap_stream_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "text"))
 
 
+# 1e-raster. G11 filled-path rasterizer under the cross-engine gate
+# (previously pytest-only): each doc fills a right triangle
+# (m/l/l/h f -> PathDrawer polygon, PathDrawer.java:43-136) with
+# raster_paths=True; the kernel decodes ITS OWN emitted
+# data:image/png;base64 URI (stdlib PNG reader) and reports the filled
+# pixel count + int-truncated canvas bounds. The oracle replays the
+# even-odd pixel-center scanline in closed form — per row r the span is
+# [0, a - ((r+0.5)/b)*a), so the count is ceil(X-0.5) clamped at 0 —
+# with IEEE-identical double arithmetic (validated exhaustively over the
+# leg-size grid before registration). Any drift in polygon vertexing,
+# bounds truncation, scanline sampling, or the PNG codec breaks the
+# value hash.
+
+@_reg("raster_fill_counts", """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  CAST(20 + doc_id % 13 AS DOUBLE) AS a,
+                  CAST(10 + doc_id % 7 AS DOUBLE) AS b
+           FROM documents),
+rows AS (SELECT doc_id, a, b, r
+         FROM d, generate_series(0, 15) g(r)
+         WHERE r < CAST(b AS BIGINT))
+SELECT doc_id, CAST(a AS INT) AS w, CAST(b AS INT) AS h,
+       CAST(SUM(GREATEST(0, CAST(ceil((a + ((r + 0.5) / b) * (0 - a))
+                                      - 0.5) AS BIGINT)))
+            AS BIGINT) AS filled_px
+FROM rows GROUP BY doc_id, a, b
+""")
+def raster_fill_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .extract import docs_frame_to_spans
+
+    src = _doc_ids(spark, sf_dir)
+
+    def kernel(batches):
+        import base64
+
+        from .raster import decode_png_rgba
+
+        for pdf in batches:
+            rows = {"doc_id": [], "spans": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                a, b = 20 + i % 13, 10 + i % 7
+                frag = (f"612 792 0 PG 72 700 m {72 + a} 700 l "
+                        f"72 {700 - b} l h f")
+                rows["doc_id"].append(str(i))
+                rows["spans"].append([{"kind": "text", "text": frag,
+                                       "media_ref": None, "offset": 0}])
+            flat = docs_frame_to_spans(
+                pd.DataFrame(rows), ExtractConfig(raster_paths=True))
+            img = flat[flat["kind"] == "image"]
+            out = {"doc_id": [], "w": [], "h": [], "filled_px": []}
+            for _, rec in img.iterrows():
+                png = base64.b64decode(rec["media_ref"].split(",", 1)[1])
+                arr = decode_png_rgba(png)
+                out["doc_id"].append(int(rec["doc_id"]))
+                out["w"].append(int(rec["style_width"]))
+                out["h"].append(int(rec["style_height"]))
+                out["filled_px"].append(int((arr[:, :, 3] == 255).sum()))
+            yield pd.DataFrame(out)
+
+    import pyspark.sql.types as T
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("filled_px", T.LongType()),
+    ])
+    return src.mapInPandas(kernel, schema)
+
+
 # 1f. font family parse (F1; FontTable.java:31,105-118)
 _FAM_RE = "([^+^-]*)[+-]([^+]*)"
 
