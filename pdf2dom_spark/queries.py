@@ -1824,6 +1824,102 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q1_SQL)
 
 
+# TPC-H Q3 analog (shipping-priority top-k): selective filters pushed to
+# all three scans, lineitem⋈orders shuffle join, the filtered BUILDING
+# customer keys broadcast, then a hash agg and an exact fixed-point
+# top-10 (Q1's FLOOR(x*100+0.5) centi-unit idiom — integer revenue makes
+# the cross-engine ranking ulp-proof; a double SUM's addend order could
+# flip ties). At 100 TB: the two date filters prune most of both fact
+# scans before the only big shuffle, and the top-10 is a
+# TakeOrderedAndProject (per-partition heaps, no global sort).
+_REV_C4 = ("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+           " * CAST(FLOOR((1 - l_discount) * 100 + 0.5) AS BIGINT)")
+
+@_reg("tpch_q3_shipping", f"""
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(SUM({_REV_C4}) AS BIGINT) AS revenue_c4
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_c4 DESC, l_orderkey
+LIMIT 10
+""")
+def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .where(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .where(F.col("o_orderdate")
+                     < F.lit("1998-06-01").cast("timestamp"))
+              .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .where(F.col("l_shipdate")
+                 > F.lit("1998-06-01").cast("timestamp"))
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    rev = (F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+           * F.floor((1 - F.col("l_discount")) * 100 + 0.5).cast("long"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.sum(rev).cast("long").alias("revenue_c4"))
+            .select(F.col("l_orderkey").cast("long").alias("l_orderkey"),
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("o_orderdate"),
+                    "revenue_c4")
+            .orderBy(F.desc("revenue_c4"), "l_orderkey")
+            .limit(10))
+
+
+# TPC-H Q5 analog (local-supplier volume): the canonical
+# big-facts × tiny-dims shape — region (5 rows) and nation (25 rows)
+# BROADCAST so the region restriction prunes both key-joins without a
+# shuffle; customer⋈orders⋈lineitem⋈supplier shuffle on their keys; the
+# c_nationkey = s_nationkey "local" predicate rides the join. Exact
+# centi-unit revenue as in Q1/Q3.
+@_reg("tpch_q5_local_supplier", f"""
+SELECT n_name, CAST(SUM({_REV_C4}) AS BIGINT) AS revenue_c4
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""")
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey")
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .where((F.col("o_orderdate")
+                      >= F.lit("1996-01-01").cast("timestamp"))
+                     & (F.col("o_orderdate")
+                        < F.lit("1997-01-01").cast("timestamp")))
+              .select("o_orderkey", "o_custkey"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    reg = (spark.read.parquet(f"{sf_dir}/region.parquet")
+           .where(F.col("r_name") == "ASIA").select("r_regionkey"))
+    rev = (F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+           * F.floor((1 - F.col("l_discount")) * 100 + 0.5).cast("long"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(supp, (li.l_suppkey == supp.s_suppkey)
+                  & (cust.c_nationkey == supp.s_nationkey))
+            .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+            .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.sum(rev).cast("long").alias("revenue_c4")))
+
+
 # M9 CSS serialization (BoxStyle.toString, BoxStyle.java:88-114) through
 # the REAL renderer: extraction output -> render_html.text_css per span,
 # value-hash-checked against the closed-form CSS strings DuckDB builds
