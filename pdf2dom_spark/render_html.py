@@ -78,6 +78,13 @@ def text_css(r: dict) -> str:
     return "".join(out)
 
 
+def font_face_css(family: str, url: str) -> str:
+    """createFontFace @font-face rule (PDFDomTree.java:473-492): the
+    font-table used_name as font-family, the handler's resource ref as
+    src — one rule per registered font, emitted into the global style."""
+    return f'@font-face {{font-family:"{family}";src:url(\'{url}\');}}'
+
+
 def render_doc_html(rows: list[dict], title: str = "PDF Document") -> str:
     """Ordered span records (one document) -> XHTML string."""
     # document-info title overrides the default when non-blank
@@ -143,10 +150,7 @@ def render_doc_html(rows: list[dict], title: str = "PDF Document") -> str:
             if cur is not None:
                 cur.append(f'<img style="{st}" src="{_esc(src)}"/>\n')
         elif kind == "font":
-            # createFontFace (PDFDomTree.java:473-492)
-            font_faces.append(
-                f'@font-face {{font-family:"{r["text"]}";'
-                f"src:url('{r['media_ref']}');}}")
+            font_faces.append(font_face_css(r["text"], r["media_ref"]))
     if cur is not None:
         pages.append("".join(cur) + "</div>\n")
 

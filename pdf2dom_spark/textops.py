@@ -1239,3 +1239,122 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chunk_hash")))
     return (t.select("doc_id", F.explode(chunks).alias("c"))
             .select("doc_id", "c.chunk_id", "c.n_tokens", "c.chunk_hash"))
+
+
+# ---------------------------------------------------------------------------
+# duplicated-substring detection: the substring-level dedup primitive
+# ("Deduplicating Training Data Makes Language Models Better" -- the
+# suffix-array pass's scalable approximation): every POSITIONAL 8-word
+# window is hashed, windows whose hash occurs in >= 2 distinct documents
+# are marked duplicated, and each affected doc reports how much of it is
+# covered. Distinct from decontaminate (doc-vs-benchmark membership) and
+# dedup_exact (whole-doc): this finds shared PASSAGES inside otherwise
+# distinct documents. 100 TB shape: one explode of positional shingles,
+# a two-step distinct+count on the hash (both map-side combinable), then
+# a shuffle hash join shingles><dup-hashes -- the dup-hash side is NOT
+# broadcast (at corpus scale it is unbounded); per-key the dup list is
+# pre-aggregated to one row so the join cannot blow up, and AQE handles
+# hot-hash skew. Output is one small row per affected doc.
+# ---------------------------------------------------------------------------
+
+_DUP_W = 8
+
+@_reg("dup_substring_detect", f"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE length(text) > 0
+),
+s AS (
+  SELECT doc_id, CAST(c AS INT) AS pos,
+         md5(list_aggregate(ws[c + 1 : c + {_DUP_W}], 'string_agg', ' ')) AS h
+  FROM t, UNNEST(generate_series(0, len(ws) - {_DUP_W})) AS u(c)
+  WHERE len(ws) >= {_DUP_W}
+),
+d AS (
+  SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM s GROUP BY h)
+  WHERE nd >= 2
+),
+nw AS (
+  SELECT doc_id, CAST(len(ws) - {_DUP_W} + 1 AS INT) AS n_windows
+  FROM t WHERE len(ws) >= {_DUP_W}
+)
+SELECT s.doc_id, nw.n_windows,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_windows,
+       CAST(MIN(s.pos) AS INT) AS first_dup_pos
+FROM s JOIN d USING (h) JOIN nw ON nw.doc_id = s.doc_id
+GROUP BY s.doc_id, nw.n_windows
+""")
+def dup_substring_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = (_docs(spark, sf_dir).where(F.length("text") > 0)
+         .select(F.col("doc_id").cast("long").alias("doc_id"),
+                 F.split("text", " ").alias("ws"))
+         .where(F.size("ws") >= _DUP_W))
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - _DUP_W),
+        lambda c: F.struct(
+            c.cast("int").alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice(
+                F.col("ws"), c.cast("int") + 1, _DUP_W))).alias("h")))
+    s = (t.select("doc_id", F.explode(wins).alias("w"))
+         .select("doc_id", "w.pos", "w.h"))
+    # hashes seen in >= 2 distinct docs: distinct (h, doc_id) first so the
+    # count is a plain map-side-combinable COUNT, not COUNT(DISTINCT)
+    dup = (s.select("h", "doc_id").distinct()
+           .groupBy("h").count().where(F.col("count") >= 2).select("h"))
+    nw = t.select("doc_id",
+                  (F.size("ws") - _DUP_W + 1).cast("int").alias("n_windows"))
+    return (s.join(dup, "h")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_dup_windows"),
+                 F.min("pos").cast("int").alias("first_dup_pos"))
+            .join(nw, "doc_id")
+            .select("doc_id", "n_windows", "n_dup_windows", "first_dup_pos"))
+
+
+# ---------------------------------------------------------------------------
+# corpus bigram familiarity: a counting LM quality signal -- score each
+# document by how common its word bigrams are in the WHOLE corpus (docs
+# made of rare sequences score low; the integer-sum analog of an n-gram
+# LM log-prob filter, kept in exact integers so the cross-engine check is
+# ulp-proof). Two passes over one positional-bigram explode: (1) global
+# bigram counts = map-side-combinable hash agg; (2) join occurrences back
+# to their count (per-key build side is the 1-row aggregate -- join output
+# == occurrence count, no blowup) and re-aggregate per doc. At 100 TB the
+# bigram vocabulary is unbounded so the count side is NOT broadcast; both
+# shuffles key on the bigram/doc hash, AQE splits hot bigrams.
+# ---------------------------------------------------------------------------
+
+@_reg("bigram_familiarity", """
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE length(text) > 0
+),
+b AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg
+  FROM t, UNNEST(generate_series(1, len(ws) - 1)) AS u(i)
+  WHERE len(ws) >= 2
+),
+c AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY bg)
+SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(c.cnt) AS BIGINT) AS fam_sum,
+       CAST(FLOOR(1000.0 * SUM(c.cnt) / COUNT(*)) AS BIGINT) AS fam_avg_x1000
+FROM b JOIN c USING (bg)
+GROUP BY b.doc_id
+""")
+def bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = (_docs(spark, sf_dir).where(F.length("text") > 0)
+         .select(F.col("doc_id").cast("long").alias("doc_id"),
+                 F.split("text", " ").alias("ws"))
+         .where(F.size("ws") >= 2))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 1),
+        lambda i: F.concat(F.element_at("ws", i), F.lit(" "),
+                           F.element_at("ws", i + 1)))
+    b = t.select("doc_id", F.explode(grams).alias("bg"))
+    c = b.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    return (b.join(c, "bg")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum("cnt").alias("fam_sum"),
+                 F.floor(1000.0 * F.sum("cnt") / F.count(F.lit(1)))
+                 .alias("fam_avg_x1000")))

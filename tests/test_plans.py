@@ -280,3 +280,27 @@ def test_chunk_and_quantize_are_narrow(spark):
         assert "Exchange" not in plan, name
         assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, \
             name
+
+
+def test_tpch_q3_pushdown_and_broadcast(spark):
+    from pdf2dom_spark.queries import all_queries
+    q = all_queries()["tpch_q3_shipping"](spark, SF_SMOKE)
+    fmt = _fmt(q)
+    pushed = [ln for ln in fmt.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln for ln in pushed)
+    assert any("l_shipdate" in ln for ln in pushed)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan          # BUILDING customer keys
+    assert "TakeOrderedAndProject" in plan      # top-10, no global sort
+
+
+def test_tpch_q5_broadcasts_tiny_dims(spark):
+    from pdf2dom_spark.queries import all_queries
+    q = all_queries()["tpch_q5_local_supplier"](spark, SF_SMOKE)
+    plan = _plan(q)
+    # nation and region both ride broadcast joins; the fact-side joins
+    # stay shuffle joins (no accidental broadcast of customer/orders)
+    assert plan.count("BroadcastHashJoin") >= 2
+    fmt = _fmt(q)
+    assert any("r_name" in ln for ln in fmt.splitlines()
+               if "PushedFilters" in ln)
