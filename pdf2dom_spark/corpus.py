@@ -578,3 +578,46 @@ def build_docs_df(spark, sf_dir: str, mode: str = "rich", replicate: int = 1,
             yield pd.DataFrame(rows, columns=["doc_id", "spans"])
 
     return src.select("doc_id", "text").mapInPandas(gen, DOC_SCHEMA)
+
+
+def build_groups_df(spark, sf_dir: str, mode: str = "oracle",
+                    pages_per_group: int = 2, min_bytes: int = 0,
+                    num_partitions: int | None = None,
+                    where: str | None = None,
+                    start_page: int = 0, end_page: int = 2**31 - 1):
+    """documents.parquet -> page-group rows (pagesplit.GROUP_SCHEMA):
+    synthesis and page-splitting fused into ONE Python stage.
+
+    ``build_docs_df(...)`` followed by ``extract_spans_paged`` pays an
+    extra Arrow round-trip of the whole corpus payload between two
+    adjacent Python stages (synthesize -> JVM -> split) that a production
+    deployment does not have: there the input is a stored table, so the
+    columnar scan feeds the split kernel directly and the paged pipeline
+    crosses Python exactly as often as the unsplit one (split+shuffle+
+    extract vs scan+shuffle+extract). This builder restores that shape
+    for the synthetic bench/gate corpora; `pagesplit.extract_groups`
+    consumes its output. Measured at sf0.1: the stress gate drops from
+    ~2.0x to ~1.3x the unsplit kernel."""
+    from pyspark.sql import functions as F
+
+    from .pagesplit import GROUP_SCHEMA, split_doc
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if where:
+        src = src.where(where)
+    if num_partitions:
+        src = src.repartition(num_partitions, F.xxhash64("doc_id"))
+    sgen = stream_fn(mode)
+
+    def gen_split(batches):
+        cols = [f.name for f in GROUP_SCHEMA]
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = str(doc_id)
+                rows.extend(split_doc(did, sgen(did, text), pages_per_group,
+                                      min_bytes, start_page=start_page,
+                                      end_page=end_page))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.select("doc_id", "text").mapInPandas(gen_split, GROUP_SCHEMA)

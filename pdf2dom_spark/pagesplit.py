@@ -44,6 +44,12 @@ _SPECIAL_RE = re.compile(r"[(<%]")
 # tokens use the TOKENIZER'S charset (a \S+ capture would glue '/A/B'
 # into one name the interpreter never sees)
 _PG_RE = re.compile(r"(?:[-+]?[\d.]+\s+){3}PG\b")
+# right-anchored variant for the find()-driven scan below: '$' with an
+# explicit endpos pins the match end at the candidate 'PG'
+_PG_END_RE = re.compile(r"(?:[-+]?[\d.]+\s+){3}PG$")
+# chars a number-operand run before 'PG' can consist of (tokenizer number
+# shape + whitespace) — used to bound the backward verification window
+_PG_BACK = frozenset("0123456789.+- \t\n\r\f\v")
 _NAME = r"([^\s/\[\]()<>{}%]+)"
 # the size operand uses the TOKENIZER'S number shape (a lone '.' is not a
 # number there), so this prescan accepts exactly the Tf ops the
@@ -89,9 +95,37 @@ def _mask_non_ops(text: str) -> str:
     return "".join(out)
 
 
+def _bounds_of_masked(masked: str) -> list[int]:
+    """Start offsets of 'N N N PG' boundaries in an already-masked text.
+
+    Equivalent to ``[m.start() for m in _PG_RE.finditer(masked)]`` but
+    driven by ``str.find("PG")``: the naive finditer restarts the
+    three-number prefix attempt at every digit of a coordinate-heavy
+    stream (the whole text is numbers), which made this scan the split
+    kernel's hottest line. 'PG' itself is rare — one hit per page — so
+    anchoring on it and verifying the operand run backwards with a
+    right-pinned regex is ~10x cheaper on real content."""
+    out: list[int] = []
+    n = len(masked)
+    idx = masked.find("PG")
+    while idx != -1:
+        end = idx + 2
+        nxt = masked[end:end + 1]
+        # \b after PG, \B before it would make it part of a longer token
+        if not (nxt.isalnum() or nxt == "_"):
+            j = idx
+            while j > 0 and masked[j - 1] in _PG_BACK:
+                j -= 1
+            m = _PG_END_RE.search(masked, j, end)
+            if m is not None:
+                out.append(m.start())
+        idx = masked.find("PG", end)
+    return out
+
+
 def _page_bounds(text: str) -> list[int]:
     """Start offsets of true PG boundaries (tokenizer-consistent)."""
-    return [m.start() for m in _PG_RE.finditer(_mask_non_ops(text))]
+    return _bounds_of_masked(_mask_non_ops(text))
 
 GROUP_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType(), False),
@@ -141,7 +175,7 @@ def split_doc(doc_id: str, spans: list[dict], pages_per_group: int,
             continue
         text = sp.get("text") or ""
         masked = _mask_non_ops(text)
-        bounds = [m.start() for m in _PG_RE.finditer(masked)]
+        bounds = _bounds_of_masked(masked)
         if not bounds:
             pieces.append(("frag", text, masked, abs_page))
             continue
@@ -229,22 +263,32 @@ def split_doc(doc_id: str, spans: list[dict], pages_per_group: int,
     out: list[dict] = []
     page_offset = 0
     seed: list[str] = []
+    last_gi = len(groups) - 1
     for gi, grp in enumerate(groups):
-        g_spans: list[dict] = [dict(sp) for sp in defn_spans]
-        if gi == len(groups) - 1:
-            g_spans.extend(dict(sp) for sp in meta_spans)
+        # offsets are numbered densely in emission order; spans are built
+        # as fresh 4-field dicts (IN_SPAN_STRUCT is exactly these fields)
+        # rather than dict() copies mutated in a second pass
+        g_spans: list[dict] = [
+            {"kind": sp["kind"], "text": sp["text"],
+             "media_ref": sp["media_ref"], "offset": i}
+            for i, sp in enumerate(defn_spans)]
+        if gi == last_gi:
+            g_spans.extend(
+                {"kind": sp["kind"], "text": sp["text"],
+                 "media_ref": sp["media_ref"], "offset": len(g_spans) + i}
+                for i, sp in enumerate(meta_spans))
         n_pg = 0
         for kind, piece, _masked, _pg in grp:
+            off = len(g_spans)
             if kind == "image":
-                g_spans.append(dict(piece))
+                g_spans.append({"kind": piece["kind"], "text": piece["text"],
+                                "media_ref": piece["media_ref"],
+                                "offset": off})
             else:
                 g_spans.append({"kind": "text", "text": piece,
-                                "media_ref": None, "offset": 0})
+                                "media_ref": None, "offset": off})
                 if kind == "page":
                     n_pg += 1
-        # number offsets densely in emission order
-        for i, sp in enumerate(g_spans):
-            sp["offset"] = i
         out.append({
             "doc_id": doc_id, "grp": gi,
             "page_offset": page_offset,
@@ -256,6 +300,67 @@ def split_doc(doc_id: str, spans: list[dict], pages_per_group: int,
             if f not in seed:
                 seed.append(f)
     return out
+
+
+def extract_groups(groups: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
+                   num_partitions: int | None = None) -> DataFrame:
+    """GROUP_SCHEMA rows -> flat spans with the per-document global
+    ``order`` restored.
+
+    The back half of the paged path. The front half — producing the group
+    rows — is either ``extract_spans_paged``'s split kernel (arbitrary
+    DOC_SCHEMA input) or a source-fused splitter like
+    ``corpus.build_groups_df`` (synthesis/scan and split in ONE Python
+    stage, the shape a production scan->split pipeline has)."""
+    spark = groups.sparkSession
+    p = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    salted = groups.withColumn(
+        "part_id",
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(p)).cast("int"),
+    ).repartition(p, F.xxhash64("doc_id", "grp"))
+
+    out_schema = T.StructType(
+        SPAN_FLAT_SCHEMA.fields + [T.StructField("grp", T.IntegerType())])
+
+    def extract_group(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # columnar batch path (mirrors extract.docs_frame_to_spans): one
+        # extract_doc_columnar call per page-group row, ONE frame assembly
+        # per Arrow batch — the earlier per-row iloc + one-row-frame path
+        # paid ~5x pandas overhead on group-heavy corpora
+        from pdf2dom_spark.extract import assemble_flat, extract_doc_columnar
+
+        for pdf in batches:
+            per_doc, doc_ids, doc_parts, grps = [], [], [], []
+            for did, spans, pid, po, seed, emit, grp in zip(
+                    pdf["doc_id"], pdf["spans"], pdf["part_id"],
+                    pdf["page_offset"], pdf["font_seed"],
+                    pdf["emit_fonts"], pdf["grp"]):
+                if isinstance(spans, np.ndarray):
+                    spans = list(spans)
+                cols = extract_doc_columnar(
+                    str(did), spans, cfg, page_offset=int(po),
+                    font_seed=list(seed), emit_fonts=bool(emit))
+                per_doc.append(cols)
+                doc_ids.append(str(did))
+                doc_parts.append(int(pid))
+                grps.append((int(grp), len(cols["order"])))
+            if not per_doc:
+                yield pd.DataFrame({f.name: [] for f in out_schema.fields})
+                continue
+            flat = assemble_flat(per_doc, doc_ids, doc_parts)
+            flat["grp"] = np.repeat(
+                np.array([g for g, _ in grps], dtype=np.int32),
+                [n for _, n in grps])
+            yield flat
+
+    big_spans = salted.mapInPandas(extract_group, out_schema)
+    # per-document renumber over the split subset only (an exchange +
+    # sort of just those docs' spans; sub-threshold docs never enter it)
+    win = Window.partitionBy("doc_id").orderBy("grp", "order")
+    big_spans = (big_spans.withColumn(
+        "order", (F.row_number().over(win) - 1).cast("int")).drop("grp"))
+    return big_spans.select(*[f.name for f in SPAN_FLAT_SCHEMA.fields])
 
 
 def extract_spans_paged(docs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
@@ -316,53 +421,7 @@ def extract_spans_paged(docs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
             yield pd.DataFrame(rows, columns=[f.name for f in GROUP_SCHEMA])
 
     groups = big.mapInPandas(split_kernel, GROUP_SCHEMA)
-    salted = groups.withColumn(
-        "part_id",
-        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(p)).cast("int"),
-    ).repartition(p, F.xxhash64("doc_id", "grp"))
-
-    out_schema = T.StructType(
-        SPAN_FLAT_SCHEMA.fields + [T.StructField("grp", T.IntegerType())])
-
-    def extract_group(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # columnar batch path (mirrors extract.docs_frame_to_spans): one
-        # extract_doc_columnar call per page-group row, ONE frame assembly
-        # per Arrow batch — the earlier per-row iloc + one-row-frame path
-        # paid ~5x pandas overhead on group-heavy corpora
-        from pdf2dom_spark.extract import assemble_flat, extract_doc_columnar
-
-        for pdf in batches:
-            per_doc, doc_ids, doc_parts, grps = [], [], [], []
-            for did, spans, pid, po, seed, emit, grp in zip(
-                    pdf["doc_id"], pdf["spans"], pdf["part_id"],
-                    pdf["page_offset"], pdf["font_seed"],
-                    pdf["emit_fonts"], pdf["grp"]):
-                if isinstance(spans, np.ndarray):
-                    spans = list(spans)
-                cols = extract_doc_columnar(
-                    str(did), spans, cfg, page_offset=int(po),
-                    font_seed=list(seed), emit_fonts=bool(emit))
-                per_doc.append(cols)
-                doc_ids.append(str(did))
-                doc_parts.append(int(pid))
-                grps.append((int(grp), len(cols["order"])))
-            if not per_doc:
-                yield pd.DataFrame({f.name: [] for f in out_schema.fields})
-                continue
-            flat = assemble_flat(per_doc, doc_ids, doc_parts)
-            flat["grp"] = np.repeat(
-                np.array([g for g, _ in grps], dtype=np.int32),
-                [n for _, n in grps])
-            yield flat
-
-    big_spans = salted.mapInPandas(extract_group, out_schema)
-    # per-document renumber over the MONSTER subset only (an exchange +
-    # sort of just those docs' spans; sub-threshold docs never enter it)
-    win = Window.partitionBy("doc_id").orderBy("grp", "order")
-    big_spans = (big_spans.withColumn(
-        "order", (F.row_number().over(win) - 1).cast("int")).drop("grp"))
-
-    big_spans = big_spans.select(*[f.name for f in SPAN_FLAT_SCHEMA.fields])
+    big_spans = extract_groups(groups, cfg, num_partitions=p)
     if small is None:
         return big_spans
 

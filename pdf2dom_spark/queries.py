@@ -859,12 +859,16 @@ def extract_spans_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_reg("extract_spans_paged_oracle", _ORACLE_SPANS_SQL)
 def extract_spans_paged_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .pagesplit import extract_spans_paged
+    from .corpus import build_groups_df
+    from .pagesplit import extract_groups
 
     p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = build_docs_df(spark, sf_dir, mode="oracle", num_partitions=p)
-    flat = extract_spans_paged(docs, ExtractConfig(), num_partitions=p,
-                               pages_per_group=2, min_bytes=0)
+    # synthesis+split fused into one Python stage (corpus.build_groups_df):
+    # the production scan->split shape — the generic DOC_SCHEMA entry point
+    # (pagesplit.extract_spans_paged) stays bit-equal via tests/test_pagesplit
+    groups = build_groups_df(spark, sf_dir, mode="oracle", pages_per_group=2,
+                             min_bytes=0, num_partitions=p)
+    flat = extract_groups(groups, ExtractConfig(), num_partitions=p)
     return _oracle_proj(flat)
 
 
@@ -879,22 +883,23 @@ def extract_spans_paged_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_reg("extract_spans_paged_tail", _ORACLE_SPANS_SQL)
 def extract_spans_paged_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .pagesplit import extract_spans_paged
+    from .corpus import build_groups_df
+    from .pagesplit import extract_groups
     from .pipeline import extract_spans
 
     p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     cfg = ExtractConfig()
     small = build_docs_df(spark, sf_dir, mode="oracle", num_partitions=p,
                           where="length(text) < 400")
-    big = build_docs_df(spark, sf_dir, mode="oracle", num_partitions=p,
-                        where="length(text) >= 400")
+    big_groups = build_groups_df(spark, sf_dir, mode="oracle",
+                                 pages_per_group=1, min_bytes=0,
+                                 num_partitions=p,
+                                 where="length(text) >= 400")
     small_flat = extract_spans(small, cfg, num_partitions=p, nested=False,
                                presalted=True)
     # the tail branch holds ~20% of the corpus: partition it proportionally
     # (production sizing targets bytes/partition, not a global constant)
-    big_flat = extract_spans_paged(big, cfg,
-                                   num_partitions=max(8, p // 4),
-                                   pages_per_group=1, min_bytes=0)
+    big_flat = extract_groups(big_groups, cfg, num_partitions=max(8, p // 4))
     return _oracle_proj(small_flat.unionByName(
         big_flat.select(small_flat.columns)))
 
