@@ -1925,6 +1925,95 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(rev).cast("long").alias("revenue_c4")))
 
 
+# TPC-H Q10 analog (returned-item reporting): a quarter's returned
+# lineitems joined to their customers, top 20 by lost revenue. Plan shape:
+# the o_orderdate quarter filter and the l_returnflag filter both push to
+# the fact scans, lineitem⋈orders shuffles on the orderkey, customer joins
+# on custkey, the 25-row nation broadcast-decorates, and the top-20 is a
+# TakeOrderedAndProject. Exact centi-unit revenue (Q1 idiom).
+@_reg("tpch_q10_returns", f"""
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, n_name,
+       CAST(SUM({_REV_C4}) AS BIGINT) AS revenue_c4
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_c4 DESC, c_custkey
+LIMIT 20
+""")
+def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_nationkey")
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .where((F.col("o_orderdate")
+                      >= F.lit("1997-01-01").cast("timestamp"))
+                     & (F.col("o_orderdate")
+                        < F.lit("1997-04-01").cast("timestamp")))
+              .select("o_orderkey", "o_custkey"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .where(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name")
+    rev = (F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+           * F.floor((1 - F.col("l_discount")) * 100 + 0.5).cast("long"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(rev).cast("long").alias("revenue_c4"))
+            .select(F.col("c_custkey").cast("long").alias("c_custkey"),
+                    "c_name", "n_name", "revenue_c4")
+            .orderBy(F.desc("revenue_c4"), "c_custkey")
+            .limit(20))
+
+
+# TPC-H Q18 analog (large-volume orders): the self-semi-join shape — an
+# aggregate over the biggest fact produces the qualifying keys, which
+# then SEMI-join the same fact plus its dimensions. Quantities are stored
+# integral, so summing them as BIGINT keeps the cross-engine ranking
+# exact. At 100 TB the HAVING aggregate is map-side combinable and its
+# survivor set is tiny by construction (the HAVING threshold), so the
+# key list rides a broadcast into all three probe joins.
+@_reg("tpch_q18_large_orders", """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+                     HAVING SUM(CAST(l_quantity AS BIGINT)) > 140)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_custkey, o_orderkey, o_orderdate
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 50
+""")
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("qty"))
+    big_keys = (li.groupBy("l_orderkey")
+                .agg(F.sum("qty").alias("tq"))
+                .where(F.col("tq") > 140).select("l_orderkey"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey")
+    return (li.join(F.broadcast(big_keys), "l_orderkey")
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+            .agg(F.sum("qty").alias("total_qty"))
+            .select(F.col("c_custkey").cast("long").alias("c_custkey"),
+                    F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("o_orderdate"),
+                    "total_qty")
+            .orderBy(F.desc("total_qty"), "o_orderkey")
+            .limit(50))
+
+
 # M9 CSS serialization (BoxStyle.toString, BoxStyle.java:88-114) through
 # the REAL renderer: extraction output -> render_html.text_css per span,
 # value-hash-checked against the closed-form CSS strings DuckDB builds

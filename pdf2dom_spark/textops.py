@@ -1358,3 +1358,87 @@ def bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("cnt").alias("fam_sum"),
                  F.floor(1000.0 * F.sum("cnt") / F.count(F.lit(1)))
                  .alias("fam_avg_x1000")))
+
+
+# ---------------------------------------------------------------------------
+# duplicated-substring SCRUB: the apply step for dup_substring_detect --
+# rebuild each document with every word position covered by a cross-document
+# duplicated 8-word window removed (the "remove the duplicated span, keep
+# the rest of the document" policy of substring-level dedup, vs dropping
+# whole docs). Cross-engine check is exact: md5 of the kept words in
+# original order. 100 TB shape: same two map-side-combinable aggregates as
+# the detect pass; coverage is one bounded explode (8 rows per duplicated
+# window, distinct-folded), and the rebuild is a null-skipping sort+concat
+# aggregate per doc -- no unbounded join side, AQE handles hot hashes.
+# ---------------------------------------------------------------------------
+
+@_reg("dup_substring_scrub", f"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE length(text) > 0
+),
+s AS (
+  SELECT doc_id, CAST(c AS INT) AS pos,
+         md5(list_aggregate(ws[c + 1 : c + {_DUP_W}], 'string_agg', ' ')) AS h
+  FROM t, UNNEST(generate_series(0, len(ws) - {_DUP_W})) AS u(c)
+  WHERE len(ws) >= {_DUP_W}
+),
+d AS (
+  SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM s GROUP BY h)
+  WHERE nd >= 2
+),
+cov AS (
+  SELECT DISTINCT s.doc_id, s.pos + o AS wi
+  FROM s JOIN d USING (h), UNNEST(generate_series(0, {_DUP_W} - 1)) AS v(o)
+),
+k AS (
+  SELECT t.doc_id, CAST(i - 1 AS INT) AS wi, ws[i] AS w
+  FROM t, UNNEST(generate_series(1, len(ws))) AS g(i)
+  WHERE len(ws) >= {_DUP_W}
+)
+SELECT k.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(COUNT(*) FILTER (WHERE cov.wi IS NULL) AS BIGINT) AS n_kept,
+       md5(string_agg(CASE WHEN cov.wi IS NULL THEN k.w END,
+                      ' ' ORDER BY k.wi)) AS scrubbed_hash
+FROM k LEFT JOIN cov ON cov.doc_id = k.doc_id AND cov.wi = k.wi
+GROUP BY k.doc_id
+""")
+def dup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = (_docs(spark, sf_dir).where(F.length("text") > 0)
+         .select(F.col("doc_id").cast("long").alias("doc_id"),
+                 F.split("text", " ").alias("ws"))
+         .where(F.size("ws") >= _DUP_W))
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - _DUP_W),
+        lambda c: F.struct(
+            c.cast("int").alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice(
+                F.col("ws"), c.cast("int") + 1, _DUP_W))).alias("h")))
+    s = (t.select("doc_id", F.explode(wins).alias("w"))
+         .select("doc_id", "w.pos", "w.h"))
+    dup = (s.select("h", "doc_id").distinct()
+           .groupBy("h").count().where(F.col("count") >= 2).select("h"))
+    cov = (s.join(dup, "h")
+           .select("doc_id", F.explode(
+               F.sequence(F.col("pos"), F.col("pos") + (_DUP_W - 1)))
+               .alias("wi"))
+           .select("doc_id", F.col("wi").cast("int").alias("wi"))
+           .distinct()
+           .withColumn("covered", F.lit(1)))
+    words = t.select("doc_id", F.posexplode("ws").alias("wi", "w")) \
+             .withColumn("wi", F.col("wi").cast("int"))
+    kept_struct = F.when(F.col("covered").isNull(),
+                         F.struct("wi", "w"))
+    agg = (words.join(cov, ["doc_id", "wi"], "left")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_words"),
+                F.count(F.when(F.col("covered").isNull(), 1))
+                .alias("n_kept"),
+                F.array_sort(F.collect_list(kept_struct)).alias("kept")))
+    scrubbed = F.when(
+        F.size("kept") > 0,
+        F.md5(F.concat_ws(" ", F.transform(F.col("kept"),
+                                           lambda x: x["w"]))))
+    return agg.select("doc_id", "n_words", "n_kept",
+                      scrubbed.alias("scrubbed_hash"))
