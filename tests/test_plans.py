@@ -304,3 +304,48 @@ def test_tpch_q5_broadcasts_tiny_dims(spark):
     fmt = _fmt(q)
     assert any("r_name" in ln for ln in fmt.splitlines()
                if "PushedFilters" in ln)
+
+
+def test_tpch_q10_pushdown_and_broadcast(spark):
+    from pdf2dom_spark.queries import all_queries
+    q = all_queries()["tpch_q10_returns"](spark, SF_SMOKE)
+    fmt = _fmt(q)
+    pushed = [ln for ln in fmt.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln for ln in pushed)
+    assert any("l_returnflag" in ln for ln in pushed)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan          # 25-row nation decoration
+    assert "TakeOrderedAndProject" in plan      # top-20, no global sort
+
+
+def test_tpch_q18_broadcasts_having_keys(spark):
+    from pdf2dom_spark.queries import all_queries
+    q = all_queries()["tpch_q18_large_orders"](spark, SF_SMOKE)
+    plan = _plan(q)
+    # the HAVING-derived qualifying key set rides a broadcast back into
+    # the fact; the orders/customer joins stay shuffle joins
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_paged_fused_split_is_single_python_stage(spark):
+    """The stress gate's front half (synthesis+split) must be ONE
+    MapInPandas fed by the scan with no Exchange before it — the
+    source-fused shape; and the whole paged plan must cross Python
+    exactly three times (gen+split, extract) ... i.e. exactly TWO
+    MapInPandas nodes, one Exchange between them, one Window after."""
+    from pdf2dom_spark.corpus import build_groups_df
+    from pdf2dom_spark.extract import ExtractConfig
+    from pdf2dom_spark.pagesplit import extract_groups
+
+    groups = build_groups_df(spark, SF_SMOKE, mode="oracle",
+                             pages_per_group=2, min_bytes=0,
+                             num_partitions=8)
+    flat = extract_groups(groups, ExtractConfig(), num_partitions=8)
+    plan = _plan(flat)
+    assert plan.count("MapInPandas") == 2
+    assert "Window" in plan
+    # no Exchange between the scan and the fused gen+split kernel beyond
+    # the deliberate source repartition; the group exchange keys on
+    # (doc_id, grp) so sibling groups of one doc land on different tasks
+    assert "xxhash64(doc_id#" in plan and "grp#" in plan
