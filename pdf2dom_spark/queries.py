@@ -2014,6 +2014,56 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(50))
 
 
+# KMV (k-minimum-values) distinct sketch — the "novel sketch" operator
+# class, built to be CROSS-ENGINE EXACT: both engines hash with md5, take
+# the k=64 lexicographically smallest hex digests per group (fixed-width
+# hex ⇒ lexicographic = numeric order), and compute the classic estimator
+# (k-1)/R(k) in pure 64-bit integer math — R(k) is the 52-bit prefix of
+# the kth hash (52 bits so (k-1)·2^52 = 283726776524341248 fits a BIGINT
+# exactly), divided with integer DIV on both sides. No float ever enters,
+# so the ESTIMATE itself value-hash-matches DuckDB. Built-in HLL/approx
+# sketches can't be gated this way (engine-specific internals). At scale:
+# the gate also reports the exact count for comparison, which forces the
+# full distinct; a production sketch-only variant is a combinable
+# aggregate (per-partition 64-minima, merge = re-min) with no window.
+@_reg("kmv_distinct_users", """
+WITH h AS (
+  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hh FROM events
+),
+r AS (
+  SELECT event_type, hh,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hh) AS rn
+  FROM h
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(CASE WHEN COUNT(*) <= 64 THEN COUNT(*)
+            ELSE 283726776524341248 //
+                 GREATEST(CAST('0x' || substr(
+                     MAX(CASE WHEN rn = 64 THEN hh END), 1, 13) AS BIGINT), 1)
+            END AS BIGINT) AS kmv_estimate
+FROM r GROUP BY event_type
+""")
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .select("event_type",
+                 F.md5(F.col("user_id").cast("string")).alias("hh"))
+         .distinct())
+    w = Window.partitionBy("event_type").orderBy("hh")
+    r = h.withColumn("rn", F.row_number().over(w))
+    agg = (r.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_exact"),
+                F.max(F.when(F.col("rn") == 64, F.col("hh"))).alias("kth")))
+    kth52 = F.greatest(
+        F.conv(F.substring("kth", 1, 13), 16, 10).cast("long"), F.lit(1))
+    est = F.when(F.col("n_exact") <= 64, F.col("n_exact")).otherwise(
+        F.expr("283726776524341248 DIV kth52"))
+    return (agg.withColumn("kth52", kth52)
+            .select("event_type",
+                    F.col("n_exact").cast("long").alias("n_exact"),
+                    est.cast("long").alias("kmv_estimate")))
+
+
 # M9 CSS serialization (BoxStyle.toString, BoxStyle.java:88-114) through
 # the REAL renderer: extraction output -> render_html.text_css per span,
 # value-hash-checked against the closed-form CSS strings DuckDB builds

@@ -1442,3 +1442,59 @@ def dup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            lambda x: x["w"]))))
     return agg.select("doc_id", "n_words", "n_kept",
                       scrubbed.alias("scrubbed_hash"))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters -- the second sketch-operator class, built
+# CROSS-ENGINE EXACT like kmv_distinct_users: 4 rows x 256 buckets where
+# the bucket id is simply the first TWO HEX CHARS of md5(row || '|' ||
+# word) (256 buckets by construction, no int conversion anywhere), counts
+# are BIGINT sums, and the estimate is the min over the 4 row lookups --
+# deterministic integer math both engines reproduce bit-for-bit. 100 TB
+# shape: one word hash-agg (map-side combinable) feeds BOTH the sketch
+# (built from the vocabulary-sized count table, 4 rows/word, folding to
+# <=1024 sketch cells) and the exact top-20; the probe joins the 80-cell
+# lookup against the <=1024-row sketch -- broadcast by construction. The
+# sketch build is a combinable aggregate, so at scale it streams: no state
+# beyond 1024 counters per partition.
+# ---------------------------------------------------------------------------
+
+@_reg("heavy_hitters_cms", """
+WITH w AS (
+  SELECT u.word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(word)
+  WHERE length(text) > 0 GROUP BY u.word
+),
+sk AS (
+  SELECT r, substr(md5(CAST(r AS VARCHAR) || '|' || word), 1, 2) AS b,
+         CAST(SUM(cnt) AS BIGINT) AS c
+  FROM w, UNNEST(generate_series(0, 3)) AS g(r)
+  GROUP BY r, b
+),
+top AS (SELECT word, cnt FROM w ORDER BY cnt DESC, word LIMIT 20)
+SELECT top.word, top.cnt AS exact_count,
+       CAST(MIN(sk.c) AS BIGINT) AS cms_estimate
+FROM top, UNNEST(generate_series(0, 3)) AS g(r)
+JOIN sk ON sk.r = g.r
+       AND sk.b = substr(md5(CAST(g.r AS VARCHAR) || '|' || top.word), 1, 2)
+GROUP BY top.word, top.cnt
+""")
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).where(F.length("text") > 0)
+    w = (docs.select(F.explode(F.split("text", " ")).alias("word"))
+         .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
+    rows = F.array(*[F.lit(i) for i in range(4)])
+    bucket = F.substring(
+        F.md5(F.concat(F.col("r").cast("string"), F.lit("|"),
+                       F.col("word"))), 1, 2)
+    sk = (w.select("word", "cnt", F.explode(rows).alias("r"))
+          .select(F.col("r"), bucket.alias("b"), "cnt")
+          .groupBy("r", "b").agg(F.sum("cnt").alias("c")))
+    top = w.orderBy(F.desc("cnt"), "word").limit(20)
+    probe = (top.select("word", "cnt", F.explode(rows).alias("r"))
+             .select("word", "cnt", "r", bucket.alias("b")))
+    return (probe.join(F.broadcast(sk), ["r", "b"])
+            .groupBy("word", "cnt")
+            .agg(F.min("c").alias("cms_estimate"))
+            .select("word", F.col("cnt").alias("exact_count"),
+                    "cms_estimate"))
