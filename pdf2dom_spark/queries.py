@@ -2890,3 +2890,78 @@ def all_queries() -> dict:
 def all_oracles() -> dict[str, str]:
     return _sweep_order(_merge(ORACLES, textops.ORACLES, simsearch.ORACLES,
                                multimodal.ORACLES, htmlops.ORACLES))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-data pipeline gate: the REAL extraction kernel feeds
+# the downstream corpus stages — rebuild each document's text from its
+# extracted word spans, quality-filter short docs, exact-dedup the rebuilt
+# texts (keeper = min doc_id per md5), shard by a doc-hash hex char, and
+# pack survivors into fixed-token bins per shard (pack_bins idiom). One
+# value-hash gate over the COMPOSITION: proves extraction output drives
+# filtering/dedup/packing with no seams, not just each stage alone. The
+# oracle replays the chain off the closed-form word stream. 100 TB shape:
+# kernel (one shuffle + one fused Python stage) -> two hash aggregates ->
+# a 16-way partitioned running sum; no join wider than the doc list.
+# ---------------------------------------------------------------------------
+
+_E2E_SQL = """
+WITH w0 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         unnest(string_split(text,' ')) AS word,
+         generate_subscripts(string_split(text,' '), 1) AS sidx
+  FROM documents WHERE length(text) > 0
+),
+w AS (
+  SELECT doc_id, word,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sidx) - 1 AS widx
+  FROM w0 WHERE word <> ''
+),
+reb AS (
+  SELECT CAST(doc_id AS BIGINT) AS did,
+         string_agg(word, ' ' ORDER BY widx) AS rtext,
+         COUNT(*) AS ntok
+  FROM w GROUP BY doc_id
+),
+q AS (SELECT * FROM reb WHERE ntok >= 24),
+k AS (SELECT *, MIN(did) OVER (PARTITION BY md5(rtext)) AS keeper FROM q),
+s AS (
+  SELECT did, ntok,
+         substr(md5('pk|' || CAST(did AS VARCHAR)), 1, 1) AS shard
+  FROM k WHERE did = keeper
+)
+SELECT did AS doc_id, CAST(ntok AS INT) AS tokens, shard,
+       CAST(FLOOR(COALESCE(SUM(ntok) OVER (PARTITION BY shard
+                   ORDER BY did ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) / 512) AS INT) AS bin_id
+FROM s
+"""
+
+
+@_reg("corpus_pipeline_e2e", _E2E_SQL)
+def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flat = _extract_flat(spark, sf_dir, mode="oracle")
+    reb = (flat.where(F.col("kind") == "text")
+           .groupBy("doc_id")
+           .agg(F.array_sort(F.collect_list(
+                    F.struct(F.col("order").alias("o"),
+                             F.col("text").alias("t")))).alias("ws"))
+           .select(F.col("doc_id").cast("long").alias("did"),
+                   F.concat_ws(" ", F.transform(
+                       F.col("ws"), lambda x: x["t"])).alias("rtext"),
+                   F.size("ws").alias("ntok")))
+    q = reb.where(F.col("ntok") >= 24)
+    wk = Window.partitionBy(F.md5("rtext"))
+    s = (q.withColumn("keeper", F.min("did").over(wk))
+         .where(F.col("did") == F.col("keeper"))
+         .select("did", "ntok",
+                 F.substring(F.md5(F.concat(
+                     F.lit("pk|"), F.col("did").cast("string"))), 1, 1)
+                 .alias("shard")))
+    wp = (Window.partitionBy("shard").orderBy("did")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    return s.select(
+        F.col("did").alias("doc_id"),
+        F.col("ntok").cast("int").alias("tokens"), "shard",
+        F.floor(F.coalesce(F.sum("ntok").over(wp), F.lit(0)) / 512)
+        .cast("int").alias("bin_id"))
