@@ -1498,3 +1498,96 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("c").alias("cms_estimate"))
             .select("word", F.col("cnt").alias("exact_count"),
                     "cms_estimate"))
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the near-dup pair graph -- the classic distributed
+# graph primitive beyond connected components (triangle density separates
+# true duplicate CLIQUES from chained false positives in LSH output). The
+# a<b edge orientation (already the pair contract) counts each triangle
+# exactly once via two joins: (a,b)+(b,c) wedges closed by (a,c). 100 TB
+# shape: per-key join fan-out is bounded by out-degree; production adds
+# degree-ordering (orient each edge low-degree -> high-degree) so hot
+# vertices don't own quadratic wedges -- same plan shape, and AQE splits
+# any residual hot key. The edge list is localCheckpointed so the LSH
+# build runs once, not three times.
+# ---------------------------------------------------------------------------
+
+@_reg("dedup_graph_triangles", f"""
+WITH e AS (SELECT doc_a, doc_b FROM ({_LSH_PAIRS_SQL}) lsh)
+SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+FROM e e1
+JOIN e e2 ON e2.doc_a = e1.doc_b
+JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+""")
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, sig = _minhash_lsh_build(spark, sf_dir)
+    e = edges.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    sig.unpersist(blocking=False)
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    return (e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
+            .join(e3, (F.col("e3.doc_a") == F.col("e1.doc_a"))
+                  & (F.col("e3.doc_b") == F.col("e2.doc_b")))
+            .select(F.col("e1.doc_a").alias("a"),
+                    F.col("e1.doc_b").alias("b"),
+                    F.col("e2.doc_b").alias("c")))
+
+
+# ---------------------------------------------------------------------------
+# MinHash accuracy evaluation -- sketch-vs-truth for every LSH candidate
+# pair: the 8-permutation signature agreement (n_match) next to the TRUE
+# shingle-set intersection/union and the exact-integer Jaccard (x1000,
+# floored -- one float division with identical operands both engines).
+# This is the measurement op a production dedup pipeline runs when tuning
+# band/permutation counts: it quantifies how the sketch tracks reality on
+# THIS corpus. 100 TB shape: truth is computed only for the candidate
+# pairs (LSH-bounded, not all-pairs); the shingle join keys on the
+# shingle string, both aggregates map-side combinable.
+# ---------------------------------------------------------------------------
+
+@_reg("minhash_accuracy_eval", f"""
+WITH s AS ({_SHINGLES_SQL}),
+p AS (SELECT doc_a, doc_b, n_match FROM ({_LSH_PAIRS_SQL}) lsh),
+e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+i AS (
+  SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM p JOIN e ea ON ea.doc_id = p.doc_a
+         JOIN e eb ON eb.doc_id = p.doc_b AND eb.g = ea.g
+  GROUP BY p.doc_a, p.doc_b
+),
+n AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS ns FROM s)
+SELECT p.doc_a, p.doc_b, CAST(p.n_match AS INT) AS n_match, i.inter,
+       CAST(na.ns + nb.ns - i.inter AS BIGINT) AS uni,
+       CAST(FLOOR(1000.0 * i.inter / (na.ns + nb.ns - i.inter)) AS BIGINT)
+           AS jac_x1000
+FROM p JOIN i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+JOIN n na ON na.doc_id = p.doc_a
+JOIN n nb ON nb.doc_id = p.doc_b
+""")
+def minhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    s = d.select("doc_id",
+                 _shingles(F.split("text", " ")).alias("sh"))
+    pairs, sig = _minhash_lsh_build(spark, sf_dir)
+    p = pairs.localCheckpoint(eager=True)
+    sig.unpersist(blocking=False)
+    e = s.select("doc_id", F.explode("sh").alias("g"))
+    ea = e.select(F.col("doc_id").alias("da"), F.col("g").alias("ga"))
+    eb = e.select(F.col("doc_id").alias("db"), F.col("g").alias("gb"))
+    i = (p.join(ea, ea.da == p.doc_a)
+         .join(eb, (eb.db == p.doc_b) & (eb.gb == ea.ga))
+         .groupBy("doc_a", "doc_b")
+         .agg(F.count(F.lit(1)).alias("inter")))
+    n = s.select("doc_id", F.size("sh").cast("long").alias("ns"))
+    na = n.select(F.col("doc_id").alias("da"), F.col("ns").alias("nsa"))
+    nb = n.select(F.col("doc_id").alias("db"), F.col("ns").alias("nsb"))
+    uni = F.col("nsa") + F.col("nsb") - F.col("inter")
+    return (p.join(i, ["doc_a", "doc_b"])
+            .join(na, F.col("da") == F.col("doc_a"))
+            .join(nb, F.col("db") == F.col("doc_b"))
+            .select("doc_a", "doc_b",
+                    F.col("n_match").cast("int").alias("n_match"),
+                    "inter", uni.cast("long").alias("uni"),
+                    F.floor(1000.0 * F.col("inter") / uni).cast("long")
+                    .alias("jac_x1000")))
