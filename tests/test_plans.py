@@ -349,3 +349,39 @@ def test_paged_fused_split_is_single_python_stage(spark):
     # the deliberate source repartition; the group exchange keys on
     # (doc_id, grp) so sibling groups of one doc land on different tasks
     assert "xxhash64(doc_id#" in plan and "grp#" in plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """Spark's runtime Bloom-filter injection is live for the engine's
+    shuffle joins: a selective dim filter materializes a bloom_filter_agg
+    on the build side and the fact scan gains a might_contain() pre-filter
+    — at 100 TB this prunes fact rows BEFORE the exchange. (Broadcast
+    joins don't need it — the hash set itself prunes — so the test pins
+    the shuffle-join regime explicitly.)"""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = (spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+             .where(F.col("o_orderpriority") == "1-URGENT")
+             .select("o_orderkey"))
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity")
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = _plan(j)
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
