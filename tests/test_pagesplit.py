@@ -185,3 +185,40 @@ def test_split_definitions_only_doc_survives(spark):
     groups = split_doc("d", spans, pages_per_group=1, min_bytes=0)
     assert len(groups) == 1 and groups[0]["emit_fonts"]
     assert {s["kind"] for s in groups[0]["spans"]} == {"fontfile", "meta"}
+
+
+def test_bounds_of_masked_equals_naive_regex():
+    """The find("PG")-anchored fast scan must return EXACTLY what the
+    naive whole-text finditer returned (hypothesis over adversarial
+    number/PG/boundary soups, plus hand-picked edge shapes)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf2dom_spark.pagesplit import _PG_RE, _bounds_of_masked
+
+    def naive(masked: str) -> list[int]:
+        return [m.start() for m in _PG_RE.finditer(masked)]
+
+    edge = [
+        "", "PG", " PG ", "1 2 3 PG", "1 2 3 PG 4 5 6 PG",
+        "1 2 3PG", "1 2 3 PGX", "/XPG 1 2 3 PG", "5 1 2 3 PG",
+        "612.0 792.0 0 PG q 1 0 0 1 cm", "+1 -2.5 .3 PG",
+        "1 2 3 PG\n4 5 6 PG", "PG PG PG", "1 2 3  PG", "a b c PG",
+        "1. .2 3. PG", "1 2 3 PG1 2 3 PG", "... PG", "- + . PG",
+    ]
+    for t in edge:
+        assert _bounds_of_masked(t) == naive(t), t
+
+    token = st.sampled_from(
+        ["PG", "Tf", "1", "22.5", "+3", "-4.25", ".5", "q", "Q", "BT",
+         "/F1", "PGX", "XPG", "7.", "0", "612.00", "PG2"])
+    soup = st.lists(token, max_size=40).map(" ".join)
+    sep = st.sampled_from([" ", "  ", "\n", "\t", "\r\n"])
+
+    @settings(max_examples=300, deadline=None)
+    @given(soup, sep)
+    def check(text, s):
+        t = text.replace(" ", s)
+        assert _bounds_of_masked(t) == naive(t)
+
+    check()
