@@ -2131,6 +2131,58 @@ def render_css_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]))
 
 
+# F3 @font-face emission (PDFDomTree.createFontFace, PDFDomTree.java:
+# 473-492) cross-engine: the REAL render_html.font_face_css runs over the
+# kernel's font spans (forms corpus — per-page F0/F1 registrations merge
+# back to one used name, exercising the font-table de-dup upstream of the
+# rule) and the oracle rebuilds the exact rule string: quote style, src
+# url quoting, trailing semicolons — the format a browser actually parses.
+@_reg("render_font_faces", """
+WITH w0 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         unnest(string_split(text,' ')) AS word,
+         generate_subscripts(string_split(text,' '), 1) AS sidx
+  FROM documents WHERE length(text) > 0
+),
+w AS (
+  SELECT doc_id, word,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sidx) - 1 AS widx
+  FROM w0 WHERE word <> ''
+),
+pg AS (
+  SELECT doc_id, CAST(widx // 4 + 1 AS INT) AS page_no, COUNT(*) AS m
+  FROM w GROUP BY doc_id, widx // 4
+)
+SELECT doc_id, CAST(SUM(m + 2) AS INT) AS ord,
+       '@font-face {font-family:"Mono";src:url(''font:Mono'');}' AS css
+FROM pg GROUP BY doc_id
+""")
+def render_font_faces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from .render_html import font_face_css
+
+    flat = _extract_flat(spark, sf_dir, mode="forms")
+    fonts = flat.where(F.col("kind") == "font")
+
+    def kernel(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "ord": pdf["order"].astype("int32"),
+                "css": [font_face_css(t, m) for t, m in
+                        zip(pdf["text"], pdf["media_ref"])],
+            })
+
+    return fonts.mapInPandas(kernel, T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("ord", T.IntegerType()),
+        T.StructField("css", T.StringType()),
+    ]))
+
+
 # M8 length formatting (BoxStyle.formatLength, BoxStyle.java:132-136)
 # cross-engine: the renderer's Java-Float.toString semantics (shortest
 # round-trip float32 repr) run through the REAL render_html.fmt_len in an
