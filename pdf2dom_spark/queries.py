@@ -2064,6 +2064,96 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                     est.cast("long").alias("kmv_estimate")))
 
 
+# Bloom-filter membership probe — the approximate-membership sketch
+# class, CROSS-ENGINE EXACT like kmv_distinct_users: both engines derive
+# k=4 bit positions per key from md5 hex prefixes (32-bit integer mod
+# m=2048; identical salt strings), so the filter's false positives are
+# deterministic and the probe counts value-hash-match DuckDB. m=2048 is
+# sized so the FP arm is LIVE at sf0.01 (~15% FP over non-member probes)
+# — all three report columns exercise their semantics. 100 TB shape: the
+# build side reduces to a DISTINCT of at most m=2048 positions (one small
+# shuffle of the dim table), the materialized 2 Kbit filter rides into
+# the probe as a broadcast literal, and every probe row is then a pure
+# narrow JVM expression — zero join, zero shuffle, zero Python on the
+# 10^12-row probe side; only the final tiny per-priority aggregate
+# exchanges. The truth columns (gate-only) use a broadcast semi-join.
+_BLOOM_M = 2048
+_BLOOM_SQL = f"""
+WITH build AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+bits AS (
+  SELECT DISTINCT CAST('0x' || substr(md5('b' || CAST(i AS VARCHAR) || '|' ||
+       CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) % {_BLOOM_M} AS pos
+  FROM build, (SELECT unnest([1,2,3,4]) AS i)
+),
+probe AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority,
+    CAST('0x' || substr(md5('b' || CAST(i AS VARCHAR) || '|' ||
+         CAST(o_custkey AS VARCHAR)), 1, 8) AS BIGINT) % {_BLOOM_M} AS pos
+  FROM orders, (SELECT unnest([1,2,3,4]) AS i)
+),
+hit AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority,
+         COUNT(*) FILTER (WHERE pos IN (SELECT pos FROM bits)) = 4 AS maybe
+  FROM probe GROUP BY 1, 2, 3
+)
+SELECT o_orderpriority AS priority,
+  CAST(COUNT(*) FILTER (WHERE maybe) AS BIGINT) AS bloom_positive,
+  CAST(COUNT(*) FILTER (WHERE o_custkey IN (SELECT c_custkey FROM build))
+       AS BIGINT) AS true_positive,
+  CAST(COUNT(*) FILTER (WHERE maybe AND o_custkey NOT IN
+       (SELECT c_custkey FROM build)) AS BIGINT) AS false_positive
+FROM hit GROUP BY 1
+"""
+
+
+def _bloom_pos(col, i: int):
+    """md5('b<i>|<key>') -> 32-bit hex prefix -> position in [0, m)."""
+    s = F.md5(F.concat(F.lit(f"b{i}|"), col.cast("string")))
+    return F.conv(F.substring(s, 1, 8), 16, 10).cast("long") % _BLOOM_M
+
+
+@_reg("bloom_filter_probe", _BLOOM_SQL)
+def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    build = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+             .where(F.col("c_mktsegment") == "BUILDING")
+             .select("c_custkey"))
+    # Build the filter: distinct positions (<= m rows after the combine),
+    # then materialize the 2 Kbit bitset on the driver — this collect IS
+    # the broadcast-variable step of a real Bloom build, O(m) regardless
+    # of build-side cardinality, not a data collect.
+    pos_rows = (build.select(F.explode(F.array(
+                    *[_bloom_pos(F.col("c_custkey"), i) for i in (1, 2, 3, 4)]
+                )).alias("pos"))
+                .distinct().collect())
+    bitset = ["0"] * _BLOOM_M
+    for r in pos_rows:
+        bitset[int(r["pos"])] = "1"
+    bitstr = F.lit("".join(bitset))
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderpriority")
+    maybe = None
+    for i in (1, 2, 3, 4):
+        hit = F.substring(
+            bitstr, (_bloom_pos(F.col("o_custkey"), i) + 1).cast("int"),
+            1) == "1"
+        maybe = hit if maybe is None else (maybe & hit)
+    truth = build.withColumn("in_build", F.lit(True))
+    probed = (orders.withColumn("maybe", maybe)
+              .join(F.broadcast(truth),
+                    orders.o_custkey == truth.c_custkey, "left")
+              .withColumn("in_build", F.coalesce("in_build", F.lit(False))))
+    return (probed.groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(F.sum(F.when(F.col("maybe"), 1).otherwise(0))
+                 .cast("long").alias("bloom_positive"),
+                 F.sum(F.when(F.col("in_build"), 1).otherwise(0))
+                 .cast("long").alias("true_positive"),
+                 F.sum(F.when(F.col("maybe") & ~F.col("in_build"), 1)
+                       .otherwise(0)).cast("long").alias("false_positive")))
+
+
 # M9 CSS serialization (BoxStyle.toString, BoxStyle.java:88-114) through
 # the REAL renderer: extraction output -> render_html.text_css per span,
 # value-hash-checked against the closed-form CSS strings DuckDB builds
