@@ -385,3 +385,18 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bloom_probe_side_is_narrow(spark):
+    """bloom_filter_probe's probe side must stay a pure JVM projection:
+    the 2 Kbit filter rides in as a broadcast literal, so the only
+    Exchange in the whole query is the final per-priority aggregate and
+    the only join is the gate-only broadcast truth join — no shuffle,
+    no Python, no SMJ ever touches the probe rows."""
+    from pdf2dom_spark.queries import all_queries
+    q = all_queries()["bloom_filter_probe"](spark, SF_SMOKE)
+    plan = _plan(q)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "EvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
