@@ -939,3 +939,43 @@ def test_same_form_name_different_content_per_page():
     page_texts = {p: _page_text(rows, p) for p in (1, 2)}
     assert "FORM-A" in page_texts[1] and "FORM-B" not in page_texts[1]
     assert "FORM-B" in page_texts[2] and "FORM-A" not in page_texts[2]
+
+
+# --- filled non-rect path rasterization (TestPaths.java:37-60) --------------
+
+def _arrow_raster_image():
+    rows = run("shapes/arrow-path.pdf", ExtractConfig(raster_paths=True))
+    return next(r for r in rows if r["kind"] == "image")
+
+
+def test_real_arrow_path_creates_image():
+    """givenPdfFilledNonRectPath_whenConverted_thenImageCreatedForPath:
+    the non-rectangular filled path must come out as an <img> element
+    (kind='image' with a PNG data URI), not a rect or a dropped path."""
+    r = _arrow_raster_image()
+    assert r["media_ref"].startswith("data:image/png;base64,")
+    assert r["style_width"] > 0 and r["style_height"] > 0
+
+
+def test_real_arrow_path_fill_color_areas():
+    """...thenImageFilledWithCorrectColor: the reference decodes the PNG
+    and asserts Color(217,217,217) appears in the image's bottom and top
+    areas (gfxassert bottomArea()/topArea()). Transposed with the repo's
+    own stdlib PNG decoder; also pins that the fill is the ONLY opaque
+    color (the scanline rasterizer paints nothing else)."""
+    import base64
+
+    import numpy as np
+
+    from pdf2dom_spark.raster import decode_png_rgba
+
+    r = _arrow_raster_image()
+    img = decode_png_rgba(base64.b64decode(r["media_ref"].split(",", 1)[1]))
+    h = img.shape[0]
+    opaque = img[:, :, 3] > 0
+    fill = opaque & (img[:, :, 0] == 217) & (img[:, :, 1] == 217) \
+        & (img[:, :, 2] == 217)
+    assert fill[: h // 3].any(), "fill color missing from topArea"
+    assert fill[2 * h // 3:].any(), "fill color missing from bottomArea"
+    # every opaque pixel is the fill color
+    assert (fill == opaque).all()
