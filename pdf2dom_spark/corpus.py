@@ -458,13 +458,17 @@ def fixture_docs() -> dict[str, list[dict]]:
              "1 0 0 1 72 700 Tm (H) Tj ET", 0)]
 
     # image filename de-dup under the save-to-dir handler
-    # (TestImages.java:38-75, SaveResourceToDirHandler.java:44-66)
+    # (TestImages.java:38-75, SaveResourceToDirHandler.java:44-66).
+    # Dir names derive from the DOCUMENT TITLE (PDFBoxTree.java:554) —
+    # the reference's images.pdf carries /Title (Untitled), modeled here
+    # by the meta span; the per-image name operand is registry metadata.
     fx["fx_images"] = [
         text_span(pg + "q 200 0 0 150 100 500 cm", 0),
-        image_span("sha:img-a", 640, 480, "Untitled", 1),
+        image_span("sha:img-a", 640, 480, "Im0", 1),
         text_span("Q q 100 0 0 80 350 300 cm", 2),
-        image_span("sha:img-b", 320, 240, "Untitled", 3),
+        image_span("sha:img-b", 320, 240, "Im1", 3),
         text_span("Q", 4),
+        meta_span("Untitled", 5),
     ]
 
     # page rotation quadrants (TestPageRotation.java:15-97): image near PDF

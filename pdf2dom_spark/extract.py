@@ -86,6 +86,18 @@ def extract_doc_columnar(doc_id: str, spans: list[dict],
 
     records: list[dict] = []
     namer = graphics.ImageNamer()
+    # Save-to-dir filename base: bitmap images are named by the DOCUMENT
+    # TITLE (ImageResource(getTitle(), ...), PDFBoxTree.java:554,952-958 —
+    # null/empty falls back to "PDF Document"), never by the XObject
+    # resource name. Path images share the same handler instance under the
+    # fixed name "PathImage" (PathDrawer.java:71, PDFDomTree.java:399-433),
+    # so both kinds de-dup through ONE namer in append order.
+    img_name_base = "PDF Document"
+    for sp in spans:
+        if sp.get("kind") == "meta" and sp.get("media_ref") == "title":
+            if sp.get("text"):
+                img_name_base = sp["text"]
+            break
     for ev in events:
         kind = ev[0]
         if kind == "page":
@@ -95,19 +107,24 @@ def extract_doc_columnar(doc_id: str, spans: list[dict],
         elif kind == "line":
             records.append(graphics.line_record(ev))
         elif kind == "image":
-            media_ref, name = ev[7], ev[8]
+            media_ref = ev[7]
             if cfg.disable_image_data or cfg.image_handler == "ignore":
                 # empty src (PDFDomTree.java:435-438, IgnoreResourceHandler)
                 out_ref = ""
             elif cfg.image_handler == "dir":
                 # reference resourcePath = name + '.' + fileEnding
                 # (SaveResourceToDirHandler.java:50-51; images are PNG)
-                out_ref = namer.next_name(name) + ".png"
+                out_ref = namer.next_name(img_name_base) + ".png"
             else:
                 out_ref = media_ref
             records.append(graphics.image_record(ev, out_ref))
         elif kind == "pathimg":
-            out_ref = "" if cfg.disable_image_data else ev[7]
+            if cfg.disable_image_data or cfg.image_handler == "ignore":
+                out_ref = ""
+            elif cfg.image_handler == "dir":
+                out_ref = namer.next_name("PathImage") + ".png"
+            else:
+                out_ref = ev[7]
             records.append(graphics.image_record(ev, out_ref))
 
     # endDocument: @font-face per valid table entry (PDFDomTree.java:464-492),

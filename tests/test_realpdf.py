@@ -979,3 +979,31 @@ def test_real_arrow_path_fill_color_areas():
     assert fill[2 * h // 3:].any(), "fill color missing from bottomArea"
     # every opaque pixel is the fill color
     assert (fill == opaque).all()
+
+
+# --- save-to-dir naming on the real fixtures (TestImages.java:38-75) --------
+
+def test_real_images_dir_names_are_title_deduped():
+    """TestImages asserts files Untitled.png and Untitled1.png exist after
+    converting images.pdf with SaveResourceToDirHandler: the filename base
+    is the DOCUMENT TITLE (images.pdf carries /Title (Untitled)), de-duped
+    with numeric suffixes — never the XObject resource name."""
+    rows = run("images.pdf", ExtractConfig(image_handler="dir"))
+    refs = [r["media_ref"] for r in rows if r["kind"] == "image"]
+    assert refs == ["Untitled.png", "Untitled1.png"]
+
+
+def test_real_horarios_dir_names_default_title_and_pathimage():
+    """TestImages' infinite-loop regression fixture: Horarios has NO /Title,
+    so bitmap images fall back to getTitle()'s "PDF Document" default
+    (PDFBoxTree.java:952-958) and the first two saved bitmaps are
+    'PDF Document.png' / 'PDF Document1.png'; rasterized paths share the
+    same handler under the fixed name 'PathImage' (PathDrawer.java:71)."""
+    rows = run("HorariosMadrid_Segovia.pdf", ExtractConfig(image_handler="dir"))
+    refs = [r["media_ref"] for r in rows if r["kind"] == "image"]
+    bitmaps = [r for r in refs if r.startswith("PDF Document")]
+    paths = [r for r in refs if r.startswith("PathImage")]
+    assert bitmaps[:2] == ["PDF Document.png", "PDF Document1.png"]
+    assert paths and paths[0] == "PathImage.png"
+    # one shared namer, append order, no collisions
+    assert len(set(refs)) == len(refs)
