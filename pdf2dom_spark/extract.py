@@ -153,14 +153,21 @@ def extract_doc_columnar(doc_id: str, spans: list[dict],
                 if hit is not None:
                     return convert_program(hit[0], hit[1], name)
                 return convert_entry(name)
+        # fonts go through their OWN handler instance (setFontHandler), so
+        # their de-dup namespace is separate from the image namer's
+        # (SaveResourceToDirHandler.writtenFileNames is per-instance)
+        font_namer = graphics.ImageNamer()
         for i, entry in enumerate(font_table.entries):
             if cfg.font_handler == "dir":
                 # SaveResourceToDirHandler: url points at <name>.<ending>
-                # in the extract dir (TestFonts.java save-to-dir asserts)
+                # in the extract dir (TestFonts.java save-to-dir asserts);
+                # the base is the RAW font name (FontTable.Entry passes
+                # fontName to super — FontTable.java:131-134), de-duped
+                # like any other saved resource
                 data, mime, ending = payload(entry["name"])
                 if not data:
                     continue
-                ref = f"{entry['name']}.{ending}"
+                ref = f"{font_namer.next_name(entry['name'])}.{ending}"
             elif cfg.font_payloads:
                 data, mime, _ending = payload(entry["name"])
                 if not data:
