@@ -1004,6 +1004,30 @@ def _apply_renames(content: str, renames: dict[str, str]) -> str:
                   lambda m: "/" + live[m.group(1)], content)
 
 
+def _apply_gs(content: str, gsmap: dict[str, str],
+              renames: dict[str, str]) -> str:
+    """Rewrite ``/Name gs`` invocations into the equivalent inline ops.
+
+    PDFBoxTree extends PDFTextStripper, whose legacy engine registers
+    SetGraphicsStateParameters — so the reference HONORS ExtGState
+    parameters the interpreter models: /LW (line width, same state as the
+    ``w`` op) and /Font (text font + size, same state as ``Tf``). Other
+    entries (alpha, blend mode, smask) never reach Pdf2Dom's output, so a
+    gs carrying none of the modeled keys is dropped. Runs AFTER
+    ``_apply_renames`` — gs resource names that collide with a renamed
+    font resource name have already been mapped, so match keys are the
+    post-rename spellings (and the replacement's family name, already
+    final, can no longer be re-renamed)."""
+    if not gsmap:
+        return content
+    live = {o: n for o, n in renames.items() if o != n}
+    post = {live.get(n, n): repl for n, repl in gsmap.items()}
+    alts = "|".join(re.escape(n)
+                    for n in sorted(post, key=len, reverse=True))
+    return re.sub(r"/(" + alts + r")\s+gs(?=[\s/\[\]()<>{}%]|$)",
+                  lambda m: post[m.group(1)], content)
+
+
 class _SpanBuilder:
     def __init__(self) -> None:
         self.spans: list[dict] = []
@@ -1123,11 +1147,13 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
 
     def process_resources(res, depth: int = 0,
                           parent_renames: dict | None = None,
-                          parent_images: dict | None = None):
-        """-> (font rename map, image map, form names); emits cmap/form
-        spans as a side effect. ``parent_renames``/``parent_images``
-        cascade into form content: a form may reference fonts or image
-        XObjects from the INVOKING context's resources (its own
+                          parent_images: dict | None = None,
+                          parent_gs: dict | None = None):
+        """-> (font rename map, image map, form names, gs rewrite map);
+        emits cmap/form spans as a side effect.
+        ``parent_renames``/``parent_images``/``parent_gs`` cascade into
+        form content: a form may reference fonts, image XObjects, or
+        ExtGStates from the INVOKING context's resources (its own
         /Resources is optional per the spec — the Horarios fixture's text
         fonts live at page level), so the enclosing page's maps apply
         beneath the form's own."""
@@ -1138,6 +1164,27 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
             fam = register_font(str(rname), fref)
             if fam is not None:
                 renames[str(rname)] = fam
+        # ExtGState: translate each dict's modeled parameters into the
+        # inline ops _apply_gs splices over the gs invocation. The /Font
+        # entry registers through the SAME font machinery as /Font
+        # resources (cmap/widths/fontfile spans and all).
+        gss = pdf.resolve(res.get("ExtGState")) or {}
+        gsmap: dict[str, str] = dict(parent_gs or {})
+        for gname, gref in (gss.items() if isinstance(gss, dict) else ()):
+            g = pdf.resolve(gref)
+            if not isinstance(g, dict):
+                continue
+            parts: list[str] = []
+            lw = pdf.resolve(g.get("LW"))
+            if isinstance(lw, (int, float)):
+                parts.append(f"{_fmt(float(lw))} w")
+            fnt = pdf.resolve(g.get("Font"))
+            if isinstance(fnt, list) and len(fnt) == 2:
+                fam = register_font(f"GS:{gname}", fnt[0])
+                size = pdf.resolve(fnt[1])
+                if fam is not None and isinstance(size, (int, float)):
+                    parts.append(f"/{fam} {_fmt(float(size))} Tf")
+            gsmap[str(gname)] = " ".join(parts)
         xobjs = pdf.resolve(res.get("XObject")) or {}
         images: dict[str, tuple] = dict(parent_images or {})
         forms: set[str] = set()
@@ -1158,7 +1205,7 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
                 continue
             if (str(pdf.resolve(xo.dict.get("Subtype")) or "") == "Form"
                     and depth < 4):
-                body = _form_content(xo, depth, renames, images)
+                body = _form_content(xo, depth, renames, images, gsmap)
                 # form definitions are document-global in doc_tokens but
                 # resource names are PER-CONTEXT: two pages reusing /Fm0
                 # for different forms must not collide — alias on a body
@@ -1174,16 +1221,18 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
                 if target != fname:
                     renames[fname] = target
                 forms.add(target)
-        return renames, images, forms
+        return renames, images, forms, gsmap
 
     def _form_content(xo: Stream, depth: int,
                       parent_renames: dict | None = None,
-                      parent_images: dict | None = None) -> str:
+                      parent_images: dict | None = None,
+                      parent_gs: dict | None = None) -> str:
         content = _INLINE_IMG_RE.sub(b" ", xo.data).decode("latin-1")
-        renames, images, _forms = process_resources(
+        renames, images, _forms, gsmap = process_resources(
             xo.dict.get("Resources"), depth + 1, parent_renames,
-            parent_images)
+            parent_images, parent_gs)
         content = _apply_renames(content, renames)
+        content = _apply_gs(content, gsmap, renames)
         # images referenced INSIDE a form cannot be spliced as standalone
         # spans (form expansion is token-level) — rewrite their Do as the
         # inline DoMedia pseudo-op the interpreter dispatches natively:
@@ -1219,11 +1268,13 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
                 c = pdf.resolve(c)
                 if isinstance(c, Stream):
                     parts.append(c.data)
-        renames, images, _forms = process_resources(page.get("Resources"))
+        renames, images, _forms, gsmap = process_resources(
+            page.get("Resources"))
         raw_content, inline_n = _splice_inline_images(
             b"\n".join(parts), images, inline_n)
         content = raw_content.decode("latin-1")
         content = _apply_renames(content, renames)
+        content = _apply_gs(content, gsmap, renames)
 
         header = f"{_fmt(w)} {_fmt(h)} {rot} PG "
         if x0 or y0:

@@ -1007,3 +1007,84 @@ def test_real_horarios_dir_names_default_title_and_pathimage():
     assert paths and paths[0] == "PathImage.png"
     # one shared namer, append order, no collisions
     assert len(set(refs)) == len(refs)
+
+
+# --- ExtGState gs: /Font and /LW reach the output (PDFTextStripper base) ----
+
+def test_extgstate_font_and_linewidth_apply():
+    """PDFBoxTree extends PDFTextStripper, whose engine registers
+    SetGraphicsStateParameters: an ExtGState's /Font [ref size] switches
+    the text font exactly like Tf, and /LW sets the stroke line width
+    exactly like w. The reader rewrites '/GS1 gs' into those inline ops."""
+    import zlib
+
+    from pdf2dom_spark.pdfread import pdf_to_spans
+
+    def stream_obj(num, extra, data):
+        z = zlib.compress(data)
+        return (b"%d 0 obj\n<< /Length %d%s /Filter /FlateDecode >>"
+                b"\nstream\n" % (num, len(z), extra) + z
+                + b"\nendstream\nendobj\n")
+
+    body = (b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 612 792] >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> "
+            b"/ExtGState << /GS1 6 0 R >> >> >>\nendobj\n"
+            + stream_obj(4, b"",
+                         b"BT /F1 9 Tf 72 700 Td (before) Tj ET "
+                         b"/GS1 gs "
+                         b"BT 72 650 Td (after) Tj ET "
+                         b"100 100 m 200 100 l S")
+            + b"5 0 obj\n<< /Type /Font /Subtype /TrueType "
+            b"/BaseFont /Helvetica >>\nendobj\n"
+            + b"6 0 obj\n<< /Type /ExtGState /LW 5 "
+            b"/Font [7 0 R 14] >>\nendobj\n"
+            + b"7 0 obj\n<< /Type /Font /Subtype /TrueType "
+            b"/BaseFont /Courier-Bold >>\nendobj\n")
+    spans = pdf_to_spans(_mini_pdf(body))
+    rows = extract_doc("d", spans, ExtractConfig())
+    texts = {r["text"]: r for r in rows if r["kind"] == "text"}
+    assert set(texts) == {"before", "after"}
+    assert texts["before"]["style_font_size"] == pytest.approx(9.0)
+    # gs /Font [Courier-Bold 14]: size AND family AND weight switch
+    assert texts["after"]["style_font_size"] == pytest.approx(14.0)
+    assert texts["after"]["style_font_family"] == "Courier Bold"
+    assert texts["after"]["style_font_weight"] == "bold"
+    # gs /LW 5: the stroked line is classified with the new line width
+    line = next(r for r in rows if r["kind"] == "line")
+    assert line["style_stroke_width"] == pytest.approx(5.0)
+
+
+def test_extgstate_without_modeled_keys_is_dropped():
+    """A gs whose dict carries only unmodeled parameters (alpha, blend
+    mode) must vanish without disturbing surrounding state."""
+    import zlib
+
+    from pdf2dom_spark.pdfread import pdf_to_spans
+
+    def stream_obj(num, extra, data):
+        z = zlib.compress(data)
+        return (b"%d 0 obj\n<< /Length %d%s /Filter /FlateDecode >>"
+                b"\nstream\n" % (num, len(z), extra) + z
+                + b"\nendstream\nendobj\n")
+
+    body = (b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 612 792] >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> "
+            b"/ExtGState << /GS1 6 0 R >> >> >>\nendobj\n"
+            + stream_obj(4, b"",
+                         b"BT /F1 9 Tf 72 700 Td (a) Tj "
+                         b"/GS1 gs (b) Tj ET")
+            + b"5 0 obj\n<< /Type /Font /Subtype /TrueType "
+            b"/BaseFont /Helvetica >>\nendobj\n"
+            + b"6 0 obj\n<< /Type /ExtGState /CA 0.5 /ca 0.5 "
+            b"/BM /Multiply >>\nendobj\n")
+    spans = pdf_to_spans(_mini_pdf(body))
+    rows = extract_doc("d", spans, ExtractConfig())
+    txt = [r for r in rows if r["kind"] == "text"]
+    assert all(r["style_font_size"] == pytest.approx(9.0) for r in txt)
+    assert "".join(r["text"] for r in txt) in ("ab", "a b", "ab ")
