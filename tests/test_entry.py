@@ -81,3 +81,41 @@ def test_job_cli_lifecycle(spark, tmp_path):
     assert job.main(["--input", docs_dir, "--output", sout,
                      "--partitions", "4", "--stream"]) == 0
     assert spark.read.parquet(f"{sout}/spans").count() == n1
+
+
+def test_job_cli_input_pdfs(spark, tmp_path):
+    """--input-pdfs: real .pdf files through the distributed binaryFile
+    ingest into the same checkpointed table contract as every other
+    source. Uses the reference's own fixture PDFs."""
+    import os
+    import shutil
+
+    import pytest
+
+    res = "/root/reference/src/test/resources"
+    if not os.path.isdir(res):
+        pytest.skip("reference fixtures not present")
+    import job
+
+    src = tmp_path / "pdfs"
+    src.mkdir()
+    for f in ("3-page-document.pdf", "images.pdf",
+              "text-rendering-mode-fill.pdf"):
+        shutil.copy(f"{res}/{f}", src / f)
+    out = str(tmp_path / "pdf_out")
+    assert job.main(["--input-pdfs", str(src), "--output", out,
+                     "--partitions", "2"]) == 0
+    spans = spark.read.parquet(f"{out}/spans")
+    assert spans.select("doc_id").distinct().count() == 3
+    # the ingest matches the in-process parser end to end
+    from pdf2dom_spark.extract import ExtractConfig, extract_doc
+    from pdf2dom_spark.pdfread import pdf_file_to_row
+    row = pdf_file_to_row(f"{res}/3-page-document.pdf")
+    local = extract_doc(row["doc_id"], row["spans"], ExtractConfig())
+    got = spans.where(spans.doc_id == "3-page-document.pdf").count()
+    assert got == len(local)
+    # resume over the same PDF input is a no-op
+    n1 = spans.count()
+    assert job.main(["--input-pdfs", str(src), "--output", out,
+                     "--resume"]) == 0
+    assert spark.read.parquet(f"{out}/spans").count() == n1
