@@ -923,13 +923,20 @@ class DocInterp:
                 tm = ident(); tlm = ident()
             elif op == "ET":
                 pass
-            elif (op == "Tf" and len(args) >= 2
+            elif (op in ("Tf", "GsTf") and len(args) >= 2
                     and type(args[0]) is PdfName
                     and type(args[1]) is float):
                 # SetFontAndSize: COSName + COSNumber or no processing —
                 # the SAME acceptance rule as _prescan_fonts and
                 # pagesplit._TF_RE, so split and unsplit extraction agree
-                # on the font table even for damaged streams
+                # on the font table even for damaged streams.
+                # GsTf is pdfread's rewrite of an ExtGState /Font entry:
+                # identical text state, but INVISIBLE to _prescan_fonts and
+                # the pagesplit seed scan — the reference's font table only
+                # scans /Font resources (PDFBoxTree.processFontResources),
+                # so a gs-only font styles its spans (resolve_family falls
+                # back to known-family/raw name, PDFBoxTree.java:737-747)
+                # but never emits an @font-face rule
                 g.font = str(args[0]); g.fsize = args[1]
             elif op == "Tw" and (nv := _nums(args, 1)) is not None:
                 g.tw = nv[0]; sticky_tw = nv[0]

@@ -1183,7 +1183,11 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
                 fam = register_font(f"GS:{gname}", fnt[0])
                 size = pdf.resolve(fnt[1])
                 if fam is not None and isinstance(size, (int, float)):
-                    parts.append(f"/{fam} {_fmt(float(size))} Tf")
+                    # GsTf: text state like Tf, but excluded from the
+                    # font TABLE — the reference's table scans only
+                    # /Font resources (processFontResources), so a
+                    # gs-only font never emits @font-face
+                    parts.append(f"/{fam} {_fmt(float(size))} GsTf")
             gsmap[str(gname)] = " ".join(parts)
         xobjs = pdf.resolve(res.get("XObject")) or {}
         images: dict[str, tuple] = dict(parent_images or {})

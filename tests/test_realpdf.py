@@ -1050,8 +1050,15 @@ def test_extgstate_font_and_linewidth_apply():
     assert texts["before"]["style_font_size"] == pytest.approx(9.0)
     # gs /Font [Courier-Bold 14]: size AND family AND weight switch
     assert texts["after"]["style_font_size"] == pytest.approx(14.0)
-    assert texts["after"]["style_font_family"] == "Courier Bold"
+    # a gs-only font is NOT in the reference's font table (the table
+    # scans /Font resources only, PDFBoxTree.processFontResources), so
+    # the family falls back to the RAW font name (PDFBoxTree.java:744-746)
+    # while weight/style still classify from the name
+    assert texts["after"]["style_font_family"] == "Courier-Bold"
     assert texts["after"]["style_font_weight"] == "bold"
+    # ... and no @font-face rule is emitted for it
+    faces = [r["text"] for r in rows if r["kind"] == "font"]
+    assert faces == ["Helvetica"]
     # gs /LW 5: the stroked line is classified with the new line width
     line = next(r for r in rows if r["kind"] == "line")
     assert line["style_stroke_width"] == pytest.approx(5.0)
