@@ -217,6 +217,28 @@ def _safe_chr(c: int) -> str:
     return "\ufffd" if 0xD800 <= c <= 0xDFFF else chr(c)
 
 
+def _expand_advances(dec: list[str], adv: np.ndarray) -> np.ndarray:
+    """Per-code advances -> per-CHAR advances for multi-char decodes
+    (ligature ToUnicode entries): each code's advance rides on its first
+    decoded char; continuation chars are zero-width, so the telescoped
+    box geometry (x_last + w_last - x_first) and every later glyph's
+    position are identical to PDFBox's one-TextPosition-per-code model."""
+    n = sum(len(d) for d in dec)
+    out = np.zeros(n)
+    pos = 0
+    for d, a in zip(dec, adv.tolist()):
+        if not d:
+            # defensive (callers always decode to >=1 char): a dropped
+            # glyph still moves the pen, so bank its advance on the
+            # previous emitted char
+            if pos:
+                out[pos - 1] += a
+            continue
+        out[pos] = a
+        pos += len(d)
+    return out
+
+
 # --- interpreter state --------------------------------------------------------
 
 @dataclass
@@ -258,8 +280,10 @@ def doc_cmaps(spans: list[dict]) -> dict[str, dict[int, str]]:
 
     Models the font-encoding / ToUnicode tables PDFBox resolves per font and
     applies at showText time (PDFBoxTree.java:592-656 receives the decoded
-    TextPosition). Multi-char expansions (ligature ToUnicode entries) are
-    out of scope: glyph arrays here are strictly 1:1 code->char.
+    TextPosition). Multi-char expansions (ligature ToUnicode entries,
+    '+'-joined cps in the span text) decode to the full string; the show
+    path expands them into one advance-carrying glyph plus zero-width
+    continuation glyphs, preserving box text and telescoped geometry.
 
     A ``bytes:2`` token in the span text declares a TWO-byte code space
     (Type0/Identity-H CID fonts — PDFBox's readCode consumes two bytes per
@@ -277,7 +301,11 @@ def doc_cmaps(spans: list[dict]) -> dict[str, dict[int, str]]:
             if code == "bytes":
                 continue  # code-width declaration, not a mapping
             if code and cp:
-                m[int(code)] = _safe_chr(int(cp, 16))
+                # '+'-joined cps = a multi-char decode (ligature
+                # ToUnicode entry): one glyph code expands to the full
+                # string, like PDFBox's showText TextPositions
+                m[int(code)] = "".join(
+                    _safe_chr(int(h, 16)) for h in cp.split("+"))
     return maps
 
 
@@ -583,17 +611,27 @@ class DocInterp:
                     raw = np.append(raw, np.uint32(0))
                 pair_codes = (raw[0::2] << np.uint32(8)) | raw[1::2]
                 enc2 = self.cmaps.get(g.font) or {}
-                s = "".join([enc2.get(c) or _safe_chr(c)
-                             for c in pair_codes.tolist()])
+                dec = [enc2.get(c) or _safe_chr(c)
+                       for c in pair_codes.tolist()]
+                s = "".join(dec)
                 if not s:
                     return
                 codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
                 # real /W widths are keyed by the raw CID (pair code); the
                 # decoded-char heuristic is only the fallback proxy
-                adv_src = pair_codes if g.font in self.widths else codes
+                if g.font in self.widths:
+                    adv_src = pair_codes
+                elif len(s) != len(pair_codes):
+                    # multi-char decodes: heuristic metrics by FIRST char
+                    adv_src = np.fromiter((ord(d[0]) for d in dec),
+                                          dtype=np.uint32, count=len(dec))
+                else:
+                    adv_src = codes
                 adv = self._adv(adv_src, g.font, g.fsize * g.th / 1000.0)
                 if g.tc != 0.0:
                     adv += g.tc * g.th
+                if len(s) != len(pair_codes):
+                    adv = _expand_advances(dec, adv)
             else:
                 codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
                 # raw byte codes index the /Widths table (metrics by code)
@@ -607,8 +645,17 @@ class DocInterp:
                 # sees the decoded unicode (PDFBox decodes at showText time)
                 enc = self.cmaps.get(g.font)
                 if enc is not None:
-                    s = "".join([enc.get(c, ch)
-                                 for c, ch in zip(codes.tolist(), s)])
+                    dec = [enc.get(c, ch)
+                           for c, ch in zip(codes.tolist(), s)]
+                    s = "".join(dec)
+                    if not s:
+                        return
+                    if len(s) != len(codes):
+                        # ligature ToUnicode entries: the code's advance
+                        # rides on its first char; continuation chars are
+                        # zero-width (box text and telescoped geometry
+                        # match PDFBox's one-TextPosition-per-code model)
+                        adv = _expand_advances(dec, adv)
                     codes = np.frombuffer(s.encode("utf-32-le"),
                                           dtype=np.uint32)
             # Tm x CTM — identity-CTM fast path skips the matrix multiply
@@ -711,8 +758,14 @@ class DocInterp:
                 codes = codes_all[a:b]
                 adv = adv_all[a:b]
                 if enc is not None:
-                    s = "".join([enc.get(c, ch)
-                                 for c, ch in zip(codes.tolist(), s)])
+                    dec = [enc.get(c, ch)
+                           for c, ch in zip(codes.tolist(), s)]
+                    s = "".join(dec)
+                    if not s:
+                        continue
+                    if len(s) != len(codes):
+                        # ligature expansion: same rule as show()
+                        adv = _expand_advances(dec, adv)
                     codes = np.frombuffer(s.encode("utf-32-le"),
                                           dtype=np.uint32)
                 x = xs[idx]

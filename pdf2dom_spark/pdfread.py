@@ -675,43 +675,46 @@ _HEXTRIPLE_RE = re.compile(
     rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(<[0-9A-Fa-f]+>|\[[^\]]*\])")
 
 
-def _utf16_first(hexs: bytes) -> int | None:
-    """First CODE POINT of a UTF-16BE ToUnicode destination — decoded
-    properly so surrogate pairs (non-BMP math/symbol chars) yield the
-    real codepoint, never a lone surrogate that poisons later utf-8
-    encodes (Arrow serialization, HTML output)."""
+def _utf16_str(hexs: bytes) -> str | None:
+    """Full decoded string of a UTF-16BE ToUnicode destination — decoded
+    properly so surrogate pairs (non-BMP math/symbol chars) yield real
+    codepoints, never a lone surrogate that poisons later utf-8 encodes
+    (Arrow serialization, HTML output). Multi-char destinations (ligature
+    entries like <0066 0069> -> "fi") come back whole: PDFBox's showText
+    produces the full string in one TextPosition."""
     try:
         raw = bytes.fromhex(hexs.decode("ascii"))
     except ValueError:
         return None
     if len(raw) == 1:
-        return raw[0]
+        return chr(raw[0])
     if len(raw) % 2:
         raw = raw[:-1]
     try:
         s = raw.decode("utf-16-be")
     except UnicodeDecodeError:
         return None
-    return ord(s[0]) if s else None
+    return s or None
 
 
 def tounicode_map(cmap_bytes: bytes,
-                  two_byte: bool = False) -> dict[int, int]:
-    """ToUnicode CMap -> {code: unicode cp} (1:1 entries only, matching
-    interp.doc_cmaps' contract). ``two_byte``: accept the full 2-byte
-    source code space (Type0 fonts); otherwise only single-byte codes."""
+                  two_byte: bool = False) -> dict[int, str]:
+    """ToUnicode CMap -> {code: decoded string} (usually one char;
+    ligature entries carry the full multi-char expansion).
+    ``two_byte``: accept the full 2-byte source code space (Type0
+    fonts); otherwise only single-byte codes."""
     def src_ok(src: bytes) -> bool:
         if two_byte:
             return len(src) <= 4
         return len(src) <= 2 or (len(src) == 4 and src[:2] == b"00")
 
-    out: dict[int, int] = {}
+    out: dict[int, str] = {}
     for m in _BFCHAR_RE.finditer(cmap_bytes):
         for src, dst in _HEXPAIR_RE.findall(m.group(1)):
             if src_ok(src):
-                cp = _utf16_first(dst)
-                if cp:
-                    out[int(src, 16)] = cp
+                dec = _utf16_str(dst)
+                if dec:
+                    out[int(src, 16)] = dec
     for m in _BFRANGE_RE.finditer(cmap_bytes):
         for lo, hi, dst in _HEXTRIPLE_RE.findall(m.group(1)):
             if not src_ok(lo):
@@ -720,16 +723,18 @@ def tounicode_map(cmap_bytes: bytes,
             if hi_i - lo_i > 255:
                 continue
             if dst.startswith(b"<"):
-                base = _utf16_first(dst[1:-1])
+                base = _utf16_str(dst[1:-1])
                 if base:
+                    # PDF 32000-1 9.10.3: only the LAST code unit of the
+                    # destination increments across the range
                     for c in range(lo_i, hi_i + 1):
-                        out[c] = base + (c - lo_i)
+                        out[c] = base[:-1] + chr(ord(base[-1]) + (c - lo_i))
             else:  # [<d1> <d2> ...]
                 dsts = re.findall(rb"<([0-9A-Fa-f]+)>", dst)
                 for c, dh in zip(range(lo_i, hi_i + 1), dsts):
-                    cp = _utf16_first(dh)
-                    if cp:
-                        out[c] = cp
+                    dec = _utf16_str(dh)
+                    if dec:
+                        out[c] = dec
     return out
 
 
@@ -827,17 +832,18 @@ def _font_program(pdf: PdfFile, font: dict) -> tuple[str, bytes] | None:
     return None
 
 
-def encoding_map(pdf: PdfFile, font: dict) -> tuple[dict[int, int], bool]:
-    """-> (code -> unicode cp, is_two_byte) for one font.
+def encoding_map(pdf: PdfFile, font: dict) -> tuple[dict[int, str], bool]:
+    """-> (code -> decoded string, is_two_byte) for one font.
 
     Simple fonts: /Encoding /Differences + /ToUnicode, single-byte codes
     (ToUnicode wins where both define a code — PDFBox prefers it too).
     Type0 fonts (Identity-H): the full 2-byte ToUnicode space, flagged so
     the kernel pairs show-string bytes before mapping (interp
-    doc_cid2_fonts)."""
+    doc_cid2_fonts). Values are usually one char; ligature ToUnicode
+    entries carry the full expansion like PDFBox's TextPositions do."""
     subtype = str(pdf.resolve(font.get("Subtype")) or "")
     cid2 = subtype == "Type0"
-    out: dict[int, int] = {}
+    out: dict[int, str] = {}
     enc = pdf.resolve(font.get("Encoding"))
     if not cid2:
         # named base encoding (WinAnsi/MacRoman): the high-range codes
@@ -855,7 +861,7 @@ def encoding_map(pdf: PdfFile, font: dict) -> tuple[dict[int, int], bool]:
                 except UnicodeDecodeError:
                     continue
                 if ord(u) != c:
-                    out[c] = ord(u)
+                    out[c] = u
     if isinstance(enc, dict) and not cid2:
         diffs = pdf.resolve(enc.get("Differences")) or []
         code = 0
@@ -866,16 +872,16 @@ def encoding_map(pdf: PdfFile, font: dict) -> tuple[dict[int, int], bool]:
             elif isinstance(item, Name):
                 cp = _glyph_to_cp(str(item))
                 if cp is not None and cp != code:
-                    out[code] = cp
+                    out[code] = chr(cp)
                 code += 1
     tu = pdf.resolve(font.get("ToUnicode"))
     if isinstance(tu, Stream):
-        for code, cp in tounicode_map(tu.data, two_byte=cid2).items():
-            if cid2 or code != cp:
-                out[code] = cp
+        for code, dec in tounicode_map(tu.data, two_byte=cid2).items():
+            if cid2 or dec != chr(code):
+                out[code] = dec
     if not cid2:
         # identity entries carry no information for the kernel
-        out = {c: cp for c, cp in out.items() if c != cp}
+        out = {c: dec for c, dec in out.items() if dec != chr(c)}
     return out, cid2
 
 
@@ -1105,8 +1111,10 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
         delta = {c: cp for c, cp in cmap.items() if acc.get(c) != cp}
         acc.update(cmap)
         if delta or (cid2 and first):
-            body = " ".join(f"{c}:{cp:04x}"
-                            for c, cp in sorted(delta.items()))
+            # multi-char decodes (ligatures) serialize as '+'-joined cps
+            body = " ".join(
+                f"{c}:" + "+".join(f"{ord(ch):04x}" for ch in dec)
+                for c, dec in sorted(delta.items()))
             if cid2:
                 body = ("bytes:2 " + body).strip()
             sb.add("cmap", body, f"cmap:{fam}")

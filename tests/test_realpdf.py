@@ -316,7 +316,7 @@ def test_real_cid_w_array_drives_geometry():
     from pdf2dom_spark.pdfread import encoding_map
     cmap, cid2 = encoding_map(pdf, minion)
     assert cid2
-    rev = {chr(cp): c for c, cp in cmap.items()}
+    rev = {dec: c for c, dec in cmap.items()}
     cids = [rev[ch] for ch in "Page"]
     expected = sum(wmap.get(c, dw) for c in cids) / 1000.0 * 12.0
 
@@ -592,17 +592,17 @@ def test_winansi_base_encoding_maps_high_codes():
             "Encoding": Name("WinAnsiEncoding")}
     m, cid2 = encoding_map(pdf, font)
     assert not cid2
-    assert m[0x93] == 0x201C and m[0x94] == 0x201D   # curly double quotes
-    assert m[0x97] == 0x2014                          # em dash
-    assert m[0x80] == 0x20AC                          # euro
+    assert m[0x93] == "\u201c" and m[0x94] == "\u201d"  # curly quotes
+    assert m[0x97] == "\u2014"                       # em dash
+    assert m[0x80] == "\u20ac"                       # euro
     assert 0x41 not in m                              # ASCII untouched
 
     font2 = {"Subtype": Name("TrueType"),
              "Encoding": {"BaseEncoding": Name("WinAnsiEncoding"),
                           "Differences": [0x93, Name("space")]}}
     m2, _ = encoding_map(pdf, font2)
-    assert m2[0x93] == 0x20     # Differences override the base table
-    assert m2[0x94] == 0x201D   # rest of the base survives
+    assert m2[0x93] == " "          # Differences override the base
+    assert m2[0x94] == "\u201d"     # rest of the base survives
 
 
 def test_inline_image_spliced_as_image_span():
@@ -863,8 +863,8 @@ def test_tounicode_surrogate_pair_yields_real_codepoint():
 
     cmap = (b"1 beginbfchar\n<41> <D835DC00>\nendbfchar\n")
     m = tounicode_map(cmap)
-    assert m[0x41] == 0x1D400  # MATHEMATICAL BOLD CAPITAL A, not a lone
-    # surrogate that would poison later utf-8 encodes
+    assert m[0x41] == "\U0001d400"  # MATHEMATICAL BOLD CAPITAL A, not a
+    # lone surrogate that would poison later utf-8 encodes
 
 
 def test_bi_inside_string_literal_is_preserved():
@@ -1095,3 +1095,44 @@ def test_extgstate_without_modeled_keys_is_dropped():
     txt = [r for r in rows if r["kind"] == "text"]
     assert all(r["style_font_size"] == pytest.approx(9.0) for r in txt)
     assert "".join(r["text"] for r in txt) in ("ab", "a b", "ab ")
+
+
+# --- ligature ToUnicode entries (multi-char decodes) -------------------------
+
+def test_ligature_tounicode_expands_to_full_text():
+    """A bfchar destination of two UTF-16 units (<0066 0069> = "fi") must
+    reach the output text whole — PDFBox's showText yields the full
+    string in one TextPosition — while the glyph's ADVANCE stays the one
+    declared for its code, so the box geometry matches the
+    one-TextPosition-per-code model (continuation chars are zero-width)."""
+    import zlib
+
+    from pdf2dom_spark.pdfread import pdf_to_spans
+
+    def stream_obj(num, extra, data):
+        z = zlib.compress(data)
+        return (b"%d 0 obj\n<< /Length %d%s /Filter /FlateDecode >>"
+                b"\nstream\n" % (num, len(z), extra) + z
+                + b"\nendstream\nendobj\n")
+
+    # code 0x01 -> "fi", with /Widths giving it a 600-milli advance
+    body = (b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 612 792] >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n"
+            + stream_obj(4, b"",
+                         b"BT /F1 10 Tf 72 700 Td (x\x01n) Tj ET")
+            + b"5 0 obj\n<< /Type /Font /Subtype /TrueType "
+            b"/BaseFont /LigFont /FirstChar 1 /LastChar 120 "
+            b"/Widths [600"
+            + b" 500" * 119
+            + b"] /ToUnicode 6 0 R >>\nendobj\n"
+            + stream_obj(6, b"",
+                         b"1 beginbfchar\n<01> <00660069>\nendbfchar\n"))
+    spans = pdf_to_spans(_mini_pdf(body))
+    rows = extract_doc("d", spans, ExtractConfig())
+    t = next(r for r in rows if r["kind"] == "text")
+    assert t["text"] == "xfin"
+    # width = sum of the three CODE advances at 10pt: 500+600+500 milli
+    assert t["style_width"] == pytest.approx(16.0, abs=1e-6)
