@@ -60,16 +60,26 @@ class Ref(tuple):
 
 
 class Stream:
-    def __init__(self, d: dict, raw: bytes, pdf: "PdfFile"):
+    def __init__(self, d: dict, raw: bytes, pdf: "PdfFile",
+                 num: int = 0, gen: int = 0):
         self.dict = d
         self.raw = raw
+        self.num = num
+        self.gen = gen
         self._pdf = pdf
         self._data: bytes | None = None
 
     @property
     def data(self) -> bytes:
         if self._data is None:
-            self._data = _decode_stream(self.dict, self.raw, self._pdf)
+            raw = self.raw
+            crypt = getattr(self._pdf, "_crypt", None)
+            if crypt is not None and self.num not in self._pdf._no_decrypt:
+                # decrypt BEFORE filters (PDF 32000-1 7.6.2); the xref
+                # stream is read before crypt init and never re-read, so
+                # it stays plaintext as the spec requires
+                raw = crypt.decrypt_stream(raw, self.num, self.gen)
+            self._data = _decode_stream(self.dict, raw, self._pdf)
         return self._data
 
 
@@ -367,8 +377,10 @@ def _decode_stream(d: dict, raw: bytes, pdf: "PdfFile") -> bytes:
 
 
 class EncryptedPdfError(ValueError):
-    """The file declares /Encrypt — stream payloads are ciphered and this
-    reader does not implement the standard security handler."""
+    """The file declares /Encrypt and cannot be opened without a
+    password (or uses a non-standard security handler). Empty-password
+    files — the kind the reference opens transparently via PDFBox's
+    standard security handler — decrypt silently and never raise."""
 
 
 class PdfFile:
@@ -381,6 +393,8 @@ class PdfFile:
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, list] = {}
+        self._crypt = None
+        self._no_decrypt: set[int] = set()
         try:
             self._load_xref()
         except Exception:
@@ -392,8 +406,47 @@ class PdfFile:
             # needs — PDFBox does the same on xref failure)
             self._repair_scan()
         if "Encrypt" in self.trailer:
-            raise EncryptedPdfError(
-                "encrypted PDF (/Encrypt present); decryption unsupported")
+            self._init_crypt()
+
+    def _init_crypt(self) -> None:
+        """Standard security handler with the EMPTY password — the same
+        no-password open PDFBox performs for the reference. Files that
+        truly need a password raise EncryptedPdfError."""
+        from .pdfcrypt import (PasswordRequiredError, StdSecurityHandler,
+                               UnsupportedEncryptionError)
+
+        enc_ref = self.trailer.get("Encrypt")
+        if isinstance(enc_ref, Ref):
+            # the /Encrypt dictionary's own strings (O, U, ...) are never
+            # encrypted — exclude its object from string decryption
+            self._no_decrypt.add(enc_ref[0])
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict):
+            raise EncryptedPdfError("malformed /Encrypt dictionary")
+        id0 = b""
+        ids = self.resolve(self.trailer.get("ID"))
+        if isinstance(ids, list) and ids:
+            v = self.resolve(ids[0])
+            if isinstance(v, bytes):
+                id0 = v
+        try:
+            self._crypt = StdSecurityHandler(enc, id0, resolve=self.resolve)
+        except (PasswordRequiredError, UnsupportedEncryptionError) as exc:
+            raise EncryptedPdfError(str(exc)) from exc
+        # objects parsed during setup cached ciphered strings / stream
+        # payloads — reparse everything under the live handler
+        self._cache.clear()
+        self._objstm_cache.clear()
+
+    def _decrypt_strings(self, v, num: int, gen: int):
+        if isinstance(v, bytes):
+            return self._crypt.decrypt_string(v, num, gen)
+        if isinstance(v, dict):
+            return {k: self._decrypt_strings(x, num, gen)
+                    for k, x in v.items()}
+        if isinstance(v, list):  # Ref is a tuple subclass: passes through
+            return [self._decrypt_strings(x, num, gen) for x in v]
+        return v
 
     def _repair_scan(self) -> None:
         b = self.data
@@ -514,7 +567,13 @@ class PdfFile:
         m = re.match(rb"\s*(\d+)\s+(\d+)\s+obj", b[offset:offset + 40])
         if not m:
             raise ValueError(f"no obj header at {offset}")
+        num, gen = int(m.group(1)), int(m.group(2))
         val, i = parse_obj(b, offset + m.end())
+        if self._crypt is not None and num not in self._no_decrypt:
+            # strings in a directly-stored indirect object are encrypted
+            # with its object key (strings inside object streams are NOT
+            # — the container stream already was)
+            val = self._decrypt_strings(val, num, gen)
         i = _skip_ws(b, i)
         if b.startswith(b"stream", i):
             i += 6
@@ -533,7 +592,7 @@ class PdfFile:
             # strip the EOL that precedes endstream when Length was absent
             if not isinstance(length, (int, float)):
                 raw = raw.rstrip(b"\r\n")
-            return Stream(val, raw, self)
+            return Stream(val, raw, self, num, gen)
         return val
 
     def get(self, num: int):

@@ -1,0 +1,173 @@
+"""Standard-security-handler decryption (pdfcrypt.py + pdfread wiring).
+
+PDFBox opens encrypted PDFs whose user (or owner) password is empty
+without any caller-visible difference, so the reference converts them
+like plain files (PDDocument.load with no password runs the standard
+security handler). These tests build REAL encrypted files — RC4-40
+(R2), RC4-128 (R3), AES-128 crypt filters (R4/AESV2), AES-256 (R6/
+AESV3) — with the spec's own algorithms run in the encrypt direction,
+then assert the reader produces byte-identical spans to the plaintext
+twin. A genuinely password-protected file must still refuse loudly.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from pdf2dom_spark.extract import ExtractConfig, extract_doc
+from pdf2dom_spark.pdfcrypt import (PAD, StdSecurityHandler, _aes_cbc,
+                                    _hash_2b, _r2r4_file_key, aes_encrypt,
+                                    compute_o, compute_u, rc4)
+from pdf2dom_spark.pdfread import EncryptedPdfError, PdfFile, pdf_to_spans
+
+ID0 = b"0123456789abcdef"
+CONTENT = b"BT /F1 9 Tf 72 700 Td (Secret) Tj 0 -20 Td (Body) Tj ET"
+TITLE = b"Classified Report"
+
+
+def _objkey(key: bytes, num: int, gen: int, aes: bool) -> bytes:
+    import hashlib
+    h = hashlib.md5(key + struct.pack("<I", num)[:3]
+                    + struct.pack("<I", gen)[:2]
+                    + (b"sAlT" if aes else b""))
+    return h.digest()[: min(len(key) + 5, 16)]
+
+
+def _hex(b: bytes) -> bytes:
+    return b"<" + b.hex().encode() + b">"
+
+
+def _build(enc_dict: bytes, enc_stream, enc_string) -> bytes:
+    """Assemble the mini-PDF; ``enc_stream(num, data)``/``enc_string``
+    encrypt per object."""
+    z = enc_stream(4, zlib.compress(CONTENT))
+    title = enc_string(7, TITLE)
+    body = (b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 612 792] >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n"
+            + b"4 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+            % len(z) + z + b"\nendstream\nendobj\n"
+            + b"5 0 obj\n<< /Type /Font /Subtype /TrueType "
+            b"/BaseFont /Helvetica >>\nendobj\n"
+            + b"7 0 obj\n<< /Title " + _hex(title) + b" >>\nendobj\n"
+            + b"8 0 obj\n" + enc_dict + b"\nendobj\n")
+    return (b"%PDF-1.6\n" + body
+            + b"trailer\n<< /Root 1 0 R /Info 7 0 R /Encrypt 8 0 R /ID ["
+            + _hex(ID0) + b" " + _hex(ID0) + b"] >>\nstartxref\n0\n%%EOF\n")
+
+
+def _plain_rows():
+    z = zlib.compress(CONTENT)
+    body = (b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 612 792] >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n"
+            + b"4 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+            % len(z) + z + b"\nendstream\nendobj\n"
+            + b"5 0 obj\n<< /Type /Font /Subtype /TrueType "
+            b"/BaseFont /Helvetica >>\nendobj\n"
+            + b"7 0 obj\n<< /Title (" + TITLE + b") >>\nendobj\n")
+    doc = (b"%PDF-1.6\n" + body
+           + b"trailer\n<< /Root 1 0 R /Info 7 0 R >>\nstartxref\n0\n%%EOF\n")
+    return extract_doc("d", pdf_to_spans(doc), ExtractConfig())
+
+
+def _rc4_doc(r: int, bits: int, user_pwd: bytes = b"",
+             owner_pwd: bytes | None = None) -> bytes:
+    o = compute_o(user_pwd, owner_pwd, r, bits)
+    p = -1
+    key = _r2r4_file_key(user_pwd, o, p, ID0, r, bits, True)
+    u = compute_u(key, ID0, r)
+    v = 1 if r == 2 else 2
+    enc = (b"<< /Filter /Standard /V %d /R %d /Length %d /P -1 /O "
+           % (v, r, bits) + _hex(o) + b" /U " + _hex(u) + b" >>")
+    return _build(
+        enc,
+        lambda num, d: rc4(_objkey(key, num, 0, False), d),
+        lambda num, d: rc4(_objkey(key, num, 0, False), d))
+
+
+def _assert_matches_plain(doc: bytes):
+    rows = extract_doc("d", pdf_to_spans(doc), ExtractConfig())
+    plain = _plain_rows()
+    assert rows == plain
+    texts = [r["text"] for r in rows if r["kind"] == "text"]
+    assert texts == ["Secret", "Body"]
+    meta = [r for r in rows if r["kind"] == "meta"]
+    assert meta and meta[0]["text"] == TITLE.decode()
+
+
+def test_rc4_40_r2_empty_password():
+    _assert_matches_plain(_rc4_doc(2, 40))
+
+
+def test_rc4_128_r3_empty_password():
+    _assert_matches_plain(_rc4_doc(3, 128))
+
+
+def test_aes128_r4_crypt_filters():
+    r, bits = 4, 128
+    o = compute_o(b"", b"", r, bits)
+    key = _r2r4_file_key(b"", o, -1, ID0, r, bits, True)
+    u = compute_u(key, ID0, r)
+    enc = (b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P -1 "
+           b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+           b"/StmF /StdCF /StrF /StdCF /O " + _hex(o)
+           + b" /U " + _hex(u) + b" >>")
+    iv = bytes(range(16))
+    doc = _build(
+        enc,
+        lambda num, d: aes_encrypt(_objkey(key, num, 0, True), iv, d),
+        lambda num, d: aes_encrypt(_objkey(key, num, 0, True), iv, d))
+    _assert_matches_plain(doc)
+
+
+def test_aes256_r6_empty_password():
+    file_key = bytes(range(32))
+    vsalt, ksalt = b"vvvvvvvv", b"kkkkkkkk"
+    u = _hash_2b(b"", vsalt, b"", 6) + vsalt + ksalt
+    ik = _hash_2b(b"", ksalt, b"", 6)
+    ue = _aes_cbc(ik, b"\x00" * 16, file_key, encrypt=True)
+    enc = (b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P -1 "
+           b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+           b"/StmF /StdCF /StrF /StdCF /O " + _hex(b"\x00" * 48)
+           + b" /OE " + _hex(b"\x00" * 32)
+           + b" /U " + _hex(u) + b" /UE " + _hex(ue) + b" >>")
+    iv = bytes(range(16))
+    doc = _build(
+        enc,
+        lambda num, d: aes_encrypt(file_key, iv, d),
+        lambda num, d: aes_encrypt(file_key, iv, d))
+    _assert_matches_plain(doc)
+
+
+def test_password_protected_still_refuses():
+    doc = _rc4_doc(3, 128, user_pwd=b"secret", owner_pwd=b"secret")
+    with pytest.raises(EncryptedPdfError):
+        pdf_to_spans(doc)
+
+
+def test_empty_owner_password_recovers_user():
+    """Algorithm 7: user password set, owner password EMPTY — the empty
+    owner password decrypts /O back to the user password (PDFBox accepts
+    this file with no password too)."""
+    doc = _rc4_doc(3, 128, user_pwd=b"userpw", owner_pwd=b"")
+    _assert_matches_plain(doc)
+
+
+def test_u_entry_roundtrip_r3():
+    o = compute_o(b"", b"", 3, 128)
+    key = _r2r4_file_key(b"", o, -1, ID0, 3, 128, True)
+    h = StdSecurityHandler(
+        {"Filter": "Standard", "V": 2, "R": 3, "Length": 128,
+         "O": o, "U": compute_u(key, ID0, 3), "P": -1}, ID0)
+    assert h.key == key
+    data = b"round trip payload"
+    enc = rc4(h.object_key(12, 0, False), data)
+    assert h.decrypt_string(enc, 12, 0) == data
