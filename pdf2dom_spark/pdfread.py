@@ -74,13 +74,34 @@ class Stream:
         if self._data is None:
             raw = self.raw
             crypt = getattr(self._pdf, "_crypt", None)
-            if crypt is not None and self.num not in self._pdf._no_decrypt:
+            if (crypt is not None
+                    and self.num not in self._pdf._no_decrypt
+                    and not self._identity_crypt_filter()):
                 # decrypt BEFORE filters (PDF 32000-1 7.6.2); the xref
                 # stream is read before crypt init and never re-read, so
                 # it stays plaintext as the spec requires
                 raw = crypt.decrypt_stream(raw, self.num, self.gen)
             self._data = _decode_stream(self.dict, raw, self._pdf)
         return self._data
+
+    def _identity_crypt_filter(self) -> bool:
+        """A per-stream /Crypt filter whose /Name is /Identity (or
+        absent) opts the stream OUT of encryption (PDF 32000-1 7.4.10)
+        — metadata streams use this under encrypt-all defaults."""
+        pdf = self._pdf
+        filters = pdf.resolve(self.dict.get("Filter"))
+        parms = pdf.resolve(self.dict.get("DecodeParms", self.dict.get("DP")))
+        if not isinstance(filters, list):
+            filters, parms = [filters], [parms]
+        elif not isinstance(parms, list):
+            parms = [parms] * len(filters)
+        for f, p in zip(filters, parms):
+            if str(f) == "Crypt":
+                p = pdf.resolve(p)
+                name = (str(pdf.resolve(p.get("Name")) or "Identity")
+                        if isinstance(p, dict) else "Identity")
+                return name == "Identity"
+        return False
 
 
 _WS = b"\x00\t\n\x0c\r "
@@ -364,6 +385,11 @@ def _decode_stream(d: dict, raw: bytes, pdf: "PdfFile") -> bytes:
             data = _a85_decode(data)
         elif f in ("RunLengthDecode", "RL"):
             data = _rle_decode(data)
+        elif f == "Crypt":
+            # decryption already happened at Stream.data (or was skipped
+            # for an /Identity crypt filter) — pass through to the next
+            # filter in the chain
+            continue
         elif f in _OPAQUE_FILTERS:
             return data  # image codec payload stays opaque
         else:  # unknown filter: keep raw (caller treats as opaque)

@@ -171,3 +171,34 @@ def test_u_entry_roundtrip_r3():
     data = b"round trip payload"
     enc = rc4(h.object_key(12, 0, False), data)
     assert h.decrypt_string(enc, 12, 0) == data
+
+
+def test_identity_crypt_filter_stream_stays_plain():
+    """A stream whose /Filter chain starts with /Crypt /Identity opts
+    OUT of encryption even in an encrypted file (PDF 32000-1 7.4.10) —
+    its bytes must pass through undecrypted, and the rest of the filter
+    chain must still apply."""
+    r, bits = 3, 128
+    o = compute_o(b"", None, r, bits)
+    key = _r2r4_file_key(b"", o, -1, ID0, r, bits, True)
+    u = compute_u(key, ID0, r)
+    z = zlib.compress(CONTENT)  # NOT encrypted: Identity crypt filter
+    body = (b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 612 792] >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n"
+            + b"4 0 obj\n<< /Length %d /Filter [/Crypt /FlateDecode] "
+            b"/DecodeParms [<< /Type /CryptFilterDecodeParms "
+            b"/Name /Identity >> null] >>\nstream\n"
+            % len(z) + z + b"\nendstream\nendobj\n"
+            + b"5 0 obj\n<< /Type /Font /Subtype /TrueType "
+            b"/BaseFont /Helvetica >>\nendobj\n"
+            + b"8 0 obj\n<< /Filter /Standard /V 2 /R 3 /Length 128 "
+            b"/P -1 /O " + _hex(o) + b" /U " + _hex(u) + b" >>\nendobj\n")
+    doc = (b"%PDF-1.6\n" + body
+           + b"trailer\n<< /Root 1 0 R /Encrypt 8 0 R /ID ["
+           + _hex(ID0) + b" " + _hex(ID0) + b"] >>\nstartxref\n0\n%%EOF\n")
+    rows = extract_doc("d", pdf_to_spans(doc), ExtractConfig())
+    texts = [r_["text"] for r_ in rows if r_["kind"] == "text"]
+    assert texts == ["Secret", "Body"]
