@@ -220,3 +220,71 @@ def test_spark_ingest_skips_protected_extracts_encrypted(spark, tmp_path):
     spans = docs[0]["spans"]
     texts = [s["text"] for s in spans if s["kind"] == "text"]
     assert any("(Secret)" in t for t in texts)
+
+
+def test_encrypted_objstm_strings_not_double_decrypted():
+    """PDF 1.5 layout under encryption: the ObjStm CONTAINER stream is
+    encrypted (decrypt -> inflate), but strings of the objects inside it
+    are NOT separately encrypted (PDF 32000-1 7.5.7) — the /Title held
+    in a compressed Info object must come out plaintext. Loads through a
+    real cross-reference STREAM (type-1/type-2 entries), not the repair
+    scan."""
+    r, bits = 3, 128
+    o = compute_o(b"", None, r, bits)
+    key = _r2r4_file_key(b"", o, -1, ID0, r, bits, True)
+    u = compute_u(key, ID0, r)
+
+    buf = bytearray(b"%PDF-1.6\n")
+    offsets = {}
+
+    def add(num, payload: bytes):
+        offsets[num] = len(buf)
+        buf.extend(b"%d 0 obj\n" % num + payload + b"\nendobj\n")
+
+    def add_stream(num, extra: bytes, stored: bytes):
+        offsets[num] = len(buf)
+        buf.extend(b"%d 0 obj\n<< /Length %d%s >>\nstream\n"
+                   % (num, len(stored), extra))
+        buf.extend(stored)
+        buf.extend(b"\nendstream\nendobj\n")
+
+    add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+           b"/MediaBox [0 0 612 792] >>")
+    add(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+           b"/Resources << /Font << /F1 5 0 R >> >> >>")
+    content = rc4(_objkey(key, 4, 0, False), zlib.compress(CONTENT))
+    add_stream(4, b" /Filter /FlateDecode", content)
+    add(5, b"<< /Type /Font /Subtype /TrueType /BaseFont /Helvetica >>")
+    # ObjStm holding obj 7 (Info with a PLAINTEXT title string inside)
+    inner = b"<< /Title (" + TITLE + b") >>"
+    objstm_plain = b"7 0 " + inner
+    first = len(b"7 0 ")
+    stored6 = rc4(_objkey(key, 6, 0, False), zlib.compress(objstm_plain))
+    add_stream(6, b" /Type /ObjStm /N 1 /First %d /Filter /FlateDecode"
+               % first, stored6)
+    add(8, b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P -1 /O "
+           + _hex(o) + b" /U " + _hex(u) + b" >>")
+
+    # xref STREAM (obj 9): W [1 4 2]; entries 0..9
+    import struct as _s
+    rows = [b"\x00" + _s.pack(">I", 0) + _s.pack(">H", 0xFFFF)]
+    for n in (1, 2, 3, 4, 5):
+        rows.append(b"\x01" + _s.pack(">I", offsets[n]) + b"\x00\x00")
+    rows.append(b"\x01" + _s.pack(">I", offsets[6]) + b"\x00\x00")   # 6
+    rows.append(b"\x02" + _s.pack(">I", 6) + _s.pack(">H", 0))       # 7
+    rows.append(b"\x01" + _s.pack(">I", offsets[8]) + b"\x00\x00")   # 8
+    xref_off_placeholder = len(buf)
+    rows.append(b"\x01" + _s.pack(">I", xref_off_placeholder) + b"\x00\x00")
+    xdata = b"".join(rows)
+    add_stream(9, b" /Type /XRef /Size 10 /W [1 4 2] /Root 1 0 R "
+               b"/Info 7 0 R /Encrypt 8 0 R /ID ["
+               + _hex(ID0) + b" " + _hex(ID0) + b"]", xdata)
+    buf.extend(b"startxref\n%d\n%%%%EOF\n" % offsets[9])
+
+    spans = pdf_to_spans(bytes(buf))
+    rows_out = extract_doc("d", spans, ExtractConfig())
+    texts = [r_["text"] for r_ in rows_out if r_["kind"] == "text"]
+    assert texts == ["Secret", "Body"]
+    meta = [r_ for r_ in rows_out if r_["kind"] == "meta"]
+    assert meta and meta[0]["text"] == TITLE.decode()
