@@ -1354,7 +1354,10 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
                            or [0, 0, 612, 792])]
         x0, y0 = min(box[0], box[2]), min(box[1], box[3])
         w, h = abs(box[2] - box[0]), abs(box[3] - box[1])
-        rot = int(pdf.resolve(page.get("Rotate", 0)) or 0) % 360
+        rot = int(pdf.resolve(page.get("Rotate", 0)) or 0)
+        # PDPage.getRotation(): a /Rotate that is not a multiple of 90 is
+        # invalid and reads as 0; negatives normalize into 0..270
+        rot = rot % 360 if rot % 90 == 0 else 0
 
         contents = pdf.resolve(page.get("Contents"))
         parts: list[bytes] = []

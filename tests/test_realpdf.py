@@ -1136,3 +1136,33 @@ def test_ligature_tounicode_expands_to_full_text():
     assert t["text"] == "xfin"
     # width = sum of the three CODE advances at 10pt: 500+600+500 milli
     assert t["style_width"] == pytest.approx(16.0, abs=1e-6)
+
+
+def test_invalid_rotate_reads_as_zero():
+    """PDPage.getRotation(): /Rotate 45 is invalid (not a multiple of
+    90) and reads as 0; /Rotate -90 normalizes to 270 (dims swap)."""
+    import zlib
+
+    from pdf2dom_spark.pdfread import pdf_to_spans
+
+    def doc(rot: int) -> bytes:
+        z = zlib.compress(b"BT /F1 9 Tf 72 700 Td (r) Tj ET")
+        body = (b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+                b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 "
+                b"/MediaBox [0 0 612 792] >>\nendobj\n"
+                b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+                b"/Rotate %d /Resources << /Font << /F1 5 0 R >> >> "
+                b">>\nendobj\n" % rot
+                + b"4 0 obj\n<< /Length %d /Filter /FlateDecode >>"
+                b"\nstream\n" % len(z) + z + b"\nendstream\nendobj\n"
+                + b"5 0 obj\n<< /Type /Font /Subtype /TrueType "
+                b"/BaseFont /Helvetica >>\nendobj\n")
+        return _mini_pdf(body)
+
+    def page_dims(rot: int):
+        rows = extract_doc("d", pdf_to_spans(doc(rot)), ExtractConfig())
+        pg = next(r for r in rows if r["kind"] == "page")
+        return pg["style_width"], pg["style_height"]
+
+    assert page_dims(45) == page_dims(0) == (612.0, 792.0)
+    assert page_dims(-90) == (792.0, 612.0)  # ((-90 % 360)+360)%360 = 270
