@@ -1095,6 +1095,32 @@ def _apply_renames(content: str, renames: dict[str, str]) -> str:
                   lambda m: "/" + live[m.group(1)], content)
 
 
+# PDFDocEncoding deltas vs latin-1 (PDF 32000-1 Annex D.2): the 0x18-0x1F
+# accent row, the 0x80-0x9E typographic block, and the euro at 0xA0.
+# Text strings WITHOUT a UTF-16 BOM decode through this, matching
+# PDFBox's PDFDocEncoding reader (titles with curly quotes/dashes).
+_PDFDOC_DELTAS = {
+    0x18: 0x02D8, 0x19: 0x02C7, 0x1A: 0x02C6, 0x1B: 0x02D9,
+    0x1C: 0x02DD, 0x1D: 0x02DB, 0x1E: 0x02DA, 0x1F: 0x02DC,
+    0x80: 0x2022, 0x81: 0x2020, 0x82: 0x2021, 0x83: 0x2026,
+    0x84: 0x2014, 0x85: 0x2013, 0x86: 0x0192, 0x87: 0x2044,
+    0x88: 0x2039, 0x89: 0x203A, 0x8A: 0x2212, 0x8B: 0x2030,
+    0x8C: 0x201E, 0x8D: 0x201C, 0x8E: 0x201D, 0x8F: 0x2018,
+    0x90: 0x2019, 0x91: 0x201A, 0x92: 0x2122, 0x93: 0xFB01,
+    0x94: 0xFB02, 0x95: 0x0141, 0x96: 0x0152, 0x97: 0x0160,
+    0x98: 0x0178, 0x99: 0x017D, 0x9A: 0x0131, 0x9B: 0x0142,
+    0x9C: 0x0153, 0x9D: 0x0161, 0x9E: 0x017E, 0xA0: 0x20AC,
+}
+
+
+def pdfdoc_decode(raw: bytes) -> str:
+    """PDF text string -> str: UTF-16BE when BOM-prefixed, else
+    PDFDocEncoding (latin-1 plus the Annex D.2 deltas)."""
+    if raw.startswith(b"\xfe\xff"):
+        return raw[2:].decode("utf-16-be", "replace")
+    return "".join(chr(_PDFDOC_DELTAS.get(b, b)) for b in raw)
+
+
 def _apply_gs(content: str, gsmap: dict[str, str],
               renames: dict[str, str]) -> str:
     """Rewrite ``/Name gs`` invocations into the equivalent inline ops.
@@ -1143,10 +1169,8 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
     if isinstance(info, dict):
         title = pdf.resolve(info.get("Title"))
         if isinstance(title, bytes) and title:
-            if title.startswith(b"\xfe\xff"):
-                t = title.decode("utf-16-be", "replace")[1:]
-            else:
-                t = title.decode("latin-1", "replace")
+            # UTF-16BE with BOM, else PDFDocEncoding (PDF 32000-1 7.9.2.2)
+            t = pdfdoc_decode(title)
             if t:
                 sb.add("meta", t, "title")
 

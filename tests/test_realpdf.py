@@ -1166,3 +1166,24 @@ def test_invalid_rotate_reads_as_zero():
 
     assert page_dims(45) == page_dims(0) == (612.0, 792.0)
     assert page_dims(-90) == (792.0, 612.0)  # ((-90 % 360)+360)%360 = 270
+
+
+def test_title_pdfdoc_encoding():
+    """Text strings without a UTF-16 BOM decode as PDFDocEncoding: the
+    0x80-0x9F typographic block (bullet, curly quotes, em dash) and the
+    euro at 0xA0 differ from latin-1 (PDF 32000-1 Annex D.2)."""
+    from pdf2dom_spark.pdfread import pdf_to_spans, pdfdoc_decode
+
+    assert pdfdoc_decode(b"\x8dQ\x8e \x84 \x80 \xa0") == \
+        "“Q” — • €"
+    assert pdfdoc_decode(b"\xfe\xff\x20\x14") == "—"  # UTF-16BE BOM
+    assert pdfdoc_decode(b"plain ascii") == "plain ascii"
+    # e2e through the Info dict
+    body = (b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [] /Count 0 >>\nendobj\n"
+            b"7 0 obj\n<< /Title <8d50448e> >>\nendobj\n")
+    doc = (b"%PDF-1.4\n" + body
+           + b"trailer\n<< /Root 1 0 R /Info 7 0 R >>\nstartxref\n0\n%%EOF\n")
+    spans = pdf_to_spans(doc)
+    meta = [s for s in spans if s["kind"] == "meta"]
+    assert meta and meta[0]["text"] == "“PD”"
