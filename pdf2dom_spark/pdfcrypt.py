@@ -303,6 +303,12 @@ class StdSecurityHandler:
         h = hashlib.md5(self.key + struct.pack("<I", num)[:3]
                         + struct.pack("<I", gen)[:2]
                         + (b"sAlT" if aes else b""))
+        if aes:
+            # AES-128 always takes the full 16-byte digest; for a
+            # spec-compliant AESV2 file (/Length 128) min(n+5,16) is 16
+            # anyway — the clamp only saves degenerate declarations
+            # (e.g. AESV2 with /Length 40) from an invalid key size
+            return h.digest()
         return h.digest()[: min(len(self.key) + 5, 16)]
 
     def _apply(self, cfm: str, data: bytes, num: int, gen: int) -> bytes:

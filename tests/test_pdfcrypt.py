@@ -288,3 +288,38 @@ def test_encrypted_objstm_strings_not_double_decrypted():
     assert texts == ["Secret", "Body"]
     meta = [r_ for r_ in rows_out if r_["kind"] == "meta"]
     assert meta and meta[0]["text"] == TITLE.decode()
+
+
+def test_crypt_roundtrip_property():
+    """Property: for every revision and random payloads/passwords, the
+    handler built from self-computed O/U authenticates the empty password
+    and round-trips string/stream bytes exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.binary(max_size=200), st.sampled_from([2, 3, 4]),
+           st.sampled_from([40, 128]), st.integers(1, 9999))
+    def prop(payload, r, bits, num):
+        if r == 2:
+            bits = 40
+        o = compute_o(b"", None, r, bits)
+        key = _r2r4_file_key(b"", o, -1, ID0, r, bits, True)
+        u = compute_u(key, ID0, r)
+        v = {2: 1, 3: 2, 4: 4}[r]
+        enc = {"Filter": "Standard", "V": v, "R": r, "Length": bits,
+               "O": o, "U": u, "P": -1}
+        if r == 4:
+            enc.update({"CF": {"StdCF": {"CFM": "AESV2", "Length": 16}},
+                        "StmF": "StdCF", "StrF": "StdCF"})
+        h = StdSecurityHandler(enc, ID0)
+        assert h.key == key
+        if r == 4:
+            ct = aes_encrypt(h.object_key(num, 0, True),
+                             bytes(range(16)), payload)
+        else:
+            ct = rc4(h.object_key(num, 0, False), payload)
+        assert h.decrypt_string(ct, num, 0) == payload
+        assert h.decrypt_stream(ct, num, 0) == payload
+
+    prop()
