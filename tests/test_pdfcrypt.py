@@ -18,10 +18,10 @@ import zlib
 import pytest
 
 from pdf2dom_spark.extract import ExtractConfig, extract_doc
-from pdf2dom_spark.pdfcrypt import (PAD, StdSecurityHandler, _aes_cbc,
-                                    _hash_2b, _r2r4_file_key, aes_encrypt,
-                                    compute_o, compute_u, rc4)
-from pdf2dom_spark.pdfread import EncryptedPdfError, PdfFile, pdf_to_spans
+from pdf2dom_spark.pdfcrypt import (StdSecurityHandler, _aes_cbc, _hash_2b,
+                                    _r2r4_file_key, aes_encrypt, compute_o,
+                                    compute_u, rc4)
+from pdf2dom_spark.pdfread import EncryptedPdfError, pdf_to_spans
 
 ID0 = b"0123456789abcdef"
 CONTENT = b"BT /F1 9 Tf 72 700 Td (Secret) Tj 0 -20 Td (Body) Tj ET"
