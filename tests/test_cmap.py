@@ -100,3 +100,34 @@ def test_property_remap_is_exact_substitution(mapping):
     assert [b["text"] for b in mapped] == [w for w in expect if w]
     assert [(b["style_left"], b["style_width"]) for b in mapped] == \
         [(b["style_left"], b["style_width"]) for b in plain]
+
+
+def multichar_cmap_span(font: str, mapping: dict[int, str],
+                        offset: int) -> dict:
+    body = " ".join(
+        f"{c}:" + "+".join(f"{ord(ch):04x}" for ch in u)
+        for c, u in mapping.items())
+    return {"kind": "cmap", "text": body, "media_ref": f"cmap:{font}",
+            "offset": offset}
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=65, max_codepoint=90),
+               min_size=1, max_size=12),
+       st.dictionaries(st.integers(65, 90),
+                       st.text(alphabet="abÖ鱼", min_size=1, max_size=3),
+                       max_size=8))
+def test_multichar_cmap_text_and_geometry_property(word, mapping):
+    """Property (ligature ToUnicode model): box text equals the per-code
+    decode joined in order, while left/top/width stay byte-identical to
+    the UNMAPPED run — advances key on raw codes, continuation chars are
+    zero-width (PDFBox's one-TextPosition-per-code geometry)."""
+    stream = text_span(
+        PG + f"BT /Mono 10 Tf 1 0 0 1 72 700 Tm ({word}) Tj ET", 1)
+    plain = boxes(run([stream]))
+    mapped = boxes(run([multichar_cmap_span("Mono", mapping, 0), stream]))
+    expected = "".join(mapping.get(ord(ch), ch) for ch in word)
+    assert "".join(b["text"] for b in mapped) == expected
+    assert len(mapped) == len(plain)
+    for k in ("style_left", "style_top", "style_width"):
+        assert [b[k] for b in mapped] == [b[k] for b in plain]
