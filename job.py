@@ -29,6 +29,10 @@ def parse_args(argv):
     p.add_argument("--input-pdfs", help="directory/glob of real .pdf files "
                    "to ingest (distributed binaryFile scan -> stdlib PDF "
                    "parser -> DOC_SCHEMA; pdf2dom_spark.pdfread)")
+    p.add_argument("--input-archives", help="directory/glob of .zip "
+                   "archives of PDFs (one binaryFile row per archive -> "
+                   "in-memory member parse -> DOC_SCHEMA with "
+                   "<archive>/<member> doc_ids)")
     p.add_argument("--synth", help="synthesize corpus from this sf dir instead")
     p.add_argument("--output", required=True)
     p.add_argument("--partitions", type=int, default=0,
@@ -95,6 +99,9 @@ def main(argv=None):
     if args.input_pdfs:
         from pdf2dom_spark.pdfread import pdf_docs_df
         docs = pdf_docs_df(spark, args.input_pdfs)
+    elif args.input_archives:
+        from pdf2dom_spark.pdfread import pdf_archive_docs_df
+        docs = pdf_archive_docs_df(spark, args.input_archives)
     elif args.synth:
         from pdf2dom_spark.corpus import build_docs_df
         docs = build_docs_df(spark, args.synth, mode="rich", num_partitions=p)

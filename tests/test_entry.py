@@ -119,3 +119,30 @@ def test_job_cli_input_pdfs(spark, tmp_path):
     assert job.main(["--input-pdfs", str(src), "--output", out,
                      "--resume"]) == 0
     assert spark.read.parquet(f"{out}/spans").count() == n1
+
+
+def test_job_cli_input_archives(spark, tmp_path):
+    """--input-archives: zip-of-PDFs containers through the same
+    checkpointed table contract."""
+    import os
+    import zipfile
+
+    import pytest
+
+    res = "/root/reference/src/test/resources"
+    if not os.path.isdir(res):
+        pytest.skip("reference fixtures not present")
+    import job
+
+    src = tmp_path / "archives"
+    src.mkdir()
+    with zipfile.ZipFile(src / "b1.zip", "w") as zf:
+        for f in ("text-rendering-mode-stroke.pdf", "images.pdf"):
+            zf.write(f"{res}/{f}", f)
+    out = str(tmp_path / "arch_out")
+    assert job.main(["--input-archives", str(src), "--output", out,
+                     "--partitions", "2"]) == 0
+    spans = spark.read.parquet(f"{out}/spans")
+    ids = {r["doc_id"] for r in spans.select("doc_id").distinct().collect()}
+    assert ids == {"b1.zip/text-rendering-mode-stroke.pdf",
+                   "b1.zip/images.pdf"}

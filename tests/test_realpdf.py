@@ -1187,3 +1187,31 @@ def test_title_pdfdoc_encoding():
     spans = pdf_to_spans(doc)
     meta = [s for s in spans if s["kind"] == "meta"]
     assert meta and meta[0]["text"] == "“PD”"
+
+
+def test_archive_ingest_zip_of_pdfs(spark, tmp_path):
+    """pdf_archive_docs_df: a zip of reference PDFs (plus a corrupt
+    member and a non-PDF member) ingests into DOC_SCHEMA with
+    archive/member doc_ids; spans match the local parser; the bad
+    members are skipped without poisoning the batch."""
+    import zipfile
+
+    from pdf2dom_spark.pdfread import pdf_archive_docs_df, pdf_file_to_row
+
+    arch = tmp_path / "batch-0001.zip"
+    with zipfile.ZipFile(arch, "w") as zf:
+        for f in ("text-rendering-mode-stroke.pdf", "images.pdf"):
+            zf.write(f"{RES}/{f}", f)
+        zf.writestr("broken.pdf", b"%PDF-1.4 garbage with no objects")
+        zf.writestr("notes.txt", b"not a pdf")
+    docs = {d["doc_id"]: d["spans"]
+            for d in pdf_archive_docs_df(spark, str(tmp_path)).collect()}
+    # broken.pdf parses to zero spans (repair scan yields nothing) or is
+    # skipped; the two real members must be present and exact
+    for f in ("text-rendering-mode-stroke.pdf", "images.pdf"):
+        key = f"batch-0001.zip/{f}"
+        assert key in docs
+        local = pdf_file_to_row(f"{RES}/{f}")["spans"]
+        got = [dict(s.asDict()) for s in docs[key]]
+        assert got == local
+    assert "batch-0001.zip/notes.txt" not in docs
