@@ -1475,38 +1475,79 @@ def pdf_docs_df(spark, path_glob: str):
     return files.mapInPandas(parse_batch, DOC_SCHEMA)
 
 
-def pdf_archive_docs_df(spark, path_glob: str, suffix: str = ".zip"):
-    """Distributed ingest of PDFs packed inside zip archives — the shape
-    web-scale corpora actually ship in (many small PDFs per container
-    object, S3-friendly). Same plan as ``pdf_docs_df``: binaryFile scan
-    (one row per ARCHIVE) -> one narrow mapInPandas that opens each
-    archive in memory, parses every ``*.pdf`` member, and emits
-    DOC_SCHEMA rows with ``<archive>/<member>`` doc_ids. Zero shuffle
-    before the extraction salt; a corrupt archive or member degrades to
-    a skip, never poisoning its batch. Stdlib ``zipfile`` over an
-    in-memory buffer — no temp files on executors."""
+def _container_pdf_members(data: bytes):
+    """Yield (member_name, pdf_bytes) from one container blob, sniffed by
+    magic bytes: zip (PK), gzip (bare .pdf.gz or .tar.gz), tar (ustar).
+    Corrupt containers yield nothing; corrupt members are skipped."""
+    import gzip
+    import io as _io
+    import tarfile
+    import zipfile
+
+    if data[:2] == b"PK":
+        try:
+            zf = zipfile.ZipFile(_io.BytesIO(data))
+        except Exception:
+            return
+        for name in zf.namelist():
+            if name.lower().endswith(".pdf"):
+                try:
+                    yield name, zf.read(name)
+                except Exception:
+                    continue
+        return
+    if data[:2] == b"\x1f\x8b":
+        try:
+            inner = gzip.decompress(data)
+        except Exception:
+            return
+        if inner.startswith(b"%PDF"):
+            yield "member.pdf", inner  # bare gzipped PDF
+            return
+        data = inner  # fall through: likely a .tar.gz
+    if len(data) > 262 and data[257:262] == b"ustar" \
+            or data[:4] == b"%PDF":
+        if data[:4] == b"%PDF":
+            yield "member.pdf", data
+            return
+        try:
+            tf = tarfile.open(fileobj=_io.BytesIO(data))
+        except Exception:
+            return
+        for m in tf.getmembers():
+            if m.isfile() and m.name.lower().endswith(".pdf"):
+                try:
+                    fh = tf.extractfile(m)
+                    if fh is not None:
+                        yield m.name, fh.read()
+                except Exception:
+                    continue
+
+
+def pdf_archive_docs_df(spark, path_glob: str, suffix: str = "*"):
+    """Distributed ingest of PDFs packed inside container files — the
+    shapes web-scale corpora actually ship in (many small PDFs per
+    S3-friendly object): zip, tar, tar.gz, or bare gzipped PDFs, sniffed
+    by magic bytes per container. Same plan as ``pdf_docs_df``:
+    binaryFile scan (one row per CONTAINER) -> one narrow mapInPandas
+    that opens each container in memory and emits DOC_SCHEMA rows with
+    ``<container>/<member>`` doc_ids. Zero shuffle before the extraction
+    salt; a corrupt container or member degrades to a skip, never
+    poisoning its batch. Stdlib codecs only — no temp files on
+    executors."""
     import os
 
     from .schema import DOC_SCHEMA
 
     def parse_batch(it):
-        import io as _io
-        import zipfile
-
         import pandas as pd
         for batch in it:
             ids, spans = [], []
             for path, content in zip(batch["path"], batch["content"]):
                 base = os.path.basename(str(path))
-                try:
-                    zf = zipfile.ZipFile(_io.BytesIO(bytes(content)))
-                except Exception:
-                    continue  # corrupt archive: skip whole container
-                for name in zf.namelist():
-                    if not name.lower().endswith(".pdf"):
-                        continue
+                for name, blob in _container_pdf_members(bytes(content)):
                     try:
-                        spans.append(pdf_to_spans(zf.read(name)))
+                        spans.append(pdf_to_spans(blob))
                         ids.append(f"{base}/{name}")
                     except Exception:
                         continue  # one bad member never kills the rest
@@ -1514,7 +1555,7 @@ def pdf_archive_docs_df(spark, path_glob: str, suffix: str = ".zip"):
                                 "spans": pd.Series(spans, dtype=object)})
 
     files = (spark.read.format("binaryFile")
-             .option("pathGlobFilter", f"*{suffix}")
+             .option("pathGlobFilter", suffix)
              .load(path_glob)
              .select("path", "content"))
     return files.mapInPandas(parse_batch, DOC_SCHEMA)

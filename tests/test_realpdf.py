@@ -1215,3 +1215,30 @@ def test_archive_ingest_zip_of_pdfs(spark, tmp_path):
         got = [dict(s.asDict()) for s in docs[key]]
         assert got == local
     assert "batch-0001.zip/notes.txt" not in docs
+
+
+def test_archive_ingest_tar_gz_and_bare_gz(spark, tmp_path):
+    """Container sniffing: tar.gz members and bare .pdf.gz blobs ingest
+    through the same pdf_archive_docs_df; a garbage container yields
+    nothing."""
+    import gzip
+    import tarfile
+
+    from pdf2dom_spark.pdfread import pdf_archive_docs_df, pdf_file_to_row
+
+    with tarfile.open(tmp_path / "dump.tar.gz", "w:gz") as tf:
+        tf.add(f"{RES}/text-rendering-mode-stroke.pdf",
+               arcname="a/stroke.pdf")
+        tf.add(f"{RES}/images.pdf", arcname="b/images.pdf")
+    with open(f"{RES}/3-page-document.pdf", "rb") as fh:
+        (tmp_path / "single.pdf.gz").write_bytes(gzip.compress(fh.read()))
+    (tmp_path / "junk.bin").write_bytes(b"\x00\x01garbage")
+
+    docs = {d["doc_id"]: d["spans"]
+            for d in pdf_archive_docs_df(spark, str(tmp_path)).collect()}
+    assert set(docs) == {"dump.tar.gz/a/stroke.pdf",
+                         "dump.tar.gz/b/images.pdf",
+                         "single.pdf.gz/member.pdf"}
+    local = pdf_file_to_row(f"{RES}/3-page-document.pdf")["spans"]
+    got = [dict(s.asDict()) for s in docs["single.pdf.gz/member.pdf"]]
+    assert got == local
