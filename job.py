@@ -29,6 +29,9 @@ def parse_args(argv):
     p.add_argument("--input-pdfs", help="directory/glob of real .pdf files "
                    "to ingest (distributed binaryFile scan -> stdlib PDF "
                    "parser -> DOC_SCHEMA; pdf2dom_spark.pdfread)")
+    p.add_argument("--pdf-password", default="",
+                   help="password for encrypted input PDFs (tried as user "
+                        "then owner; empty-password files open without it)")
     p.add_argument("--input-archives", help="directory/glob of .zip "
                    "archives of PDFs (one binaryFile row per archive -> "
                    "in-memory member parse -> DOC_SCHEMA with "
@@ -98,10 +101,13 @@ def main(argv=None):
 
     if args.input_pdfs:
         from pdf2dom_spark.pdfread import pdf_docs_df
-        docs = pdf_docs_df(spark, args.input_pdfs)
+        docs = pdf_docs_df(spark, args.input_pdfs,
+                           password=args.pdf_password.encode("utf-8"))
     elif args.input_archives:
         from pdf2dom_spark.pdfread import pdf_archive_docs_df
-        docs = pdf_archive_docs_df(spark, args.input_archives)
+        docs = pdf_archive_docs_df(
+            spark, args.input_archives,
+            password=args.pdf_password.encode("utf-8"))
     elif args.synth:
         from pdf2dom_spark.corpus import build_docs_df
         docs = build_docs_df(spark, args.synth, mode="rich", num_partitions=p)

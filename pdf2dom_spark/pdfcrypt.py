@@ -12,10 +12,13 @@ ISO 32000-2 §7.6.4 for R6) so ``pdfread`` matches that behavior:
 - R5 (deprecated AES-256) and R6 (V5, AES-256 with the iterated
   Algorithm-2.B hash)
 
-Only the EMPTY password is attempted (tried as user, then as owner via
-Algorithm 7 recovery) — exactly the no-password open the reference's CLI
-performs. Files that genuinely require a password still raise
-``pdfread.EncryptedPdfError``.
+The supplied password (default EMPTY — exactly the no-password open the
+reference's CLI performs) is tried as the user password, then as the
+owner password (Algorithm 7 recovery). Files whose password does not
+match still raise ``pdfread.EncryptedPdfError``. ASCII passwords encode
+identically under every revision; non-ASCII CLI passwords are encoded
+UTF-8 (the R6 rule; R2-R4 writers that used another 8-bit encoding for
+non-ASCII passwords would need the raw bytes).
 
 RC4 is implemented inline (stdlib-only, tiny payloads); AES-CBC comes
 from the ``cryptography`` package and is import-gated so environments
@@ -180,7 +183,11 @@ class StdSecurityHandler:
     encrypted`` honor V4/V5 /Identity crypt filters.
     """
 
-    def __init__(self, enc: dict, id0: bytes, resolve=lambda v: v):
+    def __init__(self, enc: dict, id0: bytes, resolve=lambda v: v,
+                 password: bytes = b""):
+        # R6 truncates the UTF-8 password to 127 bytes (ISO 32000-2
+        # 7.6.4.3.3); harmless for shorter passwords on every revision
+        self._pwd = password[:127]
         filt = str(resolve(enc.get("Filter")) or "")
         if filt != "Standard":
             raise UnsupportedEncryptionError(
@@ -204,14 +211,14 @@ class StdSecurityHandler:
             if self.r not in (2, 3, 4):
                 raise UnsupportedEncryptionError(
                     f"unsupported /R {self.r} for /V {self.v}")
-            self.key = self._auth_empty_r2r4()
+            self.key = self._auth_r2r4()
         elif self.v == 5:
             if self.r not in (5, 6):
                 raise UnsupportedEncryptionError(
                     f"unsupported /R {self.r} for /V 5")
             ue = resolve(enc.get("UE"))
             oe = resolve(enc.get("OE"))
-            self.key = self._auth_empty_r5r6(
+            self.key = self._auth_r5r6(
                 ue if isinstance(ue, bytes) else b"",
                 oe if isinstance(oe, bytes) else b"")
         else:
@@ -236,15 +243,15 @@ class StdSecurityHandler:
 
     # -- authentication -------------------------------------------------
 
-    def _auth_empty_r2r4(self) -> bytes:
-        for pwd in (b"",):
-            key = _r2r4_file_key(pwd, self.o, self.p, self.id0, self.r,
-                                 self.length_bits, self.encrypt_metadata)
-            if self._check_u(key):
-                return key
-        # Algorithm 7: empty OWNER password -> recover the user password
+    def _auth_r2r4(self) -> bytes:
+        key = _r2r4_file_key(self._pwd, self.o, self.p, self.id0, self.r,
+                             self.length_bits, self.encrypt_metadata)
+        if self._check_u(key):
+            return key
+        # Algorithm 7: try the password as the OWNER password -> recover
+        # the (padded) user password from /O
         n = max(5, min(16, self.length_bits // 8))
-        okey = hashlib.md5(PAD).digest()
+        okey = hashlib.md5((self._pwd + PAD)[:32]).digest()
         if self.r >= 3:
             for _ in range(50):
                 okey = hashlib.md5(okey).digest()
@@ -270,7 +277,8 @@ class StdSecurityHandler:
         key = key[:n]
         if self._check_u(key):
             return key
-        raise PasswordRequiredError("empty password does not authenticate")
+        raise PasswordRequiredError(
+            "password does not authenticate (tried as user and owner)")
 
     def _check_u(self, key: bytes) -> bool:
         expect = compute_u(key, self.id0, self.r)
@@ -278,21 +286,23 @@ class StdSecurityHandler:
             return expect == self.u[:32]
         return expect[:16] == self.u[:16]
 
-    def _auth_empty_r5r6(self, ue: bytes, oe: bytes) -> bytes:
+    def _auth_r5r6(self, ue: bytes, oe: bytes) -> bytes:
+        pwd = self._pwd
         u = self.u
         if len(u) >= 48:
             vsalt, ksalt = u[32:40], u[40:48]
-            if _hash_2b(b"", vsalt, b"", self.r) == u[:32] and len(ue) >= 32:
-                ik = _hash_2b(b"", ksalt, b"", self.r)
+            if _hash_2b(pwd, vsalt, b"", self.r) == u[:32] and len(ue) >= 32:
+                ik = _hash_2b(pwd, ksalt, b"", self.r)
                 return _aes_cbc(ik, b"\x00" * 16, ue[:32], encrypt=False)
         o = self.o
         if len(o) >= 48 and len(u) >= 48:
             vsalt, ksalt = o[32:40], o[40:48]
-            if (_hash_2b(b"", vsalt, u[:48], self.r) == o[:32]
+            if (_hash_2b(pwd, vsalt, u[:48], self.r) == o[:32]
                     and len(oe) >= 32):
-                ik = _hash_2b(b"", ksalt, u[:48], self.r)
+                ik = _hash_2b(pwd, ksalt, u[:48], self.r)
                 return _aes_cbc(ik, b"\x00" * 16, oe[:32], encrypt=False)
-        raise PasswordRequiredError("empty password does not authenticate")
+        raise PasswordRequiredError(
+            "password does not authenticate (tried as user and owner)")
 
     # -- decryption ------------------------------------------------------
 

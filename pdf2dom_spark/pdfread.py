@@ -412,8 +412,9 @@ class EncryptedPdfError(ValueError):
 class PdfFile:
     """Random-access PDF object store over one file's bytes."""
 
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, password: bytes = b""):
         self.data = data
+        self._password = password
         # obj num -> ("n", byte_offset) | ("s", container_objnum, index)
         self.xref: dict[int, tuple] = {}
         self.trailer: dict = {}
@@ -456,7 +457,8 @@ class PdfFile:
             if isinstance(v, bytes):
                 id0 = v
         try:
-            self._crypt = StdSecurityHandler(enc, id0, resolve=self.resolve)
+            self._crypt = StdSecurityHandler(enc, id0, resolve=self.resolve,
+                                             password=self._password)
         except (PasswordRequiredError, UnsupportedEncryptionError) as exc:
             raise EncryptedPdfError(str(exc)) from exc
         # objects parsed during setup cached ciphered strings / stream
@@ -1160,9 +1162,10 @@ def _fmt(v: float) -> str:
     return f"{v:g}"
 
 
-def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
+def pdf_to_spans(data: bytes, max_pages: int | None = None,
+                 password: bytes = b"") -> list[dict]:
     """One PDF file's bytes -> the DOC_SCHEMA ``spans`` array."""
-    pdf = PdfFile(data)
+    pdf = PdfFile(data, password=password)
     sb = _SpanBuilder()
 
     info = pdf.resolve(pdf.trailer.get("Info"))
@@ -1423,13 +1426,15 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None) -> list[dict]:
 
 
 def pdf_file_to_row(path: str, doc_id: str | None = None,
-                    max_pages: int | None = None) -> dict:
+                    max_pages: int | None = None,
+                    password: bytes = b"") -> dict:
     """One on-disk PDF -> a DOC_SCHEMA row dict (doc_id, spans)."""
     with open(path, "rb") as fh:
         data = fh.read()
     import os
     return {"doc_id": doc_id or os.path.basename(path),
-            "spans": pdf_to_spans(data, max_pages=max_pages)}
+            "spans": pdf_to_spans(data, max_pages=max_pages,
+                                  password=password)}
 
 
 # ---------------------------------------------------------------------------
@@ -1437,7 +1442,7 @@ def pdf_file_to_row(path: str, doc_id: str | None = None,
 # ---------------------------------------------------------------------------
 
 
-def pdf_docs_df(spark, path_glob: str):
+def pdf_docs_df(spark, path_glob: str, password: bytes = b""):
     """Distributed real-PDF ingest: ``binaryFile`` scan -> per-file parse in
     Arrow batches -> DOC_SCHEMA rows (the same shape every other pipeline
     entry consumes, so run_checkpointed/extract_spans work unchanged).
@@ -1457,7 +1462,8 @@ def pdf_docs_df(spark, path_glob: str):
             ids, spans = [], []
             for path, content in zip(pdf_batch["path"], pdf_batch["content"]):
                 try:
-                    spans.append(pdf_to_spans(bytes(content)))
+                    spans.append(pdf_to_spans(bytes(content),
+                                              password=password))
                     ids.append(os.path.basename(str(path)))
                 except Exception:
                     # unparseable file: skip, never poison the batch
@@ -1524,7 +1530,8 @@ def _container_pdf_members(data: bytes):
                     continue
 
 
-def pdf_archive_docs_df(spark, path_glob: str, suffix: str = "*"):
+def pdf_archive_docs_df(spark, path_glob: str, suffix: str = "*",
+                        password: bytes = b""):
     """Distributed ingest of PDFs packed inside container files — the
     shapes web-scale corpora actually ship in (many small PDFs per
     S3-friendly object): zip, tar, tar.gz, or bare gzipped PDFs, sniffed
@@ -1547,7 +1554,7 @@ def pdf_archive_docs_df(spark, path_glob: str, suffix: str = "*"):
                 base = os.path.basename(str(path))
                 for name, blob in _container_pdf_members(bytes(content)):
                     try:
-                        spans.append(pdf_to_spans(blob))
+                        spans.append(pdf_to_spans(blob, password=password))
                         ids.append(f"{base}/{name}")
                     except Exception:
                         continue  # one bad member never kills the rest

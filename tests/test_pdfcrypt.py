@@ -323,3 +323,52 @@ def test_crypt_roundtrip_property():
         assert h.decrypt_stream(ct, num, 0) == payload
 
     prop()
+
+
+def test_user_password_opens_protected_file():
+    """pdf_to_spans(password=...): the user password authenticates
+    directly; a wrong password still refuses."""
+    doc = _rc4_doc(3, 128, user_pwd=b"secret", owner_pwd=b"secret")
+    rows = extract_doc(
+        "d", pdf_to_spans(doc, password=b"secret"), ExtractConfig())
+    texts = [r["text"] for r in rows if r["kind"] == "text"]
+    assert texts == ["Secret", "Body"]
+    with pytest.raises(EncryptedPdfError):
+        pdf_to_spans(doc, password=b"wrong")
+
+
+def test_owner_password_opens_protected_file():
+    """Algorithm 7 with a real owner password: /O keyed on the owner
+    password recovers the (different) user password."""
+    doc = _rc4_doc(3, 128, user_pwd=b"userpw", owner_pwd=b"ownerpw")
+    rows = extract_doc(
+        "d", pdf_to_spans(doc, password=b"ownerpw"), ExtractConfig())
+    assert [r["text"] for r in rows if r["kind"] == "text"] == \
+        ["Secret", "Body"]
+
+
+def test_r6_password_opens_protected_file():
+    """AES-256 R6 with a non-empty user password: the iterated hash
+    authenticates and unwraps the file key."""
+    pwd = b"hunter2"
+    file_key = bytes(range(32))
+    vsalt, ksalt = b"vvvvvvvv", b"kkkkkkkk"
+    u = _hash_2b(pwd, vsalt, b"", 6) + vsalt + ksalt
+    ik = _hash_2b(pwd, ksalt, b"", 6)
+    ue = _aes_cbc(ik, b"\x00" * 16, file_key, encrypt=True)
+    enc = (b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P -1 "
+           b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+           b"/StmF /StdCF /StrF /StdCF /O " + _hex(b"\x00" * 48)
+           + b" /OE " + _hex(b"\x00" * 32)
+           + b" /U " + _hex(u) + b" /UE " + _hex(ue) + b" >>")
+    iv = bytes(range(16))
+    doc = _build(
+        enc,
+        lambda num, d: aes_encrypt(file_key, iv, d),
+        lambda num, d: aes_encrypt(file_key, iv, d))
+    rows = extract_doc("d", pdf_to_spans(doc, password=pwd),
+                       ExtractConfig())
+    assert [r["text"] for r in rows if r["kind"] == "text"] == \
+        ["Secret", "Body"]
+    with pytest.raises(EncryptedPdfError):
+        pdf_to_spans(doc)  # no password -> refuse
