@@ -70,18 +70,25 @@ class Stream:
         self._data: bytes | None = None
 
     @property
+    def raw_plain(self) -> bytes:
+        """Stored bytes AFTER decryption, BEFORE filters — the stable
+        identity of an opaque payload (image media_refs hash this, so
+        the ref is invariant to whether the file was encrypted)."""
+        crypt = getattr(self._pdf, "_crypt", None)
+        if (crypt is not None
+                and self.num not in self._pdf._no_decrypt
+                and not self._identity_crypt_filter()):
+            # decrypt BEFORE filters (PDF 32000-1 7.6.2); the xref
+            # stream is read before crypt init and never re-read, so
+            # it stays plaintext as the spec requires
+            return crypt.decrypt_stream(self.raw, self.num, self.gen)
+        return self.raw
+
+    @property
     def data(self) -> bytes:
         if self._data is None:
-            raw = self.raw
-            crypt = getattr(self._pdf, "_crypt", None)
-            if (crypt is not None
-                    and self.num not in self._pdf._no_decrypt
-                    and not self._identity_crypt_filter()):
-                # decrypt BEFORE filters (PDF 32000-1 7.6.2); the xref
-                # stream is read before crypt init and never re-read, so
-                # it stays plaintext as the spec requires
-                raw = crypt.decrypt_stream(raw, self.num, self.gen)
-            self._data = _decode_stream(self.dict, raw, self._pdf)
+            self._data = _decode_stream(self.dict, self.raw_plain,
+                                        self._pdf)
         return self._data
 
     def _identity_crypt_filter(self) -> bool:
@@ -1322,7 +1329,7 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None,
             if str(pdf.resolve(xo.dict.get("Subtype")) or "") == "Image":
                 w = int(pdf.resolve(xo.dict.get("Width", 1)) or 1)
                 h = int(pdf.resolve(xo.dict.get("Height", 1)) or 1)
-                ref = "sha:" + hashlib.md5(xo.raw).hexdigest()
+                ref = "sha:" + hashlib.md5(xo.raw_plain).hexdigest()
                 images[rname] = (w, h, ref)
         for fname, xo in resolved:
             if not isinstance(xo, Stream):

@@ -36,13 +36,47 @@ def _obj(num: int, body: bytes) -> bytes:
 
 
 def _stream_obj(num: int, extra: bytes, data: bytes,
-                compress: bool = True) -> bytes:
+                compress: bool = True, enc=None) -> bytes:
     if compress:
         data = zlib.compress(data)
         extra += b" /Filter /FlateDecode"
+    if enc is not None:
+        # encryption applies to the STORED bytes, after filters encode
+        # (the reader decrypts before inflating — PDF 32000-1 7.6.2)
+        data = enc(num, data)
     head = b"<< /Length %d%s >>" % (len(data), extra)
     return (b"%d 0 obj\n" % num + head + b"\nstream\n" + data
             + b"\nendstream\nendobj\n")
+
+
+class _Encryptor:
+    """Encrypt-direction standard security handler for the writer:
+    RC4-128 /R 3 with the given user/owner passwords (empty by default —
+    the kind of file PDFBox and this repo's reader open with no
+    password). Reuses pdfcrypt's spec algorithms; per-object keys via
+    Algorithm 1."""
+
+    def __init__(self, file_id: bytes, user_pwd: bytes = b"",
+                 owner_pwd: bytes | None = None):
+        from .pdfcrypt import _r2r4_file_key, compute_o, compute_u
+        self.id0 = file_id
+        self.o = compute_o(user_pwd, owner_pwd, 3, 128)
+        self.key = _r2r4_file_key(user_pwd, self.o, -1, file_id, 3, 128,
+                                  True)
+        self.u = compute_u(self.key, self.id0, 3)
+
+    def __call__(self, num: int, data: bytes) -> bytes:
+        import hashlib
+        import struct
+
+        from .pdfcrypt import rc4
+        h = hashlib.md5(self.key + struct.pack("<I", num)[:3] + b"\x00\x00")
+        return rc4(h.digest()[: min(len(self.key) + 5, 16)], data)
+
+    def encrypt_obj(self, num: int) -> bytes:
+        return (b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P -1 /O <"
+                + self.o.hex().encode() + b"> /U <"
+                + self.u.hex().encode() + b"> >>")
 
 
 def oracle_pdf_bytes(doc_id: str, text: str) -> bytes:
@@ -151,7 +185,9 @@ def write_oracle_pdf_dir(sf_dir: str, out_dir: str,
 
 
 def spans_to_pdf(doc_id: str, spans: list[dict],
-                 payload_for=None) -> bytes:
+                 payload_for=None, encrypt: bool = False,
+                 user_pwd: bytes = b"",
+                 owner_pwd: bytes | None = None) -> bytes:
     """Generic DOC_SCHEMA spans -> a real PDF file. Handles the full
     synthetic-corpus surface: multi-fragment pages, page rotations (PG
     header -> /Rotate), kind='rect' fragments (plain content), image
@@ -165,6 +201,11 @@ def spans_to_pdf(doc_id: str, spans: list[dict],
     truncated hashes, so rich round-trips compare modulo media_ref)."""
     import re as _re
 
+    enc = None
+    if encrypt:
+        import hashlib
+        enc = _Encryptor(hashlib.md5(doc_id.encode()).digest(),
+                         user_pwd, owner_pwd)
     payload_for = payload_for or (lambda ref, p: (ref or "").encode())
     pg_re = _re.compile(r"^([\d.]+) ([\d.]+) (\d+) PG ")
 
@@ -217,7 +258,7 @@ def spans_to_pdf(doc_id: str, spans: list[dict],
         nxt += 1
         objs[num] = _stream_obj(
             num, b" /Type /XObject /Subtype /Form /BBox [0 0 %d %d]"
-            % (int(PAGE_W), int(PAGE_H)), body.encode("latin-1"))
+            % (int(PAGE_W), int(PAGE_H)), body.encode("latin-1"), enc=enc)
         form_nums.append((name, num))
 
     kid_nums: list[int] = []
@@ -229,7 +270,7 @@ def spans_to_pdf(doc_id: str, spans: list[dict],
             objs[num] = _stream_obj(
                 num, b" /Type /XObject /Subtype /Image /Width %d "
                 b"/Height %d /BitsPerComponent 8 /ColorSpace /DeviceGray"
-                % (w, h), payload, compress=False)
+                % (w, h), payload, compress=False, enc=enc)
             xobjs.append((name, num))
         res = b""
         if xobjs:
@@ -241,7 +282,7 @@ def spans_to_pdf(doc_id: str, spans: list[dict],
         page_num = nxt
         nxt += 1
         objs[cont_num] = _stream_obj(
-            cont_num, b"", " ".join(pg["frags"]).encode("latin-1"))
+            cont_num, b"", " ".join(pg["frags"]).encode("latin-1"), enc=enc)
         rot = b" /Rotate %d" % pg["rot"] if pg["rot"] else b""
         objs[page_num] = _obj(
             page_num,
@@ -254,11 +295,21 @@ def spans_to_pdf(doc_id: str, spans: list[dict],
     if title:
         info_num = nxt
         nxt += 1
-        esc = title.replace("\\", r"\\").replace("(", r"\(") \
-            .replace(")", r"\)")
-        objs[info_num] = _obj(info_num, b"<< /Title (%s) >>"
-                              % esc.encode("latin-1"))
+        if enc is not None:
+            ct = enc(info_num, title.encode("latin-1"))
+            objs[info_num] = _obj(info_num, b"<< /Title <%s> >>"
+                                  % ct.hex().encode())
+        else:
+            esc = title.replace("\\", r"\\").replace("(", r"\(") \
+                .replace(")", r"\)")
+            objs[info_num] = _obj(info_num, b"<< /Title (%s) >>"
+                                  % esc.encode("latin-1"))
 
+    enc_num = None
+    if enc is not None:
+        enc_num = nxt
+        nxt += 1
+        objs[enc_num] = _obj(enc_num, enc.encrypt_obj(enc_num))
     objs[1] = _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
     objs[2] = _obj(
         2, b"<< /Type /Pages /Count %d /Kids [%s] >>"
@@ -278,6 +329,10 @@ def spans_to_pdf(doc_id: str, spans: list[dict],
     trailer = b"<< /Size %d /Root 1 0 R" % (maxnum + 1)
     if info_num:
         trailer += b" /Info %d 0 R" % info_num
+    if enc_num:
+        trailer += (b" /Encrypt %d 0 R /ID [<%s> <%s>]"
+                    % (enc_num, enc.id0.hex().encode(),
+                       enc.id0.hex().encode()))
     trailer += b" >>"
     out += (b"trailer\n" + trailer + b"\nstartxref\n%d\n%%%%EOF\n"
             % xref_at)

@@ -372,3 +372,45 @@ def test_r6_password_opens_protected_file():
         ["Secret", "Body"]
     with pytest.raises(EncryptedPdfError):
         pdf_to_spans(doc)  # no password -> refuse
+
+
+def test_writer_encrypted_rich_roundtrip_bit_equal():
+    """spans_to_pdf(encrypt=True): the production writer emits RC4-128
+    encrypted files whose extraction is BIT-EQUAL to its plaintext twin
+    (media_refs included — image identity hashes the DECRYPTED payload),
+    transitively putting the decrypt path under the cross-engine gate.
+    A passworded variant refuses without the password and opens
+    bit-equal with it."""
+    import duckdb
+
+    from pdf2dom_spark.corpus import rich_stream
+    from pdf2dom_spark.pdfwrite import spans_to_pdf
+
+    rows = duckdb.sql(
+        "select doc_id, text from "
+        "'/root/testdata/sf0.001/documents.parquet' limit 40").fetchall()
+    checked = 0
+    first = None
+    for d, t in rows:
+        d = str(d)
+        spans = rich_stream(d, t)
+        if any(ord(c) > 255 for sp in spans for c in (sp["text"] or "")):
+            continue  # raw unicode needs font encodings, not byte streams
+        plain = extract_doc(d, pdf_to_spans(spans_to_pdf(d, spans)),
+                            ExtractConfig())
+        enc = extract_doc(
+            d, pdf_to_spans(spans_to_pdf(d, spans, encrypt=True)),
+            ExtractConfig())
+        assert plain == enc, d
+        if first is None:
+            first = (d, spans, plain)
+        checked += 1
+    assert checked >= 10
+    d, spans, plain = first
+    locked = spans_to_pdf(d, spans, encrypt=True,
+                          user_pwd=b"pw", owner_pwd=b"pw")
+    with pytest.raises(EncryptedPdfError):
+        pdf_to_spans(locked)
+    opened = extract_doc(d, pdf_to_spans(locked, password=b"pw"),
+                         ExtractConfig())
+    assert opened == plain
