@@ -117,9 +117,10 @@ def main(argv=None):
         docs = tables.read_table(spark, args.input)
 
     if args.stream:
-        if not args.input:
+        if not args.input and not args.input_pdfs:
             raise SystemExit("error: --stream requires --input (a "
-                             "DOC_SCHEMA parquet dir to watch)")
+                             "DOC_SCHEMA parquet dir) or --input-pdfs "
+                             "(a directory of .pdf files) to watch")
         # refuse an output whose lineage was written by a batch run: the
         # streaming sink keys idempotence on batch_id, which batch lineage
         # lacks — mixing the two schemas corrupts resume for both modes
@@ -132,10 +133,17 @@ def main(argv=None):
                 f"error: {args.output}/lineage exists without a batch_id "
                 "column (batch-mode output); point --stream at a fresh "
                 "output dir")
-        from pdf2dom_spark.streaming import extract_spans_stream_lineage
-        q = extract_spans_stream_lineage(
-            spark, args.input, args.output, f"{args.output}/ckpt",
-            cfg=cfg, num_partitions=p)
+        if args.input_pdfs:
+            from pdf2dom_spark.streaming import extract_pdf_stream_lineage
+            q = extract_pdf_stream_lineage(
+                spark, args.input_pdfs, args.output,
+                f"{args.output}/ckpt", cfg=cfg, num_partitions=p,
+                password=args.pdf_password.encode("utf-8"))
+        else:
+            from pdf2dom_spark.streaming import extract_spans_stream_lineage
+            q = extract_spans_stream_lineage(
+                spark, args.input, args.output, f"{args.output}/ckpt",
+                cfg=cfg, num_partitions=p)
         q.awaitTermination()
         lin = spark.read.parquet(f"{args.output}/lineage")
         from pyspark.sql import functions as SF

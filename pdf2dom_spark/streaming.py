@@ -241,6 +241,61 @@ def extract_spans_stream_lineage(spark: SparkSession, docs_dir: str,
             .start())
 
 
+def extract_pdf_stream_lineage(spark: SparkSession, pdf_dir: str,
+                               out_dir: str, checkpoint_dir: str,
+                               cfg: ExtractConfig = DEFAULT_CONFIG,
+                               num_partitions: int = 8,
+                               password: bytes = b""):
+    """Live ingest of REAL .pdf files: a streaming ``binaryFile`` source
+    watches the directory (new files are discovered incrementally and
+    tracked in the checkpoint, so a restart never re-parses processed
+    files), each micro-batch parses its files in the same narrow
+    mapInPandas as the batch ``pdf_docs_df``, and extraction lands
+    through the identical replay-safe foreachBatch lineage sink. The
+    drop-a-directory-of-crawled-PDFs deployment shape — no parquet
+    staging step."""
+    from pyspark.sql.types import (BinaryType, LongType, StringType,
+                                   StructField, StructType, TimestampType)
+
+    bin_schema = StructType([
+        StructField("path", StringType()),
+        StructField("modificationTime", TimestampType()),
+        StructField("length", LongType()),
+        StructField("content", BinaryType()),
+    ])
+
+    def parse_batch(it):
+        import os
+
+        import pandas as pd
+
+        from .pdfread import pdf_to_spans
+        for batch in it:
+            ids, spans = [], []
+            for path, content in zip(batch["path"], batch["content"]):
+                try:
+                    spans.append(pdf_to_spans(bytes(content),
+                                              password=password))
+                    ids.append(os.path.basename(str(path)))
+                except Exception:
+                    continue  # unparseable/locked file: skip
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype=object),
+                                "spans": pd.Series(spans, dtype=object)})
+
+    stream = (spark.readStream.format("binaryFile").schema(bin_schema)
+              .option("pathGlobFilter", "*.pdf")
+              .option("maxFilesPerTrigger", 64)
+              .load(pdf_dir)
+              .select("path", "content")
+              .mapInPandas(parse_batch, DOC_SCHEMA))
+    writer = _lineage_batch_writer(spark, out_dir, cfg, num_partitions)
+    return (stream.writeStream
+            .foreachBatch(writer)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def stream_dedup_events(spark: SparkSession, events_dir: str,
                         out_dir: str, checkpoint_dir: str,
                         watermark: str = "10 minutes"):

@@ -324,3 +324,56 @@ def test_lsh_sink_replay_is_idempotent(spark, tmp_path):
                          spark.read.parquet(f"{out}/pairs").collect())
     assert pairs_twice == pairs_once
     assert spark.read.parquet(f"{out}/sigs").count() == sigs_once
+
+
+def test_pdf_file_stream_matches_batch_ingest(spark, tmp_path):
+    """Streaming binaryFile ingest of real PDFs == the batch ingest +
+    extraction, through the same lineage sink; a second availableNow run
+    with NO new files processes nothing (checkpointed file tracking),
+    and a newly dropped file arrives incrementally."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    res = "/root/reference/src/test/resources"
+    if not os.path.isdir(res):
+        _pytest.skip("reference fixtures not present")
+    from pdf2dom_spark.pdfread import pdf_docs_df
+    from pdf2dom_spark.pipeline import run_checkpointed
+    from pdf2dom_spark.streaming import extract_pdf_stream_lineage
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    for f in ("text-rendering-mode-stroke.pdf", "images.pdf"):
+        shutil.copy(f"{res}/{f}", src / f)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    q = extract_pdf_stream_lineage(spark, str(src), out, ckpt,
+                                   num_partitions=2)
+    q.awaitTermination()
+    got = spark.read.parquet(f"{out}/spans")
+    out_batch = str(tmp_path / "out_batch")
+    run_checkpointed(spark, pdf_docs_df(spark, str(src)), out_batch,
+                     num_partitions=2)
+    want = spark.read.parquet(f"{out_batch}/spans")
+    cols = [c for c in got.columns if c not in ("part_id", "batch_id")]
+    assert (got.select(cols).exceptAll(want.select(cols)).count() == 0
+            and want.select(cols).exceptAll(got.select(cols)).count() == 0)
+    n1 = got.count()
+
+    # replay with no new files: nothing re-processed
+    q = extract_pdf_stream_lineage(spark, str(src), out, ckpt,
+                                   num_partitions=2)
+    q.awaitTermination()
+    assert spark.read.parquet(f"{out}/spans").count() == n1
+
+    # drop one more file: only IT is processed
+    shutil.copy(f"{res}/3-page-document.pdf", src / "late.pdf")
+    q = extract_pdf_stream_lineage(spark, str(src), out, ckpt,
+                                   num_partitions=2)
+    q.awaitTermination()
+    spans2 = spark.read.parquet(f"{out}/spans")
+    assert spans2.where("doc_id = 'late.pdf'").count() > 0
+    assert spans2.count() > n1
+    assert spans2.select("doc_id").distinct().count() == 3
