@@ -195,11 +195,18 @@ class StdSecurityHandler:
         self.v = int(resolve(enc.get("V", 0)) or 0)
         self.r = int(resolve(enc.get("R", 2)) or 2)
         self.length_bits = int(resolve(enc.get("Length", 40)) or 40)
+        if self.v == 1:
+            # V1 is 40-bit RC4 by definition; a stray /Length must not
+            # widen the key (PDF 32000-1 Table 20)
+            self.length_bits = 40
         o = resolve(enc.get("O"))
         u = resolve(enc.get("U"))
         self.o = o if isinstance(o, bytes) else b""
         self.u = u if isinstance(u, bytes) else b""
-        self.p = int(resolve(enc.get("P", -1)) or -1)
+        p = resolve(enc.get("P"))
+        # P participates in key derivation BYTE-EXACTLY — `or` fallbacks
+        # would corrupt a legitimate P of 0
+        self.p = int(p) if isinstance(p, (int, float)) else -1
         em = resolve(enc.get("EncryptMetadata", True))
         self.encrypt_metadata = bool(True if em is None else em)
         self.id0 = id0

@@ -414,3 +414,14 @@ def test_writer_encrypted_rich_roundtrip_bit_equal():
     opened = extract_doc(d, pdf_to_spans(locked, password=b"pw"),
                          ExtractConfig())
     assert opened == plain
+
+
+def test_v1_ignores_stray_length():
+    """V1 is 40-bit RC4 by definition: a malformed /Length 128 must not
+    widen the key (PDFBox derives 5-byte keys for V1 regardless)."""
+    o = compute_o(b"", None, 2, 40)
+    key = _r2r4_file_key(b"", o, -1, ID0, 2, 40, True)
+    h = StdSecurityHandler(
+        {"Filter": "Standard", "V": 1, "R": 2, "Length": 128,
+         "O": o, "U": compute_u(key, ID0, 2), "P": -1}, ID0)
+    assert h.key == key and len(h.key) == 5
