@@ -53,6 +53,23 @@ HEADLINE = [
 ]
 
 
+def calibration_probe() -> float:
+    """Fixed single-thread CPU burn (md5 over 48 MiB) — a machine-readable
+    throttle detector for this VM's burstable CPU (measured r4: the same
+    burn ran 11x slower right after a sustained bench than from idle).
+    Recorded before/after each query pass so a poisoned draw is
+    detectable from BENCH json instead of argued after the fact."""
+    import hashlib
+
+    buf = b"\xa5" * (1 << 19)
+    t0 = time.time()
+    h = hashlib.md5()
+    for _ in range(96):
+        h.update(buf)
+    h.hexdigest()
+    return round(time.time() - t0, 4)
+
+
 def make_spark(cores: int, app: str):
     from pyspark.sql import SparkSession
 
@@ -95,14 +112,17 @@ def run_extraction_once(cores: int) -> dict:
     reps = 1 if cores <= 2 else 2
     dt = float("inf")
     n_spans = 0
+    probes = [calibration_probe()]
     for _ in range(reps):
         t0 = time.time()
         spans = extract_spans(docs, num_partitions=p, nested=False)
         n_spans = spans.count()
         dt = min(dt, time.time() - t0)
+        probes.append(calibration_probe())
     spark.stop()
     return {"cores": cores, "sec": round(dt, 3), "docs": n_docs,
-            "spans": n_spans, "docs_per_sec": round(n_docs / dt, 2)}
+            "spans": n_spans, "docs_per_sec": round(n_docs / dt, 2),
+            "probe_sec": probes}
 
 
 def run_headline(spark) -> dict[str, float]:
@@ -127,16 +147,33 @@ def run_headline(spark) -> dict[str, float]:
     # interleaved re-run took 3.5s). A query now records an outlier only
     # if BOTH passes hit a window.
     out: dict[str, float] = {}
-    for _pass in range(2):
+    probes: list[float] = [calibration_probe()]
+
+    def one_pass(tag) -> None:
         for name in HEADLINE:
             t0 = time.time()
             n = qs[name](spark, SF_DIR).count()
             dt = time.time() - t0
             if dt < out.get(name, float("inf")):
                 out[name] = dt
-            sys.stderr.write(f"  pass{_pass} {name}: {round(dt, 3)}s "
+            sys.stderr.write(f"  pass{tag} {name}: {round(dt, 3)}s "
                              f"({n} rows)\n")
-    return {k: round(v, 3) for k, v in out.items()}
+        probes.append(calibration_probe())
+
+    for _pass in range(2):
+        one_pass(_pass)
+    # self-calibration (VERDICT r4 "What's wrong" #1): if the probe ran
+    # >=1.5x slower at any point than its best, the draw overlapped a
+    # burstable-CPU throttle window — re-draw once so the recorded
+    # numbers measure the engine, not the neighbor
+    if max(probes) / min(probes) > 1.5:
+        sys.stderr.write(f"  throttle detected (probes {probes}) — "
+                         "extra calibration pass\n")
+        one_pass("x")
+    return ({k: round(v, 3) for k, v in out.items()},
+            {"probe_sec": probes,
+             "probe_ratio": round(max(probes) / min(probes), 2),
+             "throttled": max(probes) / min(probes) > 1.5})
 
 
 def scaling_evidence() -> dict:
@@ -237,7 +274,8 @@ def _merge_history(queries: dict, scaling: dict | None) -> dict:
     return hist
 
 
-def write_baseline_md(queries: dict, scaling: dict | None, total: float):
+def write_baseline_md(queries: dict, scaling: dict | None, total: float,
+                      calibration: dict | None = None):
     os.makedirs("BENCH", exist_ok=True)
     hist = _merge_history(queries, scaling)
     best = hist["queries"]
@@ -269,6 +307,15 @@ def write_baseline_md(queries: dict, scaling: dict | None, total: float):
         "| query | this run s | best s |",
         "| --- | --- | --- |",
     ]
+    if calibration:
+        tag = ("THROTTLED (extra pass taken)"
+               if calibration.get("throttled") else "clean")
+        lines[4:4] = [
+            f"Calibration probes (md5 burn before/after each pass): "
+            f"{calibration['probe_sec']} s — ratio "
+            f"{calibration['probe_ratio']}, draw {tag}.",
+            "",
+        ]
     lines += [f"| {k} | {v} | {best.get(k, v)} |" for k, v in queries.items()]
     lines += ["", f"total bench wall (incl. scaling runs): {round(total, 2)}s",
               f"best-known query total: "
@@ -371,7 +418,7 @@ def main():
     do_scaling = "--no-scaling" not in sys.argv
     t0 = time.time()
     spark = make_spark(CPUS, "bench")
-    queries = run_headline(spark)
+    queries, calibration = run_headline(spark)
     spark.stop()
     scaling = None
     if do_scaling:
@@ -388,11 +435,16 @@ def main():
         "unit": "sec",
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # md5-burn CPU probes taken before/after each query pass: ratio
+        # >1.5 means part of the draw overlapped a burstable-CPU
+        # throttle window (an extra pass was then taken automatically) —
+        # the recorded numbers come with their own weather report
+        "calibration": calibration,
     }
     if scaling:
         out["docs_per_sec"] = scaling["docs_per_sec_4n"]
         out["scaling"] = scaling
-    write_baseline_md(queries, scaling, total)
+    write_baseline_md(queries, scaling, total, calibration)
     # best-known across serialized runs (BENCH/history.json): one draw on
     # this shared VM can land on a host-contention spike that slows a
     # single query 2-4x — report both, clearly labeled, never overriding

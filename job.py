@@ -29,6 +29,11 @@ def parse_args(argv):
     p.add_argument("--input-pdfs", help="directory/glob of real .pdf files "
                    "to ingest (distributed binaryFile scan -> stdlib PDF "
                    "parser -> DOC_SCHEMA; pdf2dom_spark.pdfread)")
+    p.add_argument("--image-pixels", action="store_true",
+                   help="decode image XObjects to pixels and carry the "
+                        "reference's PNG re-encode as a data: URI media "
+                        "ref (DCT/JPEG + raw Flate bitmaps; other codecs "
+                        "keep the opaque sha ref)")
     p.add_argument("--pdf-password", default="",
                    help="password for encrypted input PDFs (tried as user "
                         "then owner; empty-password files open without it)")
@@ -102,12 +107,14 @@ def main(argv=None):
     if args.input_pdfs:
         from pdf2dom_spark.pdfread import pdf_docs_df
         docs = pdf_docs_df(spark, args.input_pdfs,
-                           password=args.pdf_password.encode("utf-8"))
+                           password=args.pdf_password.encode("utf-8"),
+                           image_pixels=args.image_pixels)
     elif args.input_archives:
         from pdf2dom_spark.pdfread import pdf_archive_docs_df
         docs = pdf_archive_docs_df(
             spark, args.input_archives,
-            password=args.pdf_password.encode("utf-8"))
+            password=args.pdf_password.encode("utf-8"),
+            image_pixels=args.image_pixels)
     elif args.synth:
         from pdf2dom_spark.corpus import build_docs_df
         docs = build_docs_df(spark, args.synth, mode="rich", num_partitions=p)

@@ -605,3 +605,86 @@ FROM x
 """)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(decode_meta(media_table(spark, sf_dir)))
+
+
+# --- baseline JPEG (DCTDecode) through the REAL file chain ------------------
+# The reference PNG re-encodes every image XObject whatever its codec
+# (ImageResource.java:38-51); real web corpora are dominated by DCTDecode.
+# This gate drives the whole chain: deterministic baseline JPEG encode ->
+# a real PDF file with a /Filter /DCTDecode image XObject -> pdfread xref/
+# object parse -> jpegdec Huffman+IDCT decode -> PNG re-encode -> PNG
+# decode -> pixel checksums, value-hash-matched against a DuckDB closed
+# form. Uniform 8x8 blocks make quant=1 JPEG bit-exact (the DC of a
+# constant block is the integer 8*(v-128)), so the oracle is pure integer
+# arithmetic. restart_interval varies by doc to exercise DRI/RSTn.
+# 100 TB shape: doc-id scan -> ONE narrow mapInPandas (Arrow batches,
+# no shuffle, no collect); media payloads never leave the executor.
+
+_JPEG_V = ("(CAST(doc_id AS BIGINT) * 37 + r * 59 + c * 17 + 11) % 256")
+
+@_reg("mm_jpeg_dct_chain", f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(32 AS INT) AS width, CAST(24 AS INT) AS height,
+       CAST(SUM(64 * ({_JPEG_V})) AS BIGINT) AS pix_sum,
+       CAST(SUM(({_JPEG_V}) * (64 * (256 * r + 8 * c) + 7392))
+            % 1000003 AS BIGINT) AS weighted,
+       CAST(MAX(CASE WHEN r = 0 AND c = 0 THEN ({_JPEG_V}) END) AS INT)
+           AS corner_tl,
+       CAST(MAX(CASE WHEN r = 2 AND c = 3 THEN ({_JPEG_V}) END) AS INT)
+           AS corner_br
+FROM documents, generate_series(0, 2) AS gr(r),
+     generate_series(0, 3) AS gc(c)
+GROUP BY doc_id
+""")
+def mm_jpeg_dct_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import base64
+
+    import numpy as np
+
+    from .jpegdec import encode_baseline
+    from .pdfread import pdf_to_spans
+    from .pdfwrite import dct_image_pdf_bytes
+    from .raster import decode_png_rgba
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("pix_sum", T.LongType(), False),
+        T.StructField("weighted", T.LongType(), False),
+        T.StructField("corner_tl", T.IntegerType(), False),
+        T.StructField("corner_br", T.IntegerType(), False),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yidx, xidx = np.mgrid[0:24, 0:32]
+        pos = (yidx * 32 + xidx).astype(np.int64)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                r, c = np.mgrid[0:3, 0:4]
+                vals = (i * 37 + r * 59 + c * 17 + 11) % 256
+                img = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(
+                    np.uint8)
+                jp = encode_baseline(img, quant=1,
+                                     restart_interval=i % 4)
+                file_bytes = dct_image_pdf_bytes(jp, 32, 24)
+                spans = pdf_to_spans(file_bytes, image_pixels=True)
+                ref = next(s["media_ref"] for s in spans
+                           if s["kind"] == "image")
+                px = decode_png_rgba(
+                    base64.b64decode(ref.split(",", 1)[1]))
+                ch = px[..., 0].astype(np.int64)
+                rows.append((i, int(px.shape[1]), int(px.shape[0]),
+                             int(ch.sum()),
+                             int((ch * pos).sum() % 1000003),
+                             int(ch[0, 0]), int(ch[23, 31])))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "pix_sum", "weighted",
+                "corner_tl", "corner_br"])
+
+    return d.mapInPandas(kernel, out_schema)

@@ -232,10 +232,21 @@ class StdSecurityHandler:
             raise UnsupportedEncryptionError(f"unsupported /V {self.v}")
 
     def _crypt_filters(self, enc: dict, resolve) -> tuple[str, str]:
+        self._cf_cfms: dict[str, str] = {}
         if self.v not in (4, 5):
             return ("V2", "V2")  # pre-V4: RC4 everywhere
         default = "Identity"
         cf = resolve(enc.get("CF")) or {}
+        if isinstance(cf, dict):
+            # Full CF map kept around: a per-stream /Crypt filter may
+            # name ANY CF entry, not just the StmF/StrF defaults
+            # (PDF 32000-1 7.4.10)
+            for cname, centry in cf.items():
+                centry = resolve(centry)
+                if isinstance(centry, dict):
+                    cfm = str(resolve(centry.get("CFM")) or "")
+                    if cfm:
+                        self._cf_cfms[str(cname)] = cfm
         out = []
         for which in ("StmF", "StrF"):
             name = str(resolve(enc.get(which)) or default)
@@ -335,8 +346,16 @@ class StdSecurityHandler:
             return aes_decrypt(self.object_key(num, gen, aes=True), data)
         return rc4(self.object_key(num, gen, aes=False), data)
 
-    def decrypt_stream(self, data: bytes, num: int, gen: int) -> bytes:
-        return self._apply(self._stm_cfm, data, num, gen)
+    def named_cfm(self, name: str) -> str | None:
+        """CFM of a named CF entry (per-stream /Crypt filter lookup);
+        None when the name isn't declared in /Encrypt /CF."""
+        return self._cf_cfms.get(name)
+
+    def decrypt_stream(self, data: bytes, num: int, gen: int,
+                       cfm: str | None = None) -> bytes:
+        """Decrypt with the default StmF method, or an explicit CFM
+        override (a stream-level /Crypt filter naming a CF entry)."""
+        return self._apply(cfm or self._stm_cfm, data, num, gen)
 
     def decrypt_string(self, data: bytes, num: int, gen: int) -> bytes:
         return self._apply(self._str_cfm, data, num, gen)

@@ -75,13 +75,15 @@ class Stream:
         identity of an opaque payload (image media_refs hash this, so
         the ref is invariant to whether the file was encrypted)."""
         crypt = getattr(self._pdf, "_crypt", None)
-        if (crypt is not None
-                and self.num not in self._pdf._no_decrypt
-                and not self._identity_crypt_filter()):
+        if crypt is not None and self.num not in self._pdf._no_decrypt:
+            cfm = self._crypt_filter_cfm(crypt)
+            if cfm == "Identity":
+                return self.raw
             # decrypt BEFORE filters (PDF 32000-1 7.6.2); the xref
             # stream is read before crypt init and never re-read, so
             # it stays plaintext as the spec requires
-            return crypt.decrypt_stream(self.raw, self.num, self.gen)
+            return crypt.decrypt_stream(self.raw, self.num, self.gen,
+                                        cfm=cfm)
         return self.raw
 
     @property
@@ -91,10 +93,14 @@ class Stream:
                                         self._pdf)
         return self._data
 
-    def _identity_crypt_filter(self) -> bool:
-        """A per-stream /Crypt filter whose /Name is /Identity (or
-        absent) opts the stream OUT of encryption (PDF 32000-1 7.4.10)
-        — metadata streams use this under encrypt-all defaults."""
+    def _crypt_filter_cfm(self, crypt) -> str | None:
+        """CFM override from a per-stream /Crypt filter (PDF 32000-1
+        7.4.10). /Name /Identity (or absent) opts the stream OUT of
+        encryption — metadata streams use this under encrypt-all
+        defaults. A /Name referencing a declared CF entry decrypts with
+        THAT entry's CFM instead of the default StmF method (PDFBox
+        SecurityHandler honors the named filter). None = no /Crypt
+        filter, use the default method."""
         pdf = self._pdf
         filters = pdf.resolve(self.dict.get("Filter"))
         parms = pdf.resolve(self.dict.get("DecodeParms", self.dict.get("DP")))
@@ -107,8 +113,12 @@ class Stream:
                 p = pdf.resolve(p)
                 name = (str(pdf.resolve(p.get("Name")) or "Identity")
                         if isinstance(p, dict) else "Identity")
-                return name == "Identity"
-        return False
+                if name == "Identity":
+                    return "Identity"
+                named = getattr(crypt, "named_cfm", lambda _n: None)(name)
+                # undeclared name: spec says Identity
+                return named or "Identity"
+        return None
 
 
 _WS = b"\x00\t\n\x0c\r "
@@ -821,8 +831,14 @@ def tounicode_map(cmap_bytes: bytes,
                 if base:
                     # PDF 32000-1 9.10.3: only the LAST code unit of the
                     # destination increments across the range
+                    base_cp = ord(base[-1])
                     for c in range(lo_i, hi_i + 1):
-                        out[c] = base[:-1] + chr(ord(base[-1]) + (c - lo_i))
+                        cp = base_cp + (c - lo_i)
+                        if cp > 0x10FFFF:
+                            break  # adversarial range past Unicode — stop
+                        if 0xD800 <= cp <= 0xDFFF:
+                            continue  # would fabricate a lone surrogate
+                        out[c] = base[:-1] + chr(cp)
             else:  # [<d1> <d2> ...]
                 dsts = re.findall(rb"<([0-9A-Fa-f]+)>", dst)
                 for c, dh in zip(range(lo_i, hi_i + 1), dsts):
@@ -1169,9 +1185,72 @@ def _fmt(v: float) -> str:
     return f"{v:g}"
 
 
+def _image_png_datauri(pdf: "PdfFile", xo: "Stream") -> str | None:
+    """Reference-parity media payload: decode the image XObject to
+    pixels and re-encode as PNG (ImageResource.java:38-51 does exactly
+    this through ImageIO for EVERY image, whatever the source codec),
+    returned as a ``data:image/png;base64,`` URI. Covers the dominant
+    real-world codecs: DCTDecode (baseline JPEG, jpegdec.py) and
+    Flate/LZW-coded raw 8-bit DeviceRGB/DeviceGray bitmaps. Returns
+    None for anything else (JPX/CCITT/JBIG2, indexed palettes, masks,
+    exotic depths) — the caller keeps the stable opaque sha ref."""
+    import base64
+
+    import numpy as np
+
+    from .jpegdec import jpeg_to_rgba
+    from .raster import encode_png_rgba
+
+    try:
+        w = int(pdf.resolve(xo.dict.get("Width", 0)) or 0)
+        h = int(pdf.resolve(xo.dict.get("Height", 0)) or 0)
+        if not (0 < w <= 10000 and 0 < h <= 10000):
+            return None
+        if pdf.resolve(xo.dict.get("ImageMask")):
+            return None
+        filters = pdf.resolve(xo.dict.get("Filter"))
+        if not isinstance(filters, list):
+            filters = [filters] if filters is not None else []
+        names = [str(f) for f in filters]
+        payload = xo.data  # decompressed up to any opaque codec
+        if names and names[-1] in ("DCTDecode", "DCT"):
+            rgba = jpeg_to_rgba(payload)
+        elif any(fn in _OPAQUE_FILTERS for fn in names):
+            return None
+        else:
+            bpc = int(pdf.resolve(xo.dict.get("BitsPerComponent", 8))
+                      or 8)
+            cs = pdf.resolve(xo.dict.get("ColorSpace"))
+            cs_name = str(cs) if not isinstance(cs, (list, dict)) else ""
+            ncomp = {"DeviceRGB": 3, "DeviceGray": 1,
+                     "CalRGB": 3, "CalGray": 1}.get(cs_name)
+            if bpc != 8 or ncomp is None \
+                    or len(payload) < w * h * ncomp:
+                return None
+            px = np.frombuffer(payload[: w * h * ncomp],
+                               dtype=np.uint8).reshape(h, w, ncomp)
+            rgba = np.empty((h, w, 4), dtype=np.uint8)
+            rgba[..., :3] = px if ncomp == 3 else px
+            rgba[..., 3] = 255
+        if rgba.shape[0] != h or rgba.shape[1] != w:
+            return None
+        png = encode_png_rgba(np.ascontiguousarray(rgba))
+        return ("data:image/png;base64,"
+                + base64.b64encode(png).decode("ascii"))
+    except Exception:
+        return None
+
+
 def pdf_to_spans(data: bytes, max_pages: int | None = None,
-                 password: bytes = b"") -> list[dict]:
-    """One PDF file's bytes -> the DOC_SCHEMA ``spans`` array."""
+                 password: bytes = b"",
+                 image_pixels: bool = False) -> list[dict]:
+    """One PDF file's bytes -> the DOC_SCHEMA ``spans`` array.
+
+    ``image_pixels=True`` decodes each decodable image XObject to
+    pixels and carries the reference's PNG re-encode as the media_ref
+    (a ``data:image/png;base64,`` URI — EmbedAsBase64Handler
+    semantics); undecodable codecs keep the default stable
+    ``sha:<md5>`` opaque ref either way."""
     pdf = PdfFile(data, password=password)
     sb = _SpanBuilder()
 
@@ -1329,7 +1408,11 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None,
             if str(pdf.resolve(xo.dict.get("Subtype")) or "") == "Image":
                 w = int(pdf.resolve(xo.dict.get("Width", 1)) or 1)
                 h = int(pdf.resolve(xo.dict.get("Height", 1)) or 1)
-                ref = "sha:" + hashlib.md5(xo.raw_plain).hexdigest()
+                ref = None
+                if image_pixels:
+                    ref = _image_png_datauri(pdf, xo)
+                if ref is None:
+                    ref = "sha:" + hashlib.md5(xo.raw_plain).hexdigest()
                 images[rname] = (w, h, ref)
         for fname, xo in resolved:
             if not isinstance(xo, Stream):
@@ -1434,14 +1517,16 @@ def pdf_to_spans(data: bytes, max_pages: int | None = None,
 
 def pdf_file_to_row(path: str, doc_id: str | None = None,
                     max_pages: int | None = None,
-                    password: bytes = b"") -> dict:
+                    password: bytes = b"",
+                    image_pixels: bool = False) -> dict:
     """One on-disk PDF -> a DOC_SCHEMA row dict (doc_id, spans)."""
     with open(path, "rb") as fh:
         data = fh.read()
     import os
     return {"doc_id": doc_id or os.path.basename(path),
             "spans": pdf_to_spans(data, max_pages=max_pages,
-                                  password=password)}
+                                  password=password,
+                                  image_pixels=image_pixels)}
 
 
 # ---------------------------------------------------------------------------
@@ -1449,7 +1534,8 @@ def pdf_file_to_row(path: str, doc_id: str | None = None,
 # ---------------------------------------------------------------------------
 
 
-def pdf_docs_df(spark, path_glob: str, password: bytes = b""):
+def pdf_docs_df(spark, path_glob: str, password: bytes = b"",
+                image_pixels: bool = False):
     """Distributed real-PDF ingest: ``binaryFile`` scan -> per-file parse in
     Arrow batches -> DOC_SCHEMA rows (the same shape every other pipeline
     entry consumes, so run_checkpointed/extract_spans work unchanged).
@@ -1470,7 +1556,8 @@ def pdf_docs_df(spark, path_glob: str, password: bytes = b""):
             for path, content in zip(pdf_batch["path"], pdf_batch["content"]):
                 try:
                     spans.append(pdf_to_spans(bytes(content),
-                                              password=password))
+                                              password=password,
+                                              image_pixels=image_pixels))
                     ids.append(os.path.basename(str(path)))
                 except Exception:
                     # unparseable file: skip, never poison the batch
@@ -1488,11 +1575,35 @@ def pdf_docs_df(spark, path_glob: str, password: bytes = b""):
     return files.mapInPandas(parse_batch, DOC_SCHEMA)
 
 
-def _container_pdf_members(data: bytes):
+# A crawled-archive corpus can hide zip/gzip bombs; any single member
+# expanding past this ceiling is skipped like a corrupt one, so one
+# hostile container can't OOM its executor (advisory cap, not a format
+# limit — legitimate web PDFs are orders of magnitude smaller).
+MAX_ARCHIVE_MEMBER_BYTES = 256 * 1024 * 1024
+
+
+def _gzip_bounded(data: bytes, limit: int) -> bytes | None:
+    """Incremental gzip decompress with a hard output ceiling — returns
+    None (skip) instead of materializing a decompression bomb."""
+    import zlib
+
+    d = zlib.decompressobj(wbits=31)
+    out = bytearray()
+    try:
+        out += d.decompress(data, limit + 1)
+    except Exception:
+        return None
+    if len(out) > limit or d.unconsumed_tail:
+        return None
+    return bytes(out)
+
+
+def _container_pdf_members(data: bytes,
+                           limit: int = MAX_ARCHIVE_MEMBER_BYTES):
     """Yield (member_name, pdf_bytes) from one container blob, sniffed by
     magic bytes: zip (PK), gzip (bare .pdf.gz or .tar.gz), tar (ustar).
-    Corrupt containers yield nothing; corrupt members are skipped."""
-    import gzip
+    Corrupt containers yield nothing; corrupt or oversized (> ``limit``
+    expanded bytes) members are skipped."""
     import io as _io
     import tarfile
     import zipfile
@@ -1502,17 +1613,23 @@ def _container_pdf_members(data: bytes):
             zf = zipfile.ZipFile(_io.BytesIO(data))
         except Exception:
             return
-        for name in zf.namelist():
-            if name.lower().endswith(".pdf"):
+        for info in zf.infolist():
+            if info.filename.lower().endswith(".pdf"):
+                if info.file_size > limit:
+                    continue  # declared size over cap
                 try:
-                    yield name, zf.read(name)
+                    with zf.open(info) as fh:
+                        # read bounded even if the header lies about size
+                        blob = fh.read(limit + 1)
+                    if len(blob) > limit:
+                        continue
+                    yield info.filename, blob
                 except Exception:
                     continue
         return
     if data[:2] == b"\x1f\x8b":
-        try:
-            inner = gzip.decompress(data)
-        except Exception:
+        inner = _gzip_bounded(data, limit)
+        if inner is None:
             return
         if inner.startswith(b"%PDF"):
             yield "member.pdf", inner  # bare gzipped PDF
@@ -1529,16 +1646,22 @@ def _container_pdf_members(data: bytes):
             return
         for m in tf.getmembers():
             if m.isfile() and m.name.lower().endswith(".pdf"):
+                if m.size > limit:
+                    continue
                 try:
                     fh = tf.extractfile(m)
-                    if fh is not None:
-                        yield m.name, fh.read()
+                    if fh is None:
+                        continue
+                    blob = fh.read(limit + 1)
+                    if len(blob) > limit:
+                        continue  # stored size lied past the cap
+                    yield m.name, blob
                 except Exception:
                     continue
 
 
 def pdf_archive_docs_df(spark, path_glob: str, suffix: str = "*",
-                        password: bytes = b""):
+                        password: bytes = b"", image_pixels: bool = False):
     """Distributed ingest of PDFs packed inside container files — the
     shapes web-scale corpora actually ship in (many small PDFs per
     S3-friendly object): zip, tar, tar.gz, or bare gzipped PDFs, sniffed
@@ -1561,7 +1684,9 @@ def pdf_archive_docs_df(spark, path_glob: str, suffix: str = "*",
                 base = os.path.basename(str(path))
                 for name, blob in _container_pdf_members(bytes(content)):
                     try:
-                        spans.append(pdf_to_spans(blob, password=password))
+                        spans.append(pdf_to_spans(
+                            blob, password=password,
+                            image_pixels=image_pixels))
                         ids.append(f"{base}/{name}")
                     except Exception:
                         continue  # one bad member never kills the rest

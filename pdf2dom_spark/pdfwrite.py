@@ -345,3 +345,38 @@ def rich_pdf_bytes(doc_id: str, text: str) -> bytes:
     from .corpus import rich_stream
 
     return spans_to_pdf(doc_id, rich_stream(doc_id, text))
+
+
+def dct_image_pdf_bytes(jpeg: bytes, w: int, h: int,
+                        ncomp: int = 1) -> bytes:
+    """Minimal one-page PDF embedding a baseline JPEG as a DCTDecode
+    image XObject — the file shape real scanned/web PDFs use for
+    photos. Drives the reference-parity DCT path end to end: file ->
+    xref -> image XObject -> jpegdec decode -> PNG re-encode
+    (ImageResource.java:38-51 semantics) under pdf_to_spans(
+    image_pixels=True)."""
+    cs = b"/DeviceRGB" if ncomp == 3 else b"/DeviceGray"
+    objs: dict[int, bytes] = {}
+    objs[1] = _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs[2] = _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    objs[3] = _obj(
+        3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /XObject << /ImJ 4 0 R >> >> /Contents 5 0 R >>")
+    objs[4] = _stream_obj(
+        4, b" /Type /XObject /Subtype /Image /Width %d /Height %d "
+        b"/BitsPerComponent 8 /ColorSpace %s /Filter /DCTDecode"
+        % (w, h, cs), jpeg, compress=False)
+    content = b"q %d 0 0 %d 36 360 cm /ImJ Do Q" % (w, h)
+    objs[5] = _stream_obj(5, b"", content, compress=False)
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += objs[num]
+    xref_at = len(out)
+    out += b"xref\n0 6\n0000000000 65535 f \n"
+    for num in range(1, 6):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += (b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % xref_at)
+    return bytes(out)

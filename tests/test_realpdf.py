@@ -1242,3 +1242,106 @@ def test_archive_ingest_tar_gz_and_bare_gz(spark, tmp_path):
     local = pdf_file_to_row(f"{RES}/3-page-document.pdf")["spans"]
     got = [dict(s.asDict()) for s in docs["single.pdf.gz/member.pdf"]]
     assert got == local
+
+
+def test_bfrange_past_unicode_max_is_clamped():
+    """ADVICE r4: an adversarial bfrange whose base sits near 0x10FFFF
+    must not raise ValueError from chr() past the Unicode ceiling —
+    entries beyond the ceiling are dropped, ones below kept."""
+    from pdf2dom_spark.pdfread import tounicode_map
+
+    cmap = b"1 beginbfrange\n<41> <48> <DBFFDFFD>\nendbfrange\n"
+    m = tounicode_map(cmap)  # base U+10FFFD: only +0..+2 stay valid
+    assert m[0x41] == "\U0010FFFD"
+    assert m[0x43] == "\U0010FFFF"
+    assert 0x44 not in m and 0x48 not in m
+
+
+def test_bfrange_into_surrogate_block_skips_lone_surrogates():
+    """A range crossing U+D800..U+DFFF must not fabricate lone
+    surrogates (they poison Arrow/utf-8 encodes downstream)."""
+    from pdf2dom_spark.pdfread import tounicode_map
+
+    cmap = b"1 beginbfrange\n<41> <50> <D7FE>\nendbfrange\n"
+    m = tounicode_map(cmap)
+    assert m[0x41] == "퟾" and m[0x42] == "퟿"
+    # 0x43..0x50 would map into D800.. — all skipped
+    assert all(c not in m for c in range(0x43, 0x51))
+
+
+def test_archive_member_size_cap_skips_bombs():
+    """ADVICE r4: a zip member whose EXPANDED size exceeds the cap is
+    skipped like a corrupt one (no executor OOM from archive bombs);
+    normal members around it still ingest."""
+    import io
+    import zipfile
+
+    from pdf2dom_spark.pdfread import _container_pdf_members
+
+    good = open(f"{RES}/3-page-document.pdf", "rb").read()
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("bomb.pdf", b"\x00" * (4 << 20))
+        zf.writestr("good.pdf", good)
+    members = list(_container_pdf_members(buf.getvalue(), limit=1 << 20))
+    assert [n for n, _ in members] == ["good.pdf"]
+    assert members[0][1] == good
+
+
+def test_gzip_bomb_bounded():
+    import gzip
+
+    from pdf2dom_spark.pdfread import _container_pdf_members
+
+    bomb = gzip.compress(b"%PDF" + b"\x00" * (8 << 20))
+    assert list(_container_pdf_members(bomb, limit=1 << 20)) == []
+    ok = gzip.compress(b"%PDF-1.4 tiny")
+    got = list(_container_pdf_members(ok, limit=1 << 20))
+    assert got == [("member.pdf", b"%PDF-1.4 tiny")]
+
+
+def test_tar_member_size_cap():
+    import io
+    import tarfile
+
+    from pdf2dom_spark.pdfread import _container_pdf_members
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        data = b"\x00" * (2 << 20)
+        info = tarfile.TarInfo("big.pdf")
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+        small = b"%PDF-1.4 ok"
+        info2 = tarfile.TarInfo("ok.pdf")
+        info2.size = len(small)
+        tf.addfile(info2, io.BytesIO(small))
+    members = list(_container_pdf_members(buf.getvalue(), limit=1 << 20))
+    assert [n for n, _ in members] == ["ok.pdf"]
+
+
+def test_named_crypt_filter_uses_named_cfm():
+    """ADVICE r4: a per-stream /Crypt filter naming a declared CF entry
+    decrypts with THAT entry's CFM, not the default StmF method
+    (PDF 32000-1 7.4.10). Built V4 file: StmF default AESV2, but one
+    stream carries /Crypt /Name /RC4F (an RC4 /V2 CF entry)."""
+    from pdf2dom_spark.pdfcrypt import (StdSecurityHandler, _r2r4_file_key,
+                                        compute_o, compute_u, rc4)
+
+    id0 = bytes(range(16))
+    o = compute_o(b"", None, 4, 128)
+    enc = {"Filter": "Standard", "V": 4, "R": 4, "Length": 128,
+           "O": o, "P": -4, "EncryptMetadata": True,
+           "CF": {"StdCF": {"CFM": "AESV2"}, "RC4F": {"CFM": "V2"}},
+           "StmF": "StdCF", "StrF": "StdCF"}
+    # derive U for the empty user password so authentication passes
+    key = _r2r4_file_key(b"", o, -4, id0, 4, 128, True)
+    enc["U"] = compute_u(key, id0, 4)
+    h = StdSecurityHandler(enc, id0)
+    assert h._stm_cfm == "AESV2"
+    # named lookup exposes the non-default entry
+    assert h.named_cfm("RC4F") == "V2"
+    plain = b"named-filter-stream-payload"
+    ciphertext = rc4(h.object_key(7, 0, aes=False), plain)
+    # decrypt_stream with the override must use RC4, not AES
+    assert h.decrypt_stream(ciphertext, 7, 0, cfm="V2") == plain
