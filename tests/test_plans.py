@@ -400,3 +400,54 @@ def test_bloom_probe_side_is_narrow(spark):
     assert "EvalPython" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_sample_reservoir_is_take_ordered(spark):
+    """Exact-k reservoir sampling must run as TakeOrderedAndProject —
+    per-partition k-heaps merged on the driver, O(k) memory at any
+    corpus size — never a global Sort + Limit (which shuffles the
+    world)."""
+    from pdf2dom_spark.queries import all_queries
+    q = all_queries()["sample_reservoir"](spark, SF_SMOKE)
+    plan = _plan(q)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_sample_weighted_shape(spark):
+    """Weighted ticket sampling: bounded narrow explode, ONE combinable
+    min-aggregate shuffle, top-k via TakeOrderedAndProject."""
+    from pdf2dom_spark.queries import all_queries
+    q = all_queries()["sample_weighted"](spark, SF_SMOKE)
+    plan = _plan(q)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_min" in plan  # map-side combine before the shuffle
+    assert "EvalPython" not in plan
+
+
+def test_dedup_bloom_apply_negative_branch_joinless(spark):
+    """The Bloom-negative branch (the 100 TB majority) must be kept with
+    ZERO join — four md5 bit probes against a broadcast literal; only
+    the Bloom-positive sliver pays the (broadcast) anti-join, and no
+    SortMergeJoin appears anywhere."""
+    from pdf2dom_spark.queries import all_queries
+    q = all_queries()["dedup_bloom_apply"](spark, SF_SMOKE)
+    plan = _plan(q)
+    assert "SortMergeJoin" not in plan
+    # exactly one join in the whole union: the positive-sliver anti-join
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "LeftAnti" in plan
+
+
+def test_extract_spans_realfile_single_shuffle(spark):
+    """The real-file chain keeps the flagship's plan: ONE Exchange of the
+    compact (doc_id, text) rows, then ONE fused Python stage that
+    writes the PDF bytes, re-parses, and extracts in the same worker
+    call — no second Arrow round-trip, no post-kernel shuffle."""
+    from pdf2dom_spark.queries import all_queries
+    q = all_queries()["extract_spans_realfile"](spark, SF_SMOKE)
+    plan = _plan(q)
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("MapInPandas") == 1, plan
