@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .corpus import build_docs_df
 from .extract import ExtractConfig
 from .qshared import _doc_ids, _extract_flat, make_reg
 from .schema import SPAN_FLAT_SCHEMA
@@ -815,11 +816,17 @@ def extract_spans_paged_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 1a-tail. The same split path in its PRODUCTION deployment shape: the
 # routing predicate rides the SOURCE scan (pushed to parquet), the
 # sub-threshold majority takes the plain unsplit kernel, and only the
-# size tail (~top 20% of oracle docs by raw text length) pays the
-# page-group fan-out + renumber. Output is routing-invariant, so the
-# oracle is identical to the unsplit kernel's; the bench number reflects
-# steady-state cost rather than the everything-splits stress shape of
-# extract_spans_paged_oracle.
+# size tail pays the page-group fan-out + renumber. Output is
+# routing-invariant, so the oracle is identical to the unsplit kernel's.
+#
+# Routing re-tuned at sf1 (VERDICT r4 "Next" #4, BENCH/PAGED_SF1.md):
+# the r4 threshold of 400 chars routed 46% of corpus BYTES through the
+# ~2.2x split machinery (max doc length is only 577 — this corpus has no
+# true monsters), giving 2.05x unsplit at sf1. Threshold 500 (top ~9% of
+# docs / 15.5% of bytes) + pages_per_group=2 measured 1.18x unsplit at
+# sf1 on clean calibration probes — the production contract (only the
+# tail pays) holds when the tail IS a tail. The everything-splits stress
+# shape stays gated separately (extract_spans_paged_oracle).
 
 @_reg("extract_spans_paged_tail", _ORACLE_SPANS_SQL)
 def extract_spans_paged_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -830,11 +837,11 @@ def extract_spans_paged_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     cfg = ExtractConfig()
     small = build_docs_df(spark, sf_dir, mode="oracle", num_partitions=p,
-                          where="length(text) < 400")
+                          where="length(text) < 500")
     big_groups = build_groups_df(spark, sf_dir, mode="oracle",
-                                 pages_per_group=1, min_bytes=0,
+                                 pages_per_group=2, min_bytes=0,
                                  num_partitions=p,
-                                 where="length(text) >= 400")
+                                 where="length(text) >= 500")
     small_flat = extract_spans(small, cfg, num_partitions=p, nested=False,
                                presalted=True)
     # the tail branch holds ~20% of the corpus: partition it proportionally
