@@ -56,6 +56,9 @@ _FLOAT_STYLE = {"font_size", "word_spacing", "letter_spacing", "line_height",
 _STYLE_COLS = [f"style_{f}" for f in STYLE_FIELDS]
 _REC_COLS = ["key", "page_no", "kind", "text", "media_ref", *_STYLE_COLS]
 _NUM_REC_COLS = {"page_no"} | {f"style_{f}" for f in _FLOAT_STYLE}
+# records are fixed-order tuples (graphics.REC_FIELDS == _REC_COLS)
+_REC_IDX = {c: i for i, c in enumerate(_REC_COLS)}
+assert graphics.REC_FIELDS == _REC_COLS
 
 
 def extract_doc_columnar(doc_id: str, spans: list[dict],
@@ -176,10 +179,9 @@ def extract_doc_columnar(doc_id: str, spans: list[dict],
                        + base64.b64encode(data).decode("ascii"))
             else:
                 ref = "font:" + entry["name"]
-            rec = {c: None for c in _REC_COLS}
-            rec.update(key=end_key + 1 + i, kind="font",
-                       text=entry["used_name"], media_ref=ref)
-            records.append(rec)
+            records.append(graphics.make_rec(
+                end_key + 1 + i, "font", text=entry["used_name"],
+                media_ref=ref))
 
     # document-info title (endDocument, PDFDomTree.java:165-174): a 'meta'
     # span models PDDocumentInformation; surfaced as a trailing record only
@@ -189,11 +191,9 @@ def extract_doc_columnar(doc_id: str, spans: list[dict],
             if sp.get("kind") == "meta" and sp.get("media_ref") == "title":
                 t = (sp.get("text") or "").strip()
                 if t:
-                    rec = {c: None for c in _REC_COLS}
-                    rec.update(key=end_key + 1 + len(font_table.entries) + 1,
-                               kind="meta", text=sp.get("text"),
-                               media_ref="title")
-                    records.append(rec)
+                    records.append(graphics.make_rec(
+                        end_key + 1 + len(font_table.entries) + 1, "meta",
+                        text=sp.get("text"), media_ref="title"))
                 break
 
     boxes = textpipe.boxes_from_glyphs(glyphs, page_flush)
@@ -204,20 +204,21 @@ def extract_doc_columnar(doc_id: str, spans: list[dict],
         if c == "key":
             continue
         bx_arr = boxes.get(c)
+        j = _REC_IDX[c]
         if c in _NUM_REC_COLS:
             ev_arr = np.array(
-                [np.nan if r.get(c) is None else float(r[c]) for r in records],
+                [np.nan if r[j] is None else float(r[j]) for r in records],
                 dtype=np.float64)
             if bx_arr is None:
                 bx_arr = np.full(nb, np.nan)
             cols[c] = np.concatenate((ev_arr, np.asarray(bx_arr, dtype=np.float64)))
         else:
-            ev_arr = np.array([r.get(c) for r in records], dtype=object)
+            ev_arr = np.array([r[j] for r in records], dtype=object)
             if bx_arr is None:
                 bx_arr = np.full(nb, None, dtype=object)
             cols[c] = np.concatenate((ev_arr, bx_arr))
 
-    ev_keys = np.array([int(r["key"]) for r in records], dtype=np.int64)
+    ev_keys = np.array([r[0] for r in records], dtype=np.int64)
     keys = np.concatenate((ev_keys, np.asarray(boxes["key"], dtype=np.int64)))
     order = np.argsort(keys, kind="stable")
     out = {c: cols[c][order] for c in _REC_COLS if c != "key"}

@@ -19,31 +19,50 @@ from __future__ import annotations
 
 import math
 
+from .schema import STYLE_FIELDS
 
-def rect_record(ev: tuple) -> dict:
-    """('rect', key, page, x, y, w, h, line_w, stroke, fill, scol, fcol)"""
+# Span records are FIXED-ORDER TUPLES aligned with REC_FIELDS (graphics
+# events arrive tens of thousands per graphics-heavy doc; building a
+# 20-key dict per event and re-reading it per column was ~25% of the
+# single-core kernel on the graphics-heavy profile — tuples + positional
+# column gathers are the columnar fast path). extract.py indexes these
+# positions; values are unchanged.
+REC_FIELDS = ["key", "page_no", "kind", "text", "media_ref",
+              *[f"style_{f}" for f in STYLE_FIELDS]]
+_R = {c: i for i, c in enumerate(REC_FIELDS)}
+_NREC = len(REC_FIELDS)
+
+
+def make_rec(key, kind, text=None, media_ref=None, page_no=None,
+             **styles) -> tuple:
+    """Sparse record constructor for the cold paths (fonts, meta)."""
+    rec = [None] * _NREC
+    rec[0], rec[1], rec[2], rec[3], rec[4] = key, page_no, kind, text, \
+        media_ref
+    for k, v in styles.items():
+        rec[_R[f"style_{k}"]] = v
+    return tuple(rec)
+
+
+def rect_record(ev: tuple) -> tuple:
+    """('rect', key, page, x, y, w, h, line_w, stroke, fill, scol, fcol)
+    -> REC_FIELDS tuple."""
     _, key, page, x, y, w, h, lw, stroke, fill, scol, fcol = ev
     wcor = lw if stroke else 0.0
     stroke_offset = 0.0 if wcor == 0 else wcor / 2
     w = 1.0 if w - wcor < 0 else w - wcor
     h = 1.0 if h - wcor < 0 else h - wcor
-    return {
-        "key": key, "page_no": page, "kind": "rect", "text": None,
-        "media_ref": None,
-        "style_left": x - stroke_offset, "style_top": y - stroke_offset,
-        "style_width": w, "style_height": h,
-        "style_stroke_color": scol if stroke else None,
-        "style_color": fcol if fill else None,
-        "style_stroke_width": lw if stroke else None,
-        "style_angle": None,
-        "style_line_height": None, "style_font_family": None,
-        "style_font_size": None, "style_font_weight": None,
-        "style_font_style": None, "style_word_spacing": None,
-        "style_letter_spacing": None,
-    }
+    # order: key page_no kind text media_ref font_family font_size
+    # font_weight font_style word_spacing letter_spacing color
+    # stroke_color line_height left top width height angle stroke_width
+    return (key, page, "rect", None, None,
+            None, None, None, None, None, None,
+            fcol if fill else None, scol if stroke else None, None,
+            x - stroke_offset, y - stroke_offset, w, h,
+            None, lw if stroke else None)
 
 
-def line_record(ev: tuple) -> dict:
+def line_record(ev: tuple) -> tuple:
     """('line', key, page, x1, y1, x2, y2, line_w, scol) — HtmlDivLine math."""
     _, key, page, x1, y1, x2, y2, lw, scol = ev
     width = abs(x2 - x1)
@@ -71,21 +90,13 @@ def line_record(ev: tuple) -> dict:
         left = abs((x2 + x1) / 2) - out_w / 2
         top = abs((y2 + y1) / 2) - (stroke_w + out_h) / 2
         angle = math.degrees(math.atan((y2 - y1) / (x2 - x1)))
-    return {
-        "key": key, "page_no": page, "kind": "line", "text": None,
-        "media_ref": None,
-        "style_left": left, "style_top": top,
-        "style_width": out_w, "style_height": out_h,
-        "style_stroke_color": scol, "style_color": None,
-        "style_stroke_width": stroke_w, "style_angle": angle,
-        "style_line_height": None, "style_font_family": None,
-        "style_font_size": None, "style_font_weight": None,
-        "style_font_style": None, "style_word_spacing": None,
-        "style_letter_spacing": None,
-    }
+    return (key, page, "line", None, None,
+            None, None, None, None, None, None,
+            None, scol, None,
+            left, top, out_w, out_h, angle, stroke_w)
 
 
-def image_record(ev: tuple, media_ref_out: str | None) -> dict:
+def image_record(ev: tuple, media_ref_out: str | None) -> tuple:
     """('image', key, page, x, y, w, h, media_ref, name, angle) or
     ('pathimg', key, page, x, y, w, h, media_ref). ``angle`` is the
     rotation-only CTM component minus the page rotation
@@ -94,38 +105,22 @@ def image_record(ev: tuple, media_ref_out: str | None) -> dict:
     angle = ev[9] if len(ev) > 9 else None
     if angle is not None and abs(angle) < 1e-9:
         angle = 0.0
-    return {
-        "key": key, "page_no": page, "kind": "image", "text": None,
-        "media_ref": media_ref_out,
-        "style_left": x, "style_top": y,
-        "style_width": w, "style_height": h,
-        "style_stroke_color": None, "style_color": None,
-        "style_stroke_width": None, "style_angle": angle,
-        "style_line_height": None, "style_font_family": None,
-        "style_font_size": None, "style_font_weight": None,
-        "style_font_style": None, "style_word_spacing": None,
-        "style_letter_spacing": None,
-    }
+    return (key, page, "image", None, media_ref_out,
+            None, None, None, None, None, None,
+            None, None, None,
+            x, y, w, h, angle, None)
 
 
-def page_record(ev: tuple) -> dict:
+def page_record(ev: tuple) -> tuple:
     """('page', key, page, w, h, rot) — page dims swap for 90/270
     (PDFDomTree.java:278-287)."""
     _, key, page, w, h, rot = ev
     if rot in (90, 270):
         w, h = h, w
-    return {
-        "key": key, "page_no": page, "kind": "page", "text": None,
-        "media_ref": None,
-        "style_left": None, "style_top": None,
-        "style_width": w, "style_height": h,
-        "style_stroke_color": None, "style_color": None,
-        "style_stroke_width": None, "style_angle": None,
-        "style_line_height": None, "style_font_family": None,
-        "style_font_size": None, "style_font_weight": None,
-        "style_font_style": None, "style_word_spacing": None,
-        "style_letter_spacing": None,
-    }
+    return (key, page, "page", None, None,
+            None, None, None, None, None, None,
+            None, None, None,
+            None, None, w, h, None, None)
 
 
 class ImageNamer:
