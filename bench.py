@@ -50,6 +50,8 @@ HEADLINE = [
     "pack_bins",                   # context-window packing (round 3)
     "dedup_cluster",               # CC over the LSH pair graph (round 3)
     "pii_scrub",                   # regex redaction pass (round 3)
+    "extract_spans_realfile",      # write->reparse->extract file chain (r5)
+    "mm_jpeg_dct_chain",           # JPEG->PDF->decode->PNG pixel gate (r5)
 ]
 
 
