@@ -208,6 +208,11 @@ def decode_baseline(data: bytes) -> np.ndarray:
                 raise UnsupportedJpegError(f"precision {seg[0]}")
             if nc not in (1, 3):
                 raise UnsupportedJpegError(f"{nc}-component JPEG")
+            if not (0 < w * h <= 64_000_000):
+                # adversarial dims + the zero-fill truncation recovery
+                # would otherwise spin through millions of empty MCUs —
+                # a crawled hostile JPEG must fail fast, not burn CPU
+                raise UnsupportedJpegError(f"dimensions {w}x{h}")
             comps = []
             for c in range(nc):
                 cid = seg[6 + 3 * c]

@@ -1221,16 +1221,70 @@ def _image_png_datauri(pdf: "PdfFile", xo: "Stream") -> str | None:
             bpc = int(pdf.resolve(xo.dict.get("BitsPerComponent", 8))
                       or 8)
             cs = pdf.resolve(xo.dict.get("ColorSpace"))
-            cs_name = str(cs) if not isinstance(cs, (list, dict)) else ""
-            ncomp = {"DeviceRGB": 3, "DeviceGray": 1,
-                     "CalRGB": 3, "CalGray": 1}.get(cs_name)
-            if bpc != 8 or ncomp is None \
-                    or len(payload) < w * h * ncomp:
+            palette = None  # Indexed: (hival+1, 3) uint8 lookup
+            if isinstance(cs, list) and cs and str(cs[0]) in ("Indexed",
+                                                              "I"):
+                # [/Indexed base hival lookup] (PDF 32000-1 8.6.6.3) —
+                # base limited to the RGB/Gray device spaces here
+                base = pdf.resolve(cs[1]) if len(cs) > 1 else None
+                base_n = {"DeviceRGB": 3, "CalRGB": 3,
+                          "DeviceGray": 1, "CalGray": 1}.get(
+                              str(base) if not isinstance(
+                                  base, (list, dict)) else "")
+                hival = int(pdf.resolve(cs[2]) or 0) if len(cs) > 2 else 0
+                lk = pdf.resolve(cs[3]) if len(cs) > 3 else None
+                lk = lk.data if isinstance(lk, Stream) else lk
+                if base_n is None or not isinstance(lk, bytes) \
+                        or len(lk) < (hival + 1) * base_n:
+                    return None
+                tbl = np.frombuffer(lk[:(hival + 1) * base_n],
+                                    dtype=np.uint8)
+                tbl = tbl.reshape(hival + 1, base_n)
+                palette = (tbl if base_n == 3
+                           else np.repeat(tbl, 3, axis=1))
+                ncomp = 1
+            else:
+                cs_name = str(cs) if not isinstance(cs,
+                                                    (list, dict)) else ""
+                ncomp = {"DeviceRGB": 3, "DeviceGray": 1,
+                         "CalRGB": 3, "CalGray": 1}.get(cs_name)
+            if ncomp is None or bpc not in (1, 2, 4, 8):
                 return None
-            px = np.frombuffer(payload[: w * h * ncomp],
-                               dtype=np.uint8).reshape(h, w, ncomp)
+            if bpc == 8:
+                if len(payload) < w * h * ncomp:
+                    return None
+                px = np.frombuffer(payload[: w * h * ncomp],
+                                   dtype=np.uint8).reshape(h, w, ncomp)
+            else:
+                # sub-byte samples: each ROW is bit-packed and padded to
+                # a byte boundary (PDF 32000-1 8.9.5.2)
+                if ncomp != 1:
+                    return None
+                stride = (w * bpc + 7) // 8
+                if len(payload) < stride * h:
+                    return None
+                rows = np.frombuffer(payload[: stride * h],
+                                     dtype=np.uint8).reshape(h, stride)
+                bits = np.unpackbits(rows, axis=1)
+                samples = bits[:, : w * bpc].reshape(h, w, bpc)
+                weights = (1 << np.arange(bpc - 1, -1, -1)).astype(
+                    np.uint8)
+                vals = (samples * weights).sum(axis=2).astype(np.uint8)
+                if palette is None:
+                    # scale to full 8-bit gray (max_val -> 255)
+                    vals = (vals.astype(np.uint16) * 255
+                            // ((1 << bpc) - 1)).astype(np.uint8)
+                px = vals[..., None]
+            dec = pdf.resolve(xo.dict.get("Decode"))
+            if isinstance(dec, list) and len(dec) >= 2 and palette is None \
+                    and ncomp == 1 and float(pdf.resolve(dec[0]) or 0) == 1:
+                px = 255 - px  # /Decode [1 0] gray inversion
+            if palette is not None:
+                idx = np.minimum(px[..., 0].astype(np.int64),
+                                 palette.shape[0] - 1)
+                px = palette[idx]
             rgba = np.empty((h, w, 4), dtype=np.uint8)
-            rgba[..., :3] = px if ncomp == 3 else px
+            rgba[..., :3] = px if px.shape[-1] == 3 else px
             rgba[..., 3] = 255
         if rgba.shape[0] != h or rgba.shape[1] != w:
             return None

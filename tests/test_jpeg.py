@@ -264,3 +264,33 @@ def test_corrupt_jpeg_falls_back_to_sha():
     spans = pdf_to_spans(pdf, image_pixels=True)
     im = next(s for s in spans if s["kind"] == "image")
     assert im["media_ref"].startswith("sha:")
+
+
+# --- damage hardening --------------------------------------------------------
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_fuzz_random_bytes_never_hang(data):
+    """Arbitrary bytes either decode or raise — never hang, never return
+    a non-array (the pdfread image path catches any exception and falls
+    back to the opaque sha ref)."""
+    try:
+        out = decode_baseline(b"\xff\xd8" + data)
+    except Exception:
+        return
+    assert isinstance(out, np.ndarray)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(2, 40), st.integers(0, 255))
+def test_fuzz_truncated_valid_jpeg(cut_frac, fill):
+    """A valid JPEG truncated mid-scan (the classic corrupt-crawl shape)
+    must not hang or loop; zero-fill recovery or a raise are both fine."""
+    vals = (np.arange(12).reshape(3, 4) * 31 + fill) % 256
+    jp = encode_baseline(_uniform_blocks(vals), 1)
+    cut = max(2, len(jp) * cut_frac // 41)
+    try:
+        out = decode_baseline(jp[:cut])
+    except Exception:
+        return
+    assert isinstance(out, np.ndarray)

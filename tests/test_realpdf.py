@@ -1345,3 +1345,118 @@ def test_named_crypt_filter_uses_named_cfm():
     ciphertext = rc4(h.object_key(7, 0, aes=False), plain)
     # decrypt_stream with the override must use RC4, not AES
     assert h.decrypt_stream(ciphertext, 7, 0, cfm="V2") == plain
+
+
+# --- image_pixels decode paths beyond 8-bit device spaces -------------------
+
+def _image_pdf(extra: bytes, payload: bytes, w: int, h: int) -> bytes:
+    """One-page PDF with a single image XObject built from a raw dict
+    fragment — the harness for the Indexed / sub-byte / Decode paths."""
+    from pdf2dom_spark.pdfwrite import _obj, _stream_obj
+
+    objs = {
+        1: _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        2: _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        3: _obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                   b" /Resources << /XObject << /Im0 4 0 R >> >>"
+                   b" /Contents 5 0 R >>"),
+        4: _stream_obj(4, b" /Type /XObject /Subtype /Image /Width %d"
+                          b" /Height %d %s" % (w, h, extra),
+                       payload, compress=False),
+        5: _stream_obj(5, b"", b"q %d 0 0 %d 10 10 cm /Im0 Do Q" % (w, h),
+                       compress=False),
+    }
+    out = bytearray(b"%PDF-1.5\n")
+    offs = {}
+    for n in sorted(objs):
+        offs[n] = len(out)
+        out += objs[n]
+    xa = len(out)
+    out += b"xref\n0 6\n0000000000 65535 f \n"
+    for n in range(1, 6):
+        out += b"%010d 00000 n \n" % offs[n]
+    out += b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % xa
+    return bytes(out)
+
+
+def _pixels_of(pdf_bytes: bytes):
+    import base64
+
+    from pdf2dom_spark.pdfread import pdf_to_spans
+    from pdf2dom_spark.raster import decode_png_rgba
+
+    spans = pdf_to_spans(pdf_bytes, image_pixels=True)
+    im = next(s for s in spans if s["kind"] == "image")
+    if not im["media_ref"].startswith("data:image/png;base64,"):
+        return None
+    return decode_png_rgba(base64.b64decode(im["media_ref"].split(",", 1)[1]))
+
+
+def test_pixels_indexed_palette():
+    """/Indexed DeviceRGB palette lookup (PDF 32000-1 8.6.6.3) — the
+    palette-PNG-in-PDF shape real documents use for screenshots."""
+    import numpy as np
+
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 17, 34, 51])
+    idx = bytes([0, 1, 2, 3, 3, 2, 1, 0])  # 4x2
+    pdf = _image_pdf(b"/BitsPerComponent 8 /ColorSpace"
+                     b" [/Indexed /DeviceRGB 3 <%s>]"
+                     % palette.hex().encode(), idx, 4, 2)
+    px = _pixels_of(pdf)
+    assert px is not None and px.shape == (2, 4, 4)
+    assert tuple(px[0, 0, :3]) == (255, 0, 0)
+    assert tuple(px[0, 3, :3]) == (17, 34, 51)
+    assert tuple(px[1, 0, :3]) == (17, 34, 51)
+    assert tuple(px[1, 3, :3]) == (255, 0, 0)
+    assert (px[..., 3] == 255).all()
+
+
+def test_pixels_1bit_gray_row_padded():
+    """1-bit DeviceGray with byte-padded rows (8.9.5.2): 0 -> black,
+    1 -> white after the max-value scale."""
+    # 10x3: rows pad to 2 bytes; pattern row0 all 1s, row1 all 0s,
+    # row2 alternating starting 1
+    payload = bytes([0xFF, 0xC0, 0x00, 0x00, 0xAA, 0x80])
+    pdf = _image_pdf(b"/BitsPerComponent 1 /ColorSpace /DeviceGray",
+                     payload, 10, 3)
+    px = _pixels_of(pdf)
+    assert px is not None and px.shape == (3, 10, 4)
+    assert (px[0, :, 0] == 255).all()
+    assert (px[1, :, 0] == 0).all()
+    assert list(px[2, :4, 0]) == [255, 0, 255, 0]
+
+
+def test_pixels_1bit_decode_inverted():
+    """/Decode [1 0] flips the gray ramp (scanned-fax polarity)."""
+    payload = bytes([0xF0])  # 4x1? use 8x1 row: 11110000
+    pdf = _image_pdf(b"/BitsPerComponent 1 /ColorSpace /DeviceGray"
+                     b" /Decode [1 0]", payload, 8, 1)
+    px = _pixels_of(pdf)
+    assert px is not None
+    assert list(px[0, :, 0]) == [0, 0, 0, 0, 255, 255, 255, 255]
+
+
+def test_pixels_4bit_indexed():
+    """4-bit Indexed samples pack two indices per byte, row-padded."""
+    palette = bytes([0, 0, 0, 255, 255, 255, 200, 100, 50])
+    # 3x2 image, indices: row0 = 0,1,2 ; row1 = 2,1,0 -> nibbles
+    payload = bytes([0x01, 0x20, 0x21, 0x00])
+    pdf = _image_pdf(b"/BitsPerComponent 4 /ColorSpace"
+                     b" [/Indexed /DeviceRGB 2 <%s>]"
+                     % palette.hex().encode(), payload, 3, 2)
+    px = _pixels_of(pdf)
+    assert px is not None and px.shape == (2, 3, 4)
+    assert tuple(px[0, 2, :3]) == (200, 100, 50)
+    assert tuple(px[1, 0, :3]) == (200, 100, 50)
+    assert tuple(px[1, 2, :3]) == (0, 0, 0)
+
+
+def test_pixels_unsupported_stays_sha():
+    """An exotic image (16-bit samples) keeps the opaque sha ref."""
+    from pdf2dom_spark.pdfread import pdf_to_spans
+
+    pdf = _image_pdf(b"/BitsPerComponent 16 /ColorSpace /DeviceGray",
+                     bytes(32), 4, 4)
+    spans = pdf_to_spans(pdf, image_pixels=True)
+    im = next(s for s in spans if s["kind"] == "image")
+    assert im["media_ref"].startswith("sha:")
