@@ -94,8 +94,19 @@ def _stub_decode(payload: bytes) -> tuple[str, int, int, int]:
     return fmt, width, height, n_frames
 
 
+def _salted(d: DataFrame) -> DataFrame:
+    """Spread a small-file scan across the session's shuffle partitions
+    before a Python kernel: one parquet file is ONE split, so a
+    mapInPandas directly over the scan runs serially — the same salt
+    the extraction pipeline uses (raw 64-bit hash, no pmod holes)."""
+    spark = d.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return d.repartition(p, F.xxhash64(*d.columns[:1]))
+
+
 def decode_meta(media: DataFrame) -> DataFrame:
     """Arrow-batched decode stub over the binary column."""
+    media = _salted(media)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -160,8 +171,8 @@ def png_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     from .raster import encode_png_rgba
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        F.col("doc_id").cast("long").alias("doc_id"))
+    d = _salted(spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id")))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -386,8 +397,8 @@ def audio_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real PCM payloads: s[i] = ((doc_id*31 + i*17) % 256) - 128, int16 LE."""
     import numpy as np
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        F.col("doc_id").cast("long").alias("doc_id"))
+    d = _salted(spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id")))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -469,8 +480,8 @@ _VID_PIX = "((3 * {y} + 7 * {x} + doc_id + 11 * {f}) % 256)"
 def video_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        F.col("doc_id").cast("long").alias("doc_id"))
+    d = _salted(spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id")))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -646,8 +657,8 @@ def mm_jpeg_dct_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pdfwrite import dct_image_pdf_bytes
     from .raster import decode_png_rgba
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        F.col("doc_id").cast("long").alias("doc_id"))
+    d = _salted(spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id")))
 
     out_schema = T.StructType([
         T.StructField("doc_id", T.LongType(), False),
