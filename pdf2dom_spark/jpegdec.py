@@ -1,4 +1,4 @@
-"""Stdlib+numpy baseline JPEG (DCTDecode) codec.
+"""Stdlib+numpy JPEG (DCTDecode) codec: baseline + progressive.
 
 The reference decodes EVERY image XObject to a ``BufferedImage`` and
 re-encodes it as PNG regardless of the source codec
@@ -14,9 +14,15 @@ encoder used to build byte-exact test fixtures and driver-gate
 payloads.
 
 Scope (documented, matches PDFBox's common path):
-- baseline sequential DCT only (SOF0/SOF1); progressive (SOF2),
-  arithmetic coding, and hierarchical modes raise
-  ``UnsupportedJpegError`` and the caller keeps the payload opaque;
+- baseline sequential (SOF0/SOF1) AND progressive (SOF2) frames —
+  spectral selection + successive approximation per spec G.2 (EOBn
+  runs, AC refinement correction bits, DRI/RSTn in any scan);
+  arithmetic coding and hierarchical modes raise
+  ``UnsupportedJpegError`` and the caller keeps the payload opaque.
+  Validation: a progressive re-encode of the same quantized
+  coefficients decodes BIT-IDENTICALLY to the baseline encode
+  (transmission order is the only difference) — pinned across
+  randomized gray/color/quantized sweeps in tests/test_jpeg.py;
 - 1-component grayscale and 3-component YCbCr/RGB; 4-component
   YCCK/CMYK raises (ICC-profile territory — see tests/test_cmyk.py);
 - chroma upsampling is nearest-neighbor block replication (libjpeg's
@@ -38,12 +44,14 @@ __all__ = [
     "UnsupportedJpegError",
     "decode_baseline",
     "encode_baseline",
+    "encode_progressive",
     "jpeg_to_rgba",
 ]
 
 
 class UnsupportedJpegError(ValueError):
-    """Payload is JPEG but outside the baseline-sequential scope."""
+    """Payload is JPEG but outside the supported scope (arithmetic,
+    hierarchical, >8-bit precision, 4-component, invalid scans)."""
 
 
 # zigzag index -> (row, col) natural order, PDF/JPEG spec Figure A.6
@@ -148,21 +156,30 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_baseline(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> uint8 array (h, w) gray or (h, w, 3) RGB.
+    """JPEG bytes -> uint8 array (h, w) gray or (h, w, 3) RGB.
+
+    Handles baseline sequential (SOF0/SOF1) and PROGRESSIVE (SOF2)
+    frames — spectral selection and successive approximation per spec
+    G.2, including EOBn runs and AC refinement correction bits.
+    Progressive transmission only reorders the same quantized
+    coefficients, so a progressive re-encode of a baseline file decodes
+    bit-identically (the cross-mode equality the tests pin).
 
     Raises UnsupportedJpegError outside the documented scope; the
     pdfread image path catches it and keeps the payload opaque-hashed.
+    (Name kept from the baseline-only round for API stability.)
     """
     if data[:2] != b"\xff\xd8":
         raise UnsupportedJpegError("not a JPEG (no SOI)")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id)
-    frame = None  # (h, w, comps) comps: [(cid, hi, vi, tq)]
+    frame = None  # (h, w, comps, progressive)
     adobe_transform: int | None = None
     restart_interval = 0
+    coefs: dict[int, np.ndarray] = {}  # cid -> (by, bx, 64) int64
+    got_scan = False
     i = 2
     n = len(data)
-    out_planes: dict[int, np.ndarray] = {}
     while i + 1 < n:
         if data[i] != 0xFF:
             i += 1
@@ -172,6 +189,8 @@ def decode_baseline(data: bytes) -> np.ndarray:
             i += 2
             continue
         if m == 0xD9:  # EOI
+            break
+        if i + 4 > n:
             break
         ln = struct.unpack(">H", data[i + 2:i + 4])[0]
         seg = data[i + 4:i + 2 + ln]
@@ -200,7 +219,7 @@ def decode_baseline(data: bytes) -> np.ndarray:
                 vals = list(seg[p + 17:p + 17 + nv])
                 huff[(tc, th)] = _build_huff(bits, vals)
                 p += 17 + nv
-        elif m in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             h = struct.unpack(">H", seg[1:3])[0]
             w = struct.unpack(">H", seg[3:5])[0]
             nc = seg[5]
@@ -218,10 +237,17 @@ def decode_baseline(data: bytes) -> np.ndarray:
                 cid = seg[6 + 3 * c]
                 hv = seg[7 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, seg[8 + 3 * c]))
-            frame = (h, w, comps)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = (h, w, comps, m == 0xC2)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            coefs = {cid: np.zeros((mcus_y * vi, mcus_x * hi, 64),
+                                   dtype=np.int64)
+                     for cid, hi, vi, _tq in comps}
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
-            raise UnsupportedJpegError(f"non-baseline SOF 0x{m:02x}")
+            raise UnsupportedJpegError(f"unsupported SOF 0x{m:02x}")
         elif m == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif m == 0xEE and seg[:5] == b"Adobe":  # APP14
@@ -230,19 +256,36 @@ def decode_baseline(data: bytes) -> np.ndarray:
             if frame is None:
                 raise UnsupportedJpegError("SOS before SOF")
             ns = seg[0]
-            scan_tabs = {}
+            scan_comps = []  # (cid, dc_table_id, ac_table_id)
             for c in range(ns):
-                cs = seg[1 + 2 * c]
-                tt = seg[2 + 2 * c]
-                scan_tabs[cs] = (tt >> 4, tt & 15)
-            out_planes = _decode_scan(
-                data, i + 2 + ln, frame, scan_tabs, qt, huff,
-                restart_interval)
-            break
+                scan_comps.append((seg[1 + 2 * c],
+                                   seg[2 + 2 * c] >> 4,
+                                   seg[2 + 2 * c] & 15))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahl = seg[3 + 2 * ns]
+            ah, al = ahl >> 4, ahl & 15
+            i = _entropy_scan(data, i + 2 + ln, frame, scan_comps,
+                              ss, se, ah, al, huff, restart_interval,
+                              coefs)
+            got_scan = True
+            continue
         i += 2 + ln
-    if frame is None or not out_planes:
+    if frame is None or not got_scan:
         raise UnsupportedJpegError("no decodable scan")
-    h, w, comps = frame
+    h, w, comps, _prog = frame
+
+    # dequant + vectorized 2-D IDCT per component (shared by both modes)
+    out_planes: dict[int, np.ndarray] = {}
+    for cid, hi, vi, tq in comps:
+        q = qt.get(tq)
+        if q is None:
+            raise UnsupportedJpegError("missing quant table")
+        st = coefs[cid]
+        by, bx = st.shape[0], st.shape[1]
+        c = st.reshape(by, bx, 8, 8) * q  # dequantize (natural order)
+        px = np.einsum("ux,mnuv,vy->mnxy", _A, c, _A, optimize=True)
+        out_planes[cid] = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+
     if len(comps) == 1:
         y = out_planes[comps[0][0]][:h, :w]
         return np.clip(np.round(y) + 128, 0, 255).astype(np.uint8)
@@ -268,69 +311,188 @@ def decode_baseline(data: bytes) -> np.ndarray:
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
-def _decode_scan(data: bytes, pos: int, frame, scan_tabs, qt, huff,
-                 restart_interval: int) -> dict[int, np.ndarray]:
-    """Entropy-decode one interleaved baseline scan -> spatial planes
-    (float64, level-shifted by -128) keyed by component id."""
-    h, w, comps = frame
+def _entropy_scan(data: bytes, pos: int, frame, scan_comps,
+                  ss: int, se: int, ah: int, al: int, huff,
+                  restart_interval: int,
+                  coefs: dict[int, np.ndarray]) -> int:
+    """Entropy-decode ONE scan into the persistent coefficient stores;
+    returns the byte position where the scan's entropy data ended (the
+    marker walk resumes there). Sequential frames decode full blocks;
+    progressive frames dispatch on (ss, ah) per spec G.2."""
+    h, w, comps, progressive = frame
+    if progressive:
+        # spec G.1.1.1.1 scan-header validity
+        if ss == 0 and se != 0:
+            raise UnsupportedJpegError("progressive DC scan with Se != 0")
+        if ss > 0 and (se < ss or len(scan_comps) != 1):
+            raise UnsupportedJpegError("invalid progressive AC scan")
+        if ah and ah != al + 1:
+            raise UnsupportedJpegError("invalid successive approximation")
+    elif ss != 0 or se != 63 or ah or al:
+        raise UnsupportedJpegError("non-full sequential scan")
+    byid = {c[0]: c for c in comps}
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     r = _BitReader(data, pos)
-    preds = {cid: 0 for cid, *_ in comps}
-    # per component: coefficient store (mcus_y*vi*8, mcus_x*hi*8 blocks)
-    coefs = {cid: np.zeros((mcus_y * vi, mcus_x * hi, 64))
-             for cid, hi, vi, _tq in comps}
+    preds = {cid: 0 for cid, _d, _a in scan_comps}
+    eobrun = 0
+
+    if len(scan_comps) == 1:
+        # non-interleaved: the component's OWN block grid (ceil dims)
+        cid, dct_id, act_id = scan_comps[0]
+        _c, hi, vi, _tq = byid[cid]
+        bw = -(-(-(-w * hi // hmax)) // 8)
+        bh = -(-(-(-h * vi // vmax)) // 8)
+        units = [(cid, by, bx) for by in range(bh) for bx in range(bw)]
+        tabs = {cid: (dct_id, act_id)}
+    else:
+        units = []
+        tabs = {}
+        for cid, dct_id, act_id in scan_comps:
+            tabs[cid] = (dct_id, act_id)
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for cid, dct_id, act_id in scan_comps:
+                    _c, hi, vi, _tq = byid[cid]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            units.append((cid, my * vi + by,
+                                          mx * hi + bx))
+        per_mcu = sum(byid[cid][1] * byid[cid][2]
+                      for cid, _d, _a in scan_comps)
+
+    n_units = len(units)
+    mcu_units = (1 if len(scan_comps) == 1 else per_mcu)
+    unit_i = 0
     mcu = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                r.restart()
-                preds = {cid: 0 for cid in preds}
-            for cid, hi, vi, _tq in comps:
-                dct = huff.get((0, scan_tabs[cid][0]))
-                act = huff.get((1, scan_tabs[cid][1]))
-                if dct is None or act is None:
-                    raise UnsupportedJpegError("missing Huffman table")
-                store = coefs[cid]
-                for by in range(vi):
-                    for bx in range(hi):
-                        blk = store[my * vi + by, mx * hi + bx]
-                        s = _decode_huff(r, dct)
-                        if s > 11:
-                            raise UnsupportedJpegError("bad DC category")
-                        diff = _extend(r.bits(s), s) if s else 0
-                        preds[cid] += diff
-                        blk[0] = preds[cid]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_huff(r, act)
-                            rr, ss = rs >> 4, rs & 15
-                            if ss == 0:
-                                if rr == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += rr
-                            if k > 63:
-                                raise UnsupportedJpegError("AC overrun")
-                            blk[_ZIGZAG[k]] = _extend(r.bits(ss), ss)
-                            k += 1
+    while unit_i < n_units:
+        if restart_interval and mcu and mcu % restart_interval == 0 \
+                and unit_i % mcu_units == 0 and unit_i:
+            r.restart()
+            preds = {k: 0 for k in preds}
+            eobrun = 0
+        cid, by, bx = units[unit_i]
+        dct = huff.get((0, tabs[cid][0]))
+        act = huff.get((1, tabs[cid][1]))
+        blk = coefs[cid][by, bx]
+        if not progressive:
+            if dct is None or act is None:
+                raise UnsupportedJpegError("missing Huffman table")
+            s = _decode_huff(r, dct)
+            if s > 11:
+                raise UnsupportedJpegError("bad DC category")
+            diff = _extend(r.bits(s), s) if s else 0
+            preds[cid] += diff
+            blk[0] = preds[cid]
+            k = 1
+            while k < 64:
+                rs = _decode_huff(r, act)
+                rr, sx = rs >> 4, rs & 15
+                if sx == 0:
+                    if rr == 15:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += rr
+                if k > 63:
+                    raise UnsupportedJpegError("AC overrun")
+                blk[_ZIGZAG[k]] = _extend(r.bits(sx), sx)
+                k += 1
+        elif ss == 0 and ah == 0:  # DC first (G.2, F.2.2.1 shifted)
+            if dct is None:
+                raise UnsupportedJpegError("missing DC table")
+            s = _decode_huff(r, dct)
+            if s > 11:
+                raise UnsupportedJpegError("bad DC category")
+            diff = _extend(r.bits(s), s) if s else 0
+            preds[cid] += diff
+            blk[0] = preds[cid] << al
+        elif ss == 0:  # DC refinement: one bit per block
+            if r.bits(1):
+                blk[0] |= (1 << al)
+        elif ah == 0:  # AC first with EOBn runs (G.2.2)
+            if act is None:
+                raise UnsupportedJpegError("missing AC table")
+            if eobrun > 0:
+                eobrun -= 1
+            else:
+                k = ss
+                while k <= se:
+                    rs = _decode_huff(r, act)
+                    rr, sx = rs >> 4, rs & 15
+                    if sx == 0:
+                        if rr < 15:
+                            eobrun = (1 << rr) - 1
+                            if rr:
+                                eobrun += r.bits(rr)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += rr
+                    if k > se:
+                        raise UnsupportedJpegError("AC overrun")
+                    blk[_ZIGZAG[k]] = _extend(r.bits(sx), sx) << al
+                    k += 1
+        else:  # AC refinement (G.7.2.3 / libjpeg decode_mcu_AC_refine)
+            if act is None:
+                raise UnsupportedJpegError("missing AC table")
+            eobrun = _refine_ac(r, act, blk, ss, se, al, eobrun)
+        unit_i += 1
+        if unit_i % mcu_units == 0:
             mcu += 1
-    # vectorized dequant + 2-D IDCT per component
-    planes: dict[int, np.ndarray] = {}
-    for cid, hi, vi, tq in comps:
-        q = qt.get(tq)
-        if q is None:
-            raise UnsupportedJpegError("missing quant table")
-        st = coefs[cid]
-        by, bx = st.shape[0], st.shape[1]
-        c = st.reshape(by, bx, 8, 8) * q  # dequantize (natural order)
-        # pixels = A.T @ C @ A for every block
-        px = np.einsum("ux,mnuv,vy->mnxy", _A, c, _A, optimize=True)
-        planes[cid] = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
-    return planes
+    return r.pos
+
+
+def _refine_ac(r: _BitReader, act: dict, blk: np.ndarray, ss: int,
+               se: int, al: int, eobrun: int) -> int:
+    """One block of an AC successive-approximation refinement scan."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(r, act)
+            rr, sx = rs >> 4, rs & 15
+            val = 0
+            if sx == 0:
+                if rr < 15:
+                    # INCLUSIVE count (libjpeg convention): the current
+                    # block's tail is refined by the eobrun branch below
+                    # and the decrement there consumes this block
+                    eobrun = 1 << rr
+                    if rr:
+                        eobrun += r.bits(rr)
+                    break  # -> EOB tail below
+                # rr == 15: skip 16 zero-history coefficients
+            else:
+                if sx != 1:
+                    raise UnsupportedJpegError("bad refine magnitude")
+                val = p1 if r.bits(1) else m1
+            while k <= se:
+                z = int(_ZIGZAG[k])
+                if blk[z] != 0:
+                    # correction bit for an already-nonzero coefficient
+                    if r.bits(1) and (blk[z] & p1) == 0:
+                        blk[z] += p1 if blk[z] >= 0 else m1
+                else:
+                    if rr == 0:
+                        if val:
+                            blk[z] = val
+                        k += 1
+                        break
+                    rr -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = int(_ZIGZAG[k])
+            if blk[z] != 0:
+                if r.bits(1) and (blk[z] & p1) == 0:
+                    blk[z] += p1 if blk[z] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def jpeg_to_rgba(data: bytes) -> np.ndarray:
@@ -571,5 +733,319 @@ def encode_baseline(img: np.ndarray, quant: int = 1,
                 wtr.write(code, ln)
     wtr.pad()
     out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder — cross-mode test fixtures (spec G.1/G.2)
+# ---------------------------------------------------------------------------
+
+
+class _Emitter:
+    """Two-pass scan emitter: pass 1 collects per-table symbol sets,
+    pass 2 writes codes through a _BitWriter."""
+
+    def __init__(self):
+        self.collect = True
+        self.used: dict[tuple[int, int], set[int]] = {}
+        self.codes: dict[tuple[int, int], dict[int, tuple]] = {}
+        self.w: _BitWriter | None = None
+
+    def sym(self, tab: tuple[int, int], s: int) -> None:
+        if self.collect:
+            self.used.setdefault(tab, set()).add(s)
+        else:
+            code, ln = self.codes[tab][s]
+            self.w.write(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if n and not self.collect:
+            self.w.write(v & ((1 << n) - 1), n)
+
+
+def _prog_scan_units(comps, scan_cids, w, h):
+    """Unit list in scan order — mirrors _entropy_scan's geometry."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    byid = {c[0]: c for c in comps}
+    if len(scan_cids) == 1:
+        cid = scan_cids[0]
+        _c, hi, vi, _tq = byid[cid]
+        comp_w = -(-w * hi // hmax)
+        comp_h = -(-h * vi // vmax)
+        bw, bh = -(-comp_w // 8), -(-comp_h // 8)
+        return [(cid, by, bx) for by in range(bh) for bx in range(bw)]
+    units = []
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for cid in scan_cids:
+                _c, hi, vi, _tq = byid[cid]
+                for by in range(vi):
+                    for bx in range(hi):
+                        units.append((cid, my * vi + by, mx * hi + bx))
+    return units
+
+
+def _emit_dc_scan(em, units, stores, tabs, ah, al):
+    preds: dict[int, int] = {}
+    for cid, by, bx in units:
+        dc = int(stores[cid][by, bx, 0])
+        if ah == 0:  # first: arithmetic shift, diff-coded
+            v = dc >> al
+            diff = v - preds.get(cid, 0)
+            preds[cid] = v
+            s = _csize(diff)
+            em.sym((0, tabs[cid]), s)
+            if s:
+                em.bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        else:  # refinement: one raw bit
+            em.bits((dc >> al) & 1, 1)
+
+
+def _emit_ac_first(em, units, stores, tab, ss, se, al):
+    eobrun = 0
+    pend: list[tuple] = []  # deferred EOBRUN flush
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            rr = eobrun.bit_length() - 1
+            em.sym((1, tab), rr << 4)
+            em.bits(eobrun - (1 << rr), rr)
+            eobrun = 0
+
+    for cid, by, bx in units:
+        blk = stores[cid][by, bx]
+        # AC point transform truncates toward zero (G.1.2.2)
+        zz = [int(blk[int(_ZIGZAG[k])]) for k in range(ss, se + 1)]
+        sh = [v // (1 << al) if v >= 0 else -((-v) // (1 << al))
+              for v in zz]
+        last = -1
+        for j, v in enumerate(sh):
+            if v:
+                last = j
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for j in range(last + 1):
+            v = sh[j]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                em.sym((1, tab), 0xF0)
+                run -= 16
+            s = _csize(v)
+            em.sym((1, tab), (run << 4) | s)
+            em.bits(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    del pend
+
+
+def _emit_ac_refine(em, units, stores, tab, ss, se, al):
+    """Mirror of _refine_ac (libjpeg encode_mcu_AC_refine)."""
+    eobrun = 0
+    brbits: list[int] = []  # correction bits buffered across the run
+
+    def flush_eob():
+        nonlocal eobrun, brbits
+        if eobrun or brbits:
+            rr = max(eobrun, 1).bit_length() - 1 if eobrun else 0
+            if eobrun:
+                em.sym((1, tab), rr << 4)
+                em.bits(eobrun - (1 << rr), rr)
+            for b in brbits:
+                em.bits(b, 1)
+            eobrun = 0
+            brbits = []
+
+    for cid, by, bx in units:
+        blk = stores[cid][by, bx]
+        absv = []
+        eob = -1
+        for k in range(ss, se + 1):
+            v = int(blk[int(_ZIGZAG[k])])
+            a = (-v if v < 0 else v) >> al
+            absv.append((a, v))
+            if a == 1:
+                eob = k
+        if eob < 0:
+            # no newly-significant coefficient: whole band joins the
+            # EOB run; its correction bits ride the buffered stream
+            any_bits = False
+            for a, _v in absv:
+                if a > 1:
+                    brbits.append(a & 1)
+                    any_bits = True
+            eobrun += 1
+            del any_bits
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        local: list[int] = []
+        for j, (a, v) in enumerate(absv):
+            k = ss + j
+            if a == 0:
+                run += 1
+                continue
+            while run > 15 and k <= eob:
+                em.sym((1, tab), 0xF0)
+                run -= 16
+                for b in local:
+                    em.bits(b, 1)
+                local = []
+            if a > 1:
+                local.append(a & 1)
+                continue
+            if k > eob:
+                break
+            em.sym((1, tab), (run << 4) | 1)
+            run = 0
+            em.bits(1 if v > 0 else 0, 1)
+            for b in local:
+                em.bits(b, 1)
+            local = []
+        # tail beyond the last newly-significant coefficient -> EOB run
+        tail_bits = []
+        for j in range(eob + 1 - ss, len(absv)):
+            a, _v = absv[j]
+            if a > 1:
+                tail_bits.append(a & 1)
+        if (se - eob) > 0 or tail_bits:
+            eobrun += 1
+            brbits.extend(tail_bits)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def encode_progressive(img: np.ndarray, quant: int = 1,
+                       successive: bool = True) -> bytes:
+    """Deterministic PROGRESSIVE (SOF2) encoder over the same quantized
+    coefficients encode_baseline produces — so decode(progressive) must
+    equal decode(baseline) EXACTLY (transmission order is the only
+    difference). successive=True uses a 2-level successive-approximation
+    script (DC first Al=1 -> DC refine; per-component AC first Al=1 ->
+    AC refine) exercising EOBn runs and correction bits; False uses
+    spectral selection only (DC, then AC bands 1-5 and 6-63)."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ncomp = 1 if gray else 3
+    if gray:
+        planes = [img.astype(np.float64) - 128.0]
+    else:
+        rf = img[..., 0].astype(np.float64)
+        gf = img[..., 1].astype(np.float64)
+        bf = img[..., 2].astype(np.float64)
+        y = 0.299 * rf + 0.587 * gf + 0.114 * bf
+        cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0
+        cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+    bh, bw = -(-h // 8), -(-w // 8)
+    qtab = np.full((8, 8), int(quant), dtype=np.int64)
+    comps = [(ci + 1, 1, 1, 0) for ci in range(ncomp)]  # 4:4:4
+    stores: dict[int, np.ndarray] = {}
+    for ci, p in enumerate(planes):
+        padded = np.zeros((bh * 8, bw * 8))
+        padded[:h, :w] = p
+        if h < bh * 8:
+            padded[h:, :w] = p[-1:, :]
+        if w < bw * 8:
+            padded[:, w:] = padded[:, w - 1:w]
+        blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ux,mnxy,vy->mnuv", _A, blocks, _A,
+                         optimize=True)
+        qc = np.round(coef / qtab).astype(np.int64)
+        stores[ci + 1] = qc.reshape(bh, bw, 64)
+
+    all_cids = [c[0] for c in comps]
+    dc_tab = {cid: (0 if cid == 1 else 1) for cid in all_cids}
+    if successive:
+        scans = [("dc", all_cids, 0, 0, 1, 1),   # Ss Se Ah Al
+                 ("dc", all_cids, 0, 0, 1, 0)]
+        # NOTE Ah of a first scan is 0; fixed below when emitting
+        scans[0] = ("dc", all_cids, 0, 0, 0, 1)
+        for cid in all_cids:
+            scans.append(("ac", [cid], 1, 63, 0, 1))
+        for cid in all_cids:
+            scans.append(("ac", [cid], 1, 63, 2, 1))
+        # successive approximation refine: Ah = Al_prev, Al = Ah - 1
+        scans = [("dc", all_cids, 0, 0, 0, 1),
+                 ("dc", all_cids, 0, 0, 1, 0)]
+        for cid in all_cids:
+            scans.append(("ac", [cid], 1, 63, 0, 1))
+        for cid in all_cids:
+            scans.append(("ac", [cid], 1, 63, 1, 0))
+    else:
+        scans = [("dc", all_cids, 0, 0, 0, 0)]
+        for cid in all_cids:
+            scans.append(("ac", [cid], 1, 5, 0, 0))
+            scans.append(("ac", [cid], 6, 63, 0, 0))
+
+    out = bytearray(b"\xff\xd8")
+    zzq = qtab.reshape(64)[_ZIGZAG].astype(np.uint8).tobytes()
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zzq
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
+    for cid, hi, vi, tq in comps:
+        sof += bytes([cid, hi << 4 | vi, tq])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+
+    for kind, cids, ss, se, ah, al in scans:
+        units = _prog_scan_units(comps, cids, w, h)
+        em = _Emitter()
+
+        def run_scan(e):
+            if kind == "dc":
+                _emit_dc_scan(e, units, stores, dc_tab, ah, al)
+            else:
+                _emit_ac_first(e, units, stores, dc_tab[cids[0]],
+                               ss, se, al) if ah == 0 else \
+                    _emit_ac_refine(e, units, stores, dc_tab[cids[0]],
+                                    ss, se, al)
+
+        run_scan(em)  # pass 1: symbol sets
+        tables = {}
+        for tab, syms in em.used.items():
+            bits, vals = _canonical_table(syms or {0})
+            tables[tab] = (bits, vals)
+            body = bytes([tab[0] << 4 | tab[1]]) + bytes(bits) \
+                + bytes(vals)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+            code = 0
+            k = 0
+            cmap: dict[int, tuple] = {}
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    cmap[vals[k]] = (code, ln)
+                    code += 1
+                    k += 1
+                code <<= 1
+            em.codes[tab] = cmap
+        sos = bytearray([len(cids)])
+        for cid in cids:
+            t = dc_tab[cid]
+            sos += bytes([cid, t << 4 | t])
+        sos += bytes([ss, se, ah << 4 | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        em.collect = False
+        em.w = _BitWriter()
+        run_scan(em)  # pass 2: real emission
+        em.w.pad()
+        out += em.w.out
     out += b"\xff\xd9"
     return bytes(out)

@@ -121,12 +121,61 @@ def test_quantized_encode_decodes_close_on_smooth():
 
 # --- scope guards -----------------------------------------------------------
 
-def test_progressive_raises():
+def test_relabeled_sof2_with_sequential_scan_raises():
+    """A baseline stream relabeled SOF2 carries an Ss=0/Se=63 scan —
+    invalid for progressive (a DC scan must have Se=0, G.1.1.1.1)."""
     jp = bytearray(encode_baseline(_uniform_blocks(np.array([[128]])), 1))
     i = jp.find(b"\xff\xc0")
     jp[i + 1] = 0xC2  # flip SOF0 -> SOF2
     with pytest.raises(UnsupportedJpegError):
         decode_baseline(bytes(jp))
+
+
+def test_progressive_cross_mode_bit_identity():
+    """Progressive transmission only reorders the same quantized
+    coefficients, so progressive decode must equal baseline decode
+    EXACTLY — this validates the multi-scan/EOBn/refinement machinery
+    against the fixture-validated baseline path."""
+    from pdf2dom_spark.jpegdec import encode_progressive
+
+    rng = np.random.RandomState(42)
+    for shape in ((24, 33), (16, 24, 3), (13, 21)):
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        for q in (1, 8):
+            base = decode_baseline(encode_baseline(img, q))
+            for succ in (False, True):
+                prog = decode_baseline(
+                    encode_progressive(img, q, successive=succ))
+                assert np.array_equal(prog, base), (shape, q, succ)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(1, 30))
+def test_prop_progressive_equals_baseline(seed, q):
+    from pdf2dom_spark.jpegdec import encode_progressive
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    base = decode_baseline(encode_baseline(img, q))
+    for succ in (False, True):
+        prog = decode_baseline(encode_progressive(img, q, successive=succ))
+        assert np.array_equal(prog, base)
+
+
+def test_progressive_dct_pdf_chain():
+    """A PROGRESSIVE JPEG inside a /DCTDecode XObject decodes through
+    the whole file chain like a baseline one."""
+    from pdf2dom_spark.jpegdec import encode_progressive
+    from pdf2dom_spark.pdfread import pdf_to_spans
+    from pdf2dom_spark.pdfwrite import dct_image_pdf_bytes
+
+    vals = (np.arange(12).reshape(3, 4) * 23 + 5) % 256
+    img = _uniform_blocks(vals)
+    pdf = dct_image_pdf_bytes(encode_progressive(img, 1), 32, 24)
+    spans = pdf_to_spans(pdf, image_pixels=True)
+    im = next(s for s in spans if s["kind"] == "image")
+    px = _datauri_png(im["media_ref"])
+    assert np.array_equal(px[..., 0], img)
 
 
 def test_non_jpeg_raises():
