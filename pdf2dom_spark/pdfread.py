@@ -1185,15 +1185,51 @@ def _fmt(v: float) -> str:
     return f"{v:g}"
 
 
+def _smask_alpha(pdf: "PdfFile", sm: "Stream", w: int,
+                 h: int):
+    """Decode an /SMask (8-bit DeviceGray soft mask, PDF 32000-1
+    7.8.7) into a (h, w) uint8 alpha plane, nearest-resampled when the
+    mask's dims differ from the base image (PDFBox scales the mask to
+    the image). None when outside that scope."""
+    import numpy as np
+
+    try:
+        mw = int(pdf.resolve(sm.dict.get("Width", 0)) or 0)
+        mh = int(pdf.resolve(sm.dict.get("Height", 0)) or 0)
+        bpc = int(pdf.resolve(sm.dict.get("BitsPerComponent", 8)) or 8)
+        cs = pdf.resolve(sm.dict.get("ColorSpace"))
+        if not (0 < mw <= 10000 and 0 < mh <= 10000) or bpc != 8 \
+                or str(cs) != "DeviceGray":
+            return None
+        payload = sm.data
+        if len(payload) < mw * mh:
+            return None
+        a = np.frombuffer(payload[: mw * mh],
+                          dtype=np.uint8).reshape(mh, mw)
+        dec = pdf.resolve(sm.dict.get("Decode"))
+        if isinstance(dec, list) and len(dec) >= 2 \
+                and float(pdf.resolve(dec[0]) or 0) == 1:
+            a = 255 - a
+        if (mw, mh) != (w, h):
+            yi = (np.arange(h) * mh // h)
+            xi = (np.arange(w) * mw // w)
+            a = a[yi][:, xi]
+        return a
+    except Exception:
+        return None
+
+
 def _image_png_datauri(pdf: "PdfFile", xo: "Stream") -> str | None:
     """Reference-parity media payload: decode the image XObject to
     pixels and re-encode as PNG (ImageResource.java:38-51 does exactly
     this through ImageIO for EVERY image, whatever the source codec),
     returned as a ``data:image/png;base64,`` URI. Covers the dominant
-    real-world codecs: DCTDecode (baseline JPEG, jpegdec.py) and
-    Flate/LZW-coded raw 8-bit DeviceRGB/DeviceGray bitmaps. Returns
-    None for anything else (JPX/CCITT/JBIG2, indexed palettes, masks,
-    exotic depths) — the caller keeps the stable opaque sha ref."""
+    real-world codecs: DCTDecode (baseline + progressive JPEG,
+    jpegdec.py), Flate/LZW-coded raw 1/2/4/8-bit DeviceRGB/DeviceGray
+    bitmaps, Indexed palettes, /Decode gray inversion, and /SMask soft
+    masks (the alpha channel PDFBox's getImage folds in before the PNG
+    re-encode). Returns None for anything else (JPX/CCITT/JBIG2,
+    16-bit samples) — the caller keeps the stable opaque sha ref."""
     import base64
 
     import numpy as np
@@ -1288,6 +1324,12 @@ def _image_png_datauri(pdf: "PdfFile", xo: "Stream") -> str | None:
             rgba[..., 3] = 255
         if rgba.shape[0] != h or rgba.shape[1] != w:
             return None
+        sm = pdf.resolve(xo.dict.get("SMask"))
+        if isinstance(sm, Stream):
+            alpha = _smask_alpha(pdf, sm, w, h)
+            if alpha is None:
+                return None  # declared mask we can't honor: stay opaque
+            rgba[..., 3] = alpha
         png = encode_png_rgba(np.ascontiguousarray(rgba))
         return ("data:image/png;base64,"
                 + base64.b64encode(png).decode("ascii"))

@@ -1460,3 +1460,44 @@ def test_pixels_unsupported_stays_sha():
     spans = pdf_to_spans(pdf, image_pixels=True)
     im = next(s for s in spans if s["kind"] == "image")
     assert im["media_ref"].startswith("sha:")
+
+
+def test_pixels_smask_alpha_channel():
+    """/SMask soft masks become the PNG alpha channel (the reference's
+    getImage folds the mask before ImageIO's PNG re-encode)."""
+    from pdf2dom_spark.pdfwrite import _obj, _stream_obj
+
+    base = bytes(range(0, 48))            # 4x4 RGB ramp
+    mask = bytes([0, 64, 128, 255] * 4)   # 4x4 gray mask
+    objs = {
+        1: _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        2: _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        3: _obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                   b" /Resources << /XObject << /Im0 4 0 R >> >>"
+                   b" /Contents 6 0 R >>"),
+        4: _stream_obj(4, b" /Type /XObject /Subtype /Image /Width 4"
+                          b" /Height 4 /BitsPerComponent 8"
+                          b" /ColorSpace /DeviceRGB /SMask 5 0 R",
+                       base, compress=False),
+        5: _stream_obj(5, b" /Type /XObject /Subtype /Image /Width 4"
+                          b" /Height 4 /BitsPerComponent 8"
+                          b" /ColorSpace /DeviceGray",
+                       mask, compress=False),
+        6: _stream_obj(6, b"", b"q 4 0 0 4 10 10 cm /Im0 Do Q",
+                       compress=False),
+    }
+    out = bytearray(b"%PDF-1.5\n")
+    offs = {}
+    for n in sorted(objs):
+        offs[n] = len(out)
+        out += objs[n]
+    xa = len(out)
+    out += b"xref\n0 7\n0000000000 65535 f \n"
+    for n in range(1, 7):
+        out += b"%010d 00000 n \n" % offs[n]
+    out += (b"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % xa)
+    px = _pixels_of(bytes(out))
+    assert px is not None and px.shape == (4, 4, 4)
+    assert list(px[0, :, 3]) == [0, 64, 128, 255]
+    assert tuple(px[0, 0, :3]) == (0, 1, 2)  # base pixels untouched
