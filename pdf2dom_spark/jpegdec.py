@@ -1049,3 +1049,178 @@ def encode_progressive(img: np.ndarray, quant: int = 1,
         out += em.w.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def encode_subsampled(img: np.ndarray, quant: int = 1,
+                      sampling: tuple[int, int] = (2, 2),
+                      restart_interval: int = 0) -> bytes:
+    """Deterministic baseline encoder WITH chroma subsampling (4:2:0 =
+    (2, 2), 4:2:2 = (2, 1)) — MCU-interleaved per spec A.2.3: each MCU
+    carries Hi*Vi luma blocks then one Cb and one Cr block. Exists to
+    pin the decoder's interleaved-MCU geometry and box-replication
+    upsample against an independent emitter: an image whose color is
+    uniform over each (8*Hi x 8*Vi) MCU cell round-trips EXACTLY at
+    quant=1 (chroma box-mean is lossless on uniform cells and the
+    nearest-neighbor upsample restores them)."""
+    img = np.asarray(img)
+    if img.ndim != 3:
+        raise ValueError("encode_subsampled wants (h, w, 3) color")
+    hi, vi = sampling
+    h, w = img.shape[:2]
+    rf = img[..., 0].astype(np.float64)
+    gf = img[..., 1].astype(np.float64)
+    bf = img[..., 2].astype(np.float64)
+    yy = 0.299 * rf + 0.587 * gf + 0.114 * bf - 128.0
+    cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf
+    cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf
+    mcus_x = -(-w // (8 * hi))
+    mcus_y = -(-h // (8 * vi))
+    ph, pw = mcus_y * vi * 8, mcus_x * hi * 8
+    qtab = np.full((8, 8), int(quant), dtype=np.int64)
+
+    def pad(p):
+        out = np.zeros((ph, pw))
+        out[:h, :w] = p
+        if h < ph:
+            out[h:, :w] = p[-1:, :]
+        if w < pw:
+            out[:, w:] = out[:, w - 1:w]
+        return out
+
+    def qblocks(p):
+        by, bx = p.shape[0] // 8, p.shape[1] // 8
+        blocks = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ux,mnxy,vy->mnuv", _A, blocks, _A,
+                         optimize=True)
+        return np.round(coef / qtab).astype(np.int64)
+
+    ypad = pad(yy)
+    qy = qblocks(ypad)
+    # chroma: box-mean downsample of the padded-extent planes
+    qc = []
+    for p in (pad(cb), pad(cr)):
+        ds = p.reshape(ph // vi, vi, pw // hi, hi).mean(axis=(1, 3))
+        qc.append(qblocks(ds))
+
+    def mcu_blocks():
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                units = []
+                for by in range(vi):
+                    for bx in range(hi):
+                        units.append((0, qy[my * vi + by, mx * hi + bx]))
+                units.append((1, qc[0][my, mx]))
+                units.append((1, qc[1][my, mx]))
+                yield units
+
+    def block_syms(blk, pred):
+        zz = blk.reshape(64)[_ZIGZAG]
+        diff = int(zz[0]) - pred
+        syms_dc = _csize(diff)
+        ac = []
+        last = 0
+        for k in range(1, 64):
+            if zz[k]:
+                last = k
+        run = 0
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ac.append((0xF0, None, 0))
+                run -= 16
+            s = _csize(v)
+            ac.append(((run << 4) | s, v if v >= 0
+                       else v + (1 << s) - 1, s))
+            run = 0
+        if last < 63:
+            ac.append((0x00, None, 0))
+        return syms_dc, diff, ac, int(zz[0])
+
+    # pass 1: symbol sets per table class
+    dc_used = [set(), set()]
+    ac_used = [set(), set()]
+    preds = [0, 0, 0]
+    mcu = 0
+    nl = hi * vi  # luma units lead each MCU; then cb (1), cr (2)
+    for units in mcu_blocks():
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            preds = [0, 0, 0]
+        for ui, (t, blk) in enumerate(units):
+            comp = 0 if ui < nl else (1 if ui == nl else 2)
+            sdc, diff, ac, dcv = block_syms(blk, preds[comp])
+            preds[comp] = dcv
+            dc_used[t].add(sdc)
+            for sym, _v, _s in ac:
+                ac_used[t].add(sym)
+        mcu += 1
+
+    dc_tabs = [_canonical_table(dc_used[t] or {0}) for t in range(2)]
+    ac_tabs = [_canonical_table(ac_used[t] or {0}) for t in range(2)]
+
+    def codes_of(bits, vals):
+        out_c = {}
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                out_c[vals[k]] = (code, ln)
+                code += 1
+                k += 1
+            code <<= 1
+        return out_c
+
+    dc_codes = [codes_of(*t) for t in dc_tabs]
+    ac_codes = [codes_of(*t) for t in ac_tabs]
+
+    out = bytearray(b"\xff\xd8")
+    zzq = qtab.reshape(64)[_ZIGZAG].astype(np.uint8).tobytes()
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zzq
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, 3))
+    sof += bytes([1, hi << 4 | vi, 0])
+    sof += bytes([2, 0x11, 0])
+    sof += bytes([3, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for t in range(2):
+        for cls, (bits, vals) in ((0, dc_tabs[t]), (1, ac_tabs[t])):
+            body = bytes([cls << 4 | t]) + bytes(bits) + bytes(vals)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytearray([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    wtr = _BitWriter()
+    preds = [0, 0, 0]
+    rst = 0
+    mcu = 0
+    nl = hi * vi
+    for units in mcu_blocks():
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            wtr.pad()
+            out += wtr.out
+            wtr = _BitWriter()
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            preds = [0, 0, 0]
+        for ui, (t, blk) in enumerate(units):
+            comp = 0 if ui < nl else (1 if ui == nl else 2)
+            sdc, diff, ac, dcv = block_syms(blk, preds[comp])
+            preds[comp] = dcv
+            code, ln = dc_codes[t][sdc]
+            wtr.write(code, ln)
+            if sdc:
+                v = diff if diff >= 0 else diff + (1 << sdc) - 1
+                wtr.write(v, sdc)
+            for sym, v, s in ac:
+                code, ln = ac_codes[t][sym]
+                wtr.write(code, ln)
+                if s:
+                    wtr.write(v, s)
+        mcu += 1
+    wtr.pad()
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -146,3 +146,29 @@ def test_job_cli_input_archives(spark, tmp_path):
     ids = {r["doc_id"] for r in spans.select("doc_id").distinct().collect()}
     assert ids == {"b1.zip/text-rendering-mode-stroke.pdf",
                    "b1.zip/images.pdf"}
+
+
+def test_job_cli_image_pixels(spark, tmp_path):
+    """--image-pixels: the CLI routes the flag through the ingest and
+    image media_refs land as PNG data URIs in the span table."""
+    import os
+    import shutil
+
+    import pytest
+
+    res = "/root/reference/src/test/resources"
+    if not os.path.isdir(res):
+        pytest.skip("reference fixtures not present")
+    import job
+
+    src = tmp_path / "pdfs"
+    src.mkdir()
+    shutil.copy(f"{res}/images.pdf", src / "images.pdf")
+    out = str(tmp_path / "px_out")
+    assert job.main(["--input-pdfs", str(src), "--output", out,
+                     "--partitions", "2", "--image-pixels"]) == 0
+    spans = spark.read.parquet(f"{out}/spans")
+    refs = [r["media_ref"] for r in
+            spans.where(spans.kind == "image").collect()]
+    assert len(refs) == 2
+    assert all(r.startswith("data:image/png;base64,") for r in refs)

@@ -343,3 +343,38 @@ def test_fuzz_truncated_valid_jpeg(cut_frac, fill):
     except Exception:
         return
     assert isinstance(out, np.ndarray)
+
+
+def test_subsampled_mcu_geometry_pinned():
+    """Independent 4:2:0 / 4:2:2 / 4:4:0 emitter vs the decoder: an
+    image whose color is uniform per MCU cell round-trips EXACTLY
+    (chroma box-mean is lossless on uniform cells; NN upsample restores
+    them) — pinning the interleaved-MCU block order the real Adobe
+    fixture exercises but can't pixel-verify."""
+    from pdf2dom_spark.jpegdec import encode_subsampled
+
+    rng = np.random.RandomState(1)
+    for sampling in ((2, 2), (2, 1), (1, 2)):
+        hi, vi = sampling
+        cells = rng.randint(0, 256, (3, 4, 3))
+        img = np.repeat(np.repeat(cells, 8 * vi, 0),
+                        8 * hi, 1).astype(np.uint8)
+        dec = decode_baseline(encode_subsampled(img, 1, sampling))
+        assert np.array_equal(dec, img), sampling
+        # restart markers inside the subsampled MCU stream
+        dec_r = decode_baseline(
+            encode_subsampled(img, 1, sampling, restart_interval=2))
+        assert np.array_equal(dec_r, img), sampling
+
+
+def test_subsampled_nonaligned_dims():
+    """Dims not multiple of the MCU cell: padded blocks encode, decode
+    crops back to the declared size; uniform cells stay exact."""
+    from pdf2dom_spark.jpegdec import encode_subsampled
+
+    cells = (np.arange(36).reshape(3, 4, 3) * 19 + 7) % 256
+    img = np.repeat(np.repeat(cells, 16, 0), 16, 1).astype(np.uint8)
+    img = img[:41, :55]  # crop off MCU alignment
+    dec = decode_baseline(encode_subsampled(img, 1, (2, 2)))
+    assert dec.shape == img.shape
+    assert np.array_equal(dec, img)
