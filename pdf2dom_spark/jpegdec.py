@@ -71,18 +71,35 @@ for _u in range(8):
 del _u, _c, _x
 
 
-def _build_huff(bits: list[int], vals: list[int]) -> dict:
-    """(code_length, code) -> symbol, canonical JPEG order (spec C.2)."""
-    table: dict[tuple[int, int], int] = {}
-    code = 0
-    k = 0
-    for ln in range(1, 17):
-        for _ in range(bits[ln - 1]):
-            table[(ln, code)] = vals[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return table
+class _HuffTable:
+    """Canonical Huffman decode table with an 8-bit fast path: codes of
+    length <= 8 resolve in ONE lookup on the next 8 bits (the classic
+    libjpeg LOOKAHEAD); longer codes fall back to bit-serial walk."""
+
+    __slots__ = ("table", "lut")
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        table: dict[tuple[int, int], int] = {}
+        lut: list[tuple[int, int] | None] = [None] * 256
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                table[(ln, code)] = vals[k]
+                if ln <= 8:
+                    base = code << (8 - ln)
+                    for suf in range(1 << (8 - ln)):
+                        lut[base | suf] = (vals[k], ln)
+                code += 1
+                k += 1
+            code <<= 1
+        self.table = table
+        self.lut = lut
+
+
+def _build_huff(bits: list[int], vals: list[int]) -> "_HuffTable":
+    """Canonical JPEG table (spec C.2) with the 8-bit fast path."""
+    return _HuffTable(bits, vals)
 
 
 class _BitReader:
@@ -121,6 +138,15 @@ class _BitReader:
         self.buf &= (1 << self.n) - 1
         return v
 
+    def peek8(self) -> int:
+        while self.n < 8:
+            self._fill()
+        return (self.buf >> (self.n - 8)) & 0xFF
+
+    def skip(self, k: int) -> None:
+        self.n -= k
+        self.buf &= (1 << self.n) - 1
+
     def restart(self) -> None:
         """Byte-align and consume an RSTn marker (spec E.2.4)."""
         self.buf = 0
@@ -138,7 +164,13 @@ class _BitReader:
         self.pos = p  # no RST found: decoding continues (robustness)
 
 
-def _decode_huff(r: _BitReader, table: dict) -> int:
+def _decode_huff(r: _BitReader, ht: "_HuffTable") -> int:
+    hit = ht.lut[r.peek8()]
+    if hit is not None:
+        r.skip(hit[1])
+        return hit[0]
+    # long code (> 8 bits): bit-serial walk
+    table = ht.table
     code = 0
     for ln in range(1, 17):
         code = (code << 1) | r.bits(1)

@@ -178,3 +178,45 @@ def test_specific_damage_shapes():
                 "d", [{"kind": "text", "text": frag, "media_ref": None,
                        "offset": 0}], ExtractConfig())
         assert isinstance(rows, list), frag
+
+
+def test_corrupt_pdf_bytes_terminate_pixels_mode():
+    """image_pixels=True adds the codec stack (jpegdec Huffman/IDCT,
+    Indexed palettes, sub-byte unpacking, SMask folds) to the ingest
+    path; mutated real-fixture bytes must still terminate — a decode
+    failure degrades to the opaque sha ref, never an executor hang."""
+    import os
+
+    import pytest
+
+    res = "/root/reference/src/test/resources"
+    if not os.path.isdir(res):
+        pytest.skip("reference fixtures not present")
+    from pdf2dom_spark.pdfread import pdf_to_spans
+
+    real = open(f"{res}/images.pdf", "rb").read()  # 2 DCT XObjects
+    rng = random.Random(20260818)
+    done = 0
+    for trial in range(80):
+        mode = trial % 3
+        if mode == 0:
+            b = real[:rng.randint(0, len(real))]
+        elif mode == 1:
+            ba = bytearray(real)
+            for _ in range(rng.randint(1, 60)):
+                ba[rng.randrange(len(ba))] = rng.randrange(256)
+            b = bytes(ba)
+        else:
+            i, j = sorted((rng.randrange(len(real)),
+                           rng.randrange(len(real))))
+            b = real[:i] + real[j:]
+        try:
+            spans = pdf_to_spans(b, image_pixels=True)
+            for s in spans:
+                if s["kind"] == "image":
+                    assert s["media_ref"].startswith(
+                        ("data:image/png;base64,", "sha:"))
+        except Exception:
+            pass
+        done += 1
+    assert done == 80
