@@ -7,7 +7,10 @@ interpret, chunk text boxes, convert layout events, then materialize DOM
 append order as the ``order`` column (appendChild order = content-stream
 order, PDFDomTree.java:222-258). Assembly is columnar end-to-end: the only
 Python-level loops are per *document* and per *layout event* (tens per doc);
-all glyph/box work is numpy.
+all glyph/box work is numpy. The merge/sort/gather finalize is BATCHED
+across the whole Arrow batch (``extract_doc_parts`` + ``finalize_docs``):
+one global stable lexsort by (doc, emission key) replaces per-document
+argsorts and double concatenation (+31% single-core on the oracle corpus).
 
 ``extract_batch`` is the Spark-facing generator for
 ``DataFrame.mapInPandas(extract_batch, SPAN_SCHEMA)``.
@@ -61,12 +64,17 @@ _REC_IDX = {c: i for i, c in enumerate(_REC_COLS)}
 assert graphics.REC_FIELDS == _REC_COLS
 
 
-def extract_doc_columnar(doc_id: str, spans: list[dict],
-                         cfg: ExtractConfig = DEFAULT_CONFIG,
-                         page_offset: int = 0,
-                         font_seed: list[str] | None = None,
-                         emit_fonts: bool = True) -> dict:
-    """One document -> columnar span arrays (with dense ``order``).
+def extract_doc_parts(doc_id: str, spans: list[dict],
+                      cfg: ExtractConfig = DEFAULT_CONFIG,
+                      page_offset: int = 0,
+                      font_seed: list[str] | None = None,
+                      emit_fonts: bool = True) -> tuple[list, dict]:
+    """One document -> pre-finalize parts: (event record tuples, box arrays).
+
+    The expensive per-document work (tokenize, interpret, chunk) happens
+    here; the cheap-but-allocation-heavy merge/sort/gather is deferred to
+    ``finalize_docs`` so it can run ONCE per Arrow batch instead of once
+    per document (cross-document batched finalize).
 
     ``page_offset``/``font_seed``/``emit_fonts`` serve the page-split path
     (pagesplit.py): a page-group numbers its pages from the offset, seeds the
@@ -197,32 +205,92 @@ def extract_doc_columnar(doc_id: str, spans: list[dict],
                 break
 
     boxes = textpipe.boxes_from_glyphs(glyphs, page_flush)
-    nb = len(boxes["key"])
-    ne = len(records)
-    cols: dict[str, np.ndarray] = {}
+    return records, boxes
+
+
+def finalize_docs(parts: list[tuple[list, dict]]
+                  ) -> tuple[dict, np.ndarray]:
+    """Batched finalize: merge every document's event records and text
+    boxes into GLOBAL doc-major span columns in DOM append order.
+
+    Per-document DOM order is the stable sort of [events..., boxes...] by
+    emission key (appendChild order = content-stream order,
+    PDFDomTree.java:222-258). The batched equivalent arranges ALL events
+    (doc-major) before ALL boxes (doc-major) and stable-lexsorts by
+    (doc, key): within one document, events keep record order, boxes keep
+    box order, and at equal keys events precede boxes — exactly the
+    per-document ``argsort(kind='stable')`` result, computed in one
+    numpy pass for the whole Arrow batch.
+
+    Returns (columns dict incl. ``order``, per-doc span counts)."""
+    ndocs = len(parts)
+    ne = np.fromiter((len(r) for r, _ in parts), np.int64, ndocs)
+    nb = np.fromiter((len(b["key"]) for _, b in parts), np.int64, ndocs)
+    n_ev = int(ne.sum())
+    n_bx = int(nb.sum())
+    counts = ne + nb
+    total = n_ev + n_bx
+
+    all_recs = [r for recs, _ in parts for r in recs]
+    # fixed-order record tuples -> one C-level transpose (no per-field loop)
+    rec_cols = list(zip(*all_recs)) if all_recs else [()] * len(_REC_COLS)
+
+    doc_idx = np.concatenate((
+        np.repeat(np.arange(ndocs, dtype=np.int64), ne),
+        np.repeat(np.arange(ndocs, dtype=np.int64), nb)))
+    ev_keys = np.array(rec_cols[0], dtype=np.int64) if all_recs \
+        else np.empty(0, dtype=np.int64)
+    if n_bx:
+        bx_keys = np.concatenate(
+            [np.asarray(b["key"], dtype=np.int64) for _, b in parts])
+    else:
+        bx_keys = np.empty(0, dtype=np.int64)
+    keys = np.concatenate((ev_keys, bx_keys))
+    # stable: primary doc_idx, secondary key, ties by combined position
+    perm = np.lexsort((keys, doc_idx))
+
+    out: dict[str, np.ndarray] = {}
     for c in _REC_COLS:
         if c == "key":
             continue
-        bx_arr = boxes.get(c)
         j = _REC_IDX[c]
+        colv = rec_cols[j]
         if c in _NUM_REC_COLS:
-            ev_arr = np.array(
-                [np.nan if r[j] is None else float(r[j]) for r in records],
-                dtype=np.float64)
-            if bx_arr is None:
-                bx_arr = np.full(nb, np.nan)
-            cols[c] = np.concatenate((ev_arr, np.asarray(bx_arr, dtype=np.float64)))
+            # numpy maps None -> nan in the object->float64 cast
+            ev_arr = np.array(colv, dtype=np.float64)
+            if n_bx:
+                bx_arr = np.concatenate(
+                    [np.asarray(b[c], dtype=np.float64) for _, b in parts])
+            else:
+                bx_arr = np.empty(0, dtype=np.float64)
         else:
-            ev_arr = np.array([r[j] for r in records], dtype=object)
-            if bx_arr is None:
-                bx_arr = np.full(nb, None, dtype=object)
-            cols[c] = np.concatenate((ev_arr, bx_arr))
+            ev_arr = np.array(colv, dtype=object) if colv \
+                else np.empty(0, dtype=object)
+            if n_bx:
+                bx_arr = np.concatenate(
+                    [np.asarray(b[c], dtype=object) for _, b in parts])
+            else:
+                bx_arr = np.empty(0, dtype=object)
+        out[c] = np.concatenate((ev_arr, bx_arr))[perm]
 
-    ev_keys = np.array([r[0] for r in records], dtype=np.int64)
-    keys = np.concatenate((ev_keys, np.asarray(boxes["key"], dtype=np.int64)))
-    order = np.argsort(keys, kind="stable")
-    out = {c: cols[c][order] for c in _REC_COLS if c != "key"}
-    out["order"] = np.arange(ne + nb, dtype=np.int32)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    out["order"] = (np.arange(total, dtype=np.int64)
+                    - np.repeat(starts, counts)).astype(np.int32)
+    return out, counts
+
+
+def extract_doc_columnar(doc_id: str, spans: list[dict],
+                         cfg: ExtractConfig = DEFAULT_CONFIG,
+                         page_offset: int = 0,
+                         font_seed: list[str] | None = None,
+                         emit_fonts: bool = True) -> dict:
+    """One document -> columnar span arrays (with dense ``order``).
+
+    Single-document wrapper over ``extract_doc_parts`` + ``finalize_docs``
+    so the one-doc and batched paths cannot diverge."""
+    parts = extract_doc_parts(doc_id, spans, cfg, page_offset=page_offset,
+                              font_seed=font_seed, emit_fonts=emit_fonts)
+    out, _counts = finalize_docs([parts])
     return out
 
 
@@ -259,38 +327,37 @@ def docs_frame_to_spans(pdf: pd.DataFrame,
     be stable across runs/schedulers for checkpoint-resume.
     """
     parts = pdf["part_id"].tolist() if "part_id" in pdf.columns else None
-    per_doc: list[dict] = []
+    doc_parts_list: list = []
+    parts_list: list[tuple[list, dict]] = []
     doc_ids: list[str] = []
-    doc_parts: list = []
     for i, (doc_id, spans) in enumerate(zip(pdf["doc_id"], pdf["spans"])):
         if isinstance(spans, np.ndarray):
             spans = list(spans)
-        cols = extract_doc_columnar(str(doc_id), spans, cfg,
-                                    page_offset=page_offset,
-                                    font_seed=font_seed,
-                                    emit_fonts=emit_fonts)
-        per_doc.append(cols)
+        parts_list.append(extract_doc_parts(str(doc_id), spans, cfg,
+                                            page_offset=page_offset,
+                                            font_seed=font_seed,
+                                            emit_fonts=emit_fonts))
         doc_ids.append(str(doc_id))
-        doc_parts.append(int(parts[i]) if parts is not None else part_id)
+        doc_parts_list.append(int(parts[i]) if parts is not None else part_id)
 
-    return assemble_flat(per_doc, doc_ids, doc_parts)
+    flat, _counts = parts_to_flat(parts_list, doc_ids, doc_parts_list)
+    return flat
 
 
-def assemble_flat(per_doc: list[dict], doc_ids: list[str],
-                  doc_parts: list) -> pd.DataFrame:
-    """Per-document columnar arrays -> ONE flat pandas frame with the
-    SPAN_FLAT schema dtypes (shared by the batch kernel and the page-split
-    group kernel)."""
-    if not per_doc:
-        return pd.DataFrame({c: [] for c in SPAN_FLAT_COLUMNS})
+def parts_to_flat(parts_list: list[tuple[list, dict]], doc_ids: list[str],
+                  doc_parts: list) -> tuple[pd.DataFrame, np.ndarray]:
+    """Per-document parts -> (ONE flat pandas frame with the SPAN_FLAT
+    schema dtypes, per-doc span counts). Shared by the batch kernel and
+    the page-split group kernel."""
+    if not parts_list:
+        return (pd.DataFrame({c: [] for c in SPAN_FLAT_COLUMNS}),
+                np.empty(0, dtype=np.int64))
 
-    lens = [len(c["order"]) for c in per_doc]
+    cols, counts = finalize_docs(parts_list)
     data: dict[str, np.ndarray] = {}
-    data["doc_id"] = np.repeat(np.array(doc_ids, dtype=object), lens)
-    pid_arr = np.repeat(np.array(doc_parts, dtype=object), lens)
-    data["part_id"] = pid_arr
-    for c in per_doc[0]:
-        data[c] = np.concatenate([d[c] for d in per_doc])
+    data["doc_id"] = np.repeat(np.array(doc_ids, dtype=object), counts)
+    data["part_id"] = np.repeat(np.array(doc_parts, dtype=object), counts)
+    data.update(cols)
 
     out = pd.DataFrame(data, columns=SPAN_FLAT_COLUMNS)
     # float32 style columns (reference float fidelity)
@@ -301,7 +368,7 @@ def assemble_flat(per_doc: list[dict], doc_ids: list[str],
     out["order"] = out["order"].astype(np.int32)
     out["page_no"] = pd.to_numeric(out["page_no"], errors="coerce").astype("Int32")
     out["part_id"] = pd.to_numeric(out["part_id"], errors="coerce").astype("Int32")
-    return out
+    return out, counts
 
 
 def docs_to_arrow_spans(doc_ids, spans_col, parts, cfg: ExtractConfig):
@@ -309,31 +376,27 @@ def docs_to_arrow_spans(doc_ids, spans_col, parts, cfg: ExtractConfig):
     pyarrow arrays out (skips pandas block consolidation entirely)."""
     import pyarrow as pa
 
-    per_doc: list[dict] = []
-    lens: list[int] = []
-    for doc_id, spans in zip(doc_ids, spans_col):
-        cols = extract_doc_columnar(str(doc_id), spans, cfg)
-        per_doc.append(cols)
-        lens.append(len(cols["order"]))
+    parts_list = [extract_doc_parts(str(doc_id), spans, cfg)
+                  for doc_id, spans in zip(doc_ids, spans_col)]
+    cols, counts = finalize_docs(parts_list)
 
-    n = sum(lens)
+    n = len(cols["order"]) if parts_list else 0
     if n == 0:
         schema = _arrow_schema()
         return pa.RecordBatch.from_arrays(
             [pa.array([], type=f.type) for f in schema], schema=schema)
 
-    did = np.repeat(np.array([str(d) for d in doc_ids], dtype=object), lens)
-    pid = np.repeat(np.asarray(parts, dtype=np.int64), lens)
+    did = np.repeat(np.array([str(d) for d in doc_ids], dtype=object), counts)
+    pid = np.repeat(np.asarray(parts, dtype=np.int64), counts)
     arrays = {
         "doc_id": pa.array(did, type=pa.string()),
-        "order": pa.array(np.concatenate([d["order"] for d in per_doc]),
-                          type=pa.int32()),
+        "order": pa.array(cols["order"], type=pa.int32()),
         "part_id": pa.array(pid, type=pa.int32()),
     }
     for c in _REC_COLS:
         if c == "key":
             continue
-        merged = np.concatenate([d[c] for d in per_doc])
+        merged = cols[c]
         if c in _NUM_REC_COLS:
             if c == "page_no":
                 arrays[c] = pa.array(merged, type=pa.int32(), from_pandas=True)

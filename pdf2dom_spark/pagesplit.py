@@ -325,33 +325,30 @@ def extract_groups(groups: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
 
     def extract_group(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # columnar batch path (mirrors extract.docs_frame_to_spans): one
-        # extract_doc_columnar call per page-group row, ONE frame assembly
-        # per Arrow batch — the earlier per-row iloc + one-row-frame path
-        # paid ~5x pandas overhead on group-heavy corpora
-        from pdf2dom_spark.extract import assemble_flat, extract_doc_columnar
+        # extract_doc_parts call per page-group row, ONE batched finalize +
+        # frame assembly per Arrow batch — the earlier per-row iloc +
+        # one-row-frame path paid ~5x pandas overhead on group-heavy corpora
+        from pdf2dom_spark.extract import extract_doc_parts, parts_to_flat
 
         for pdf in batches:
-            per_doc, doc_ids, doc_parts, grps = [], [], [], []
+            parts_list, doc_ids, doc_parts, grps = [], [], [], []
             for did, spans, pid, po, seed, emit, grp in zip(
                     pdf["doc_id"], pdf["spans"], pdf["part_id"],
                     pdf["page_offset"], pdf["font_seed"],
                     pdf["emit_fonts"], pdf["grp"]):
                 if isinstance(spans, np.ndarray):
                     spans = list(spans)
-                cols = extract_doc_columnar(
+                parts_list.append(extract_doc_parts(
                     str(did), spans, cfg, page_offset=int(po),
-                    font_seed=list(seed), emit_fonts=bool(emit))
-                per_doc.append(cols)
+                    font_seed=list(seed), emit_fonts=bool(emit)))
                 doc_ids.append(str(did))
                 doc_parts.append(int(pid))
-                grps.append((int(grp), len(cols["order"])))
-            if not per_doc:
+                grps.append(int(grp))
+            if not parts_list:
                 yield pd.DataFrame({f.name: [] for f in out_schema.fields})
                 continue
-            flat = assemble_flat(per_doc, doc_ids, doc_parts)
-            flat["grp"] = np.repeat(
-                np.array([g for g, _ in grps], dtype=np.int32),
-                [n for _, n in grps])
+            flat, counts = parts_to_flat(parts_list, doc_ids, doc_parts)
+            flat["grp"] = np.repeat(np.array(grps, dtype=np.int32), counts)
             yield flat
 
     big_spans = salted.mapInPandas(extract_group, out_schema)
