@@ -204,14 +204,15 @@ def extract_doc_parts(doc_id: str, spans: list[dict],
                         text=sp.get("text"), media_ref="title"))
                 break
 
-    boxes = textpipe.boxes_from_glyphs(glyphs, page_flush)
-    return records, boxes
+    return records, glyphs, page_flush
 
 
-def finalize_docs(parts: list[tuple[list, dict]]
+def finalize_docs(parts: list[tuple[list, dict, dict]]
                   ) -> tuple[dict, np.ndarray]:
-    """Batched finalize: merge every document's event records and text
-    boxes into GLOBAL doc-major span columns in DOM append order.
+    """Batched finalize: chunk every document's glyphs into text boxes
+    (one batched gaps-and-islands pass, textpipe.boxes_from_glyphs_batched)
+    and merge them with the event records into GLOBAL doc-major span
+    columns in DOM append order.
 
     Per-document DOM order is the stable sort of [events..., boxes...] by
     emission key (appendChild order = content-stream order,
@@ -224,27 +225,25 @@ def finalize_docs(parts: list[tuple[list, dict]]
 
     Returns (columns dict incl. ``order``, per-doc span counts)."""
     ndocs = len(parts)
-    ne = np.fromiter((len(r) for r, _ in parts), np.int64, ndocs)
-    nb = np.fromiter((len(b["key"]) for _, b in parts), np.int64, ndocs)
+    ne = np.fromiter((len(r) for r, _g, _f in parts), np.int64, ndocs)
+    boxes, box_doc = textpipe.boxes_from_glyphs_batched(
+        [g for _r, g, _f in parts], [f for _r, _g, f in parts])
     n_ev = int(ne.sum())
-    n_bx = int(nb.sum())
+    n_bx = len(box_doc)
+    nb = np.bincount(box_doc, minlength=ndocs) if n_bx \
+        else np.zeros(ndocs, dtype=np.int64)
     counts = ne + nb
     total = n_ev + n_bx
 
-    all_recs = [r for recs, _ in parts for r in recs]
+    all_recs = [r for recs, _g, _f in parts for r in recs]
     # fixed-order record tuples -> one C-level transpose (no per-field loop)
     rec_cols = list(zip(*all_recs)) if all_recs else [()] * len(_REC_COLS)
 
     doc_idx = np.concatenate((
-        np.repeat(np.arange(ndocs, dtype=np.int64), ne),
-        np.repeat(np.arange(ndocs, dtype=np.int64), nb)))
+        np.repeat(np.arange(ndocs, dtype=np.int64), ne), box_doc))
     ev_keys = np.array(rec_cols[0], dtype=np.int64) if all_recs \
         else np.empty(0, dtype=np.int64)
-    if n_bx:
-        bx_keys = np.concatenate(
-            [np.asarray(b["key"], dtype=np.int64) for _, b in parts])
-    else:
-        bx_keys = np.empty(0, dtype=np.int64)
+    bx_keys = np.asarray(boxes["key"], dtype=np.int64)
     keys = np.concatenate((ev_keys, bx_keys))
     # stable: primary doc_idx, secondary key, ties by combined position
     perm = np.lexsort((keys, doc_idx))
@@ -258,19 +257,11 @@ def finalize_docs(parts: list[tuple[list, dict]]
         if c in _NUM_REC_COLS:
             # numpy maps None -> nan in the object->float64 cast
             ev_arr = np.array(colv, dtype=np.float64)
-            if n_bx:
-                bx_arr = np.concatenate(
-                    [np.asarray(b[c], dtype=np.float64) for _, b in parts])
-            else:
-                bx_arr = np.empty(0, dtype=np.float64)
+            bx_arr = np.asarray(boxes[c], dtype=np.float64)
         else:
             ev_arr = np.array(colv, dtype=object) if colv \
                 else np.empty(0, dtype=object)
-            if n_bx:
-                bx_arr = np.concatenate(
-                    [np.asarray(b[c], dtype=object) for _, b in parts])
-            else:
-                bx_arr = np.empty(0, dtype=object)
+            bx_arr = np.asarray(boxes[c], dtype=object)
         out[c] = np.concatenate((ev_arr, bx_arr))[perm]
 
     starts = np.concatenate(([0], np.cumsum(counts)[:-1]))

@@ -60,20 +60,23 @@ BOX_STYLE_MAP = {
 }
 
 
-def merge_diacritics(gl: dict) -> dict:
+def merge_diacritics(gl: dict, gdoc: np.ndarray) -> tuple[dict, np.ndarray]:
     """Pending-diacritic merge (PDFBoxTree.java:595-605) + whitespace drop
-    (PDFBoxTree.java:599), columnar."""
+    (PDFBoxTree.java:599), columnar. ``gdoc`` is the per-glyph document
+    index of a batched frame: a pending diacritic never merges across a
+    document boundary (each document's interpreter starts fresh)."""
     is_dia = gl["is_dia"]
     is_ws = gl["is_ws"]
     if not is_dia.any():
         keep = ~is_ws
         if keep.all():
-            return gl
-        return {k: v[keep] for k, v in gl.items()}
+            return gl, gdoc
+        return {k: v[keep] for k, v in gl.items()}, gdoc[keep]
     # restrict to diacritics + non-whitespace glyphs (ws rows are inert:
     # they neither merge nor clear the pending diacritic)
     sel = is_dia | ~is_ws
     sub = {k: v[sel] for k, v in gl.items()}
+    sdoc = gdoc[sel]
     d = sub["is_dia"]
     prev_dia = np.empty_like(d)
     prev_dia[0] = False
@@ -81,31 +84,67 @@ def merge_diacritics(gl: dict) -> dict:
     x, w = sub["x"], sub["width"]
     centers = x + w / 2
     contains = np.zeros(len(d), dtype=bool)
-    contains[1:] = (centers[:-1] >= x[1:]) & (centers[:-1] <= x[1:] + w[1:])
+    contains[1:] = ((centers[:-1] >= x[1:]) & (centers[:-1] <= x[1:] + w[1:])
+                    & (sdoc[1:] == sdoc[:-1]))
     merge = prev_dia & ~d & contains
     if merge.any():
         uni = sub["unicode"]
         for i in np.nonzero(merge)[0]:
             uni[i] = uni[i] + uni[i - 1]
     keep = ~d
-    return {k: v[keep] for k, v in sub.items()}
+    return {k: v[keep] for k, v in sub.items()}, sdoc[keep]
 
 
 def boxes_from_glyphs(glyphs: dict, page_flush: dict[int, int]) -> dict:
-    """Glyph frame -> columnar text-box records (dict of arrays)."""
-    n_in = len(glyphs["key"])
-    if n_in == 0:
-        return _empty_boxes()
-    gl = merge_diacritics(glyphs)
+    """Glyph frame -> columnar text-box records (dict of arrays).
+
+    Single-document wrapper over the batched chunker so the two paths
+    cannot diverge."""
+    boxes, _doc = boxes_from_glyphs_batched([glyphs], [page_flush])
+    return boxes
+
+
+def boxes_from_glyphs_batched(glyph_frames: list[dict],
+                              flushes: list[dict]
+                              ) -> tuple[dict, np.ndarray]:
+    """Many documents' glyph frames -> ONE global box frame + per-box doc
+    index, in doc-major order.
+
+    The gaps-and-islands chunking is per-document by definition; batching
+    concatenates the frames and forces a split at every document boundary
+    (``lastText == null`` at each interpreter start), so the lagged
+    comparisons, segmented reductions, and text joins all run once per
+    Arrow batch instead of once per document. Every rule below is the
+    per-document rule with an explicit same-document guard where a lagged
+    comparison could otherwise cross a boundary."""
+    keep_idx = [i for i, g in enumerate(glyph_frames) if len(g["key"])]
+    if not keep_idx:
+        return _empty_boxes(), np.empty(0, dtype=np.int64)
+    frames = [glyph_frames[i] for i in keep_idx]
+    lens = np.fromiter((len(g["key"]) for g in frames), np.int64,
+                       len(frames))
+    if len(frames) == 1:
+        gl0 = frames[0]
+        any_dia = bool(gl0["is_dia"].any())
+    else:
+        gl0 = {k: np.concatenate([g[k] for g in frames])
+               for k in frames[0]}
+        any_dia = bool(gl0["is_dia"].any())
+    gdoc0 = np.repeat(np.array(keep_idx, dtype=np.int64), lens)
+
+    gl, gdoc = merge_diacritics(gl0, gdoc0)
     n = len(gl["key"])
     if n == 0:
-        return _empty_boxes()
+        return _empty_boxes(), np.empty(0, dtype=np.int64)
 
     x = gl["x"]
     y = gl["y"]
     w = gl["width"]
     rtl = gl["rtl"]
     page = gl["page_no"]
+
+    doc_changed = np.zeros(n, dtype=bool)
+    doc_changed[1:] = gdoc[1:] != gdoc[:-1]
 
     # T1: geometric split (float32 arithmetic like the reference)
     split = np.empty(n, dtype=bool)
@@ -119,11 +158,14 @@ def boxes_from_glyphs(glyphs: dict, page_flush: dict[int, int]) -> dict:
     # float32-rounded numerics)
     sidv = gl["style_id"]
     split[1:] |= sidv[1:] != sidv[:-1]
+    # document boundary = fresh interpreter (lastText == null)
+    split |= doc_changed
 
     page_changed = np.zeros(n, dtype=bool)
     page_changed[1:] = page[1:] != page[:-1]
     start = split | page_changed
-    inherit = page_changed & ~split  # stale-curstyle case
+    inherit = page_changed & ~split  # stale-curstyle case (never at a
+    #                                  doc boundary: split is forced there)
 
     starts = np.nonzero(start)[0]
     nb = len(starts)
@@ -147,7 +189,7 @@ def boxes_from_glyphs(glyphs: dict, page_flush: dict[int, int]) -> dict:
     texts = np.empty(nb, dtype=object)
     bounds = np.append(starts, n)
     bidirectional = unicodedata.bidirectional
-    if not glyphs["is_dia"].any():
+    if not any_dia:
         # fast path: every glyph is one char, so one global join + O(1)
         # string slices per box (beats per-box object-array joins)
         all_text = "".join(uni.tolist())
@@ -164,15 +206,18 @@ def boxes_from_glyphs(glyphs: dict, page_flush: dict[int, int]) -> dict:
                 t = t[::-1]
             texts[i] = t
 
-    # emission key: next box's start glyph if on the same page, else this
-    # page's end-of-stream flush (PDFBoxTree.java:639-644,208)
+    # emission key: next box's start glyph if on the same page (of the
+    # same document), else this page's end-of-stream flush
+    # (PDFBoxTree.java:639-644,208)
     start_keys = gl["key"][starts]
     pages = page[starts].astype(np.int64)
-    flush_keys = np.array([page_flush.get(int(p), 2**62) for p in pages],
-                          dtype=np.int64)
+    box_doc = gdoc[starts]
+    flush_keys = np.array(
+        [flushes[int(d)].get(int(p), 2**62)
+         for d, p in zip(box_doc, pages)], dtype=np.int64)
     emit = flush_keys
     if nb > 1:
-        same_page = pages[1:] == pages[:-1]
+        same_page = (pages[1:] == pages[:-1]) & (box_doc[1:] == box_doc[:-1])
         emit[:-1] = np.where(same_page, start_keys[1:], flush_keys[:-1])
 
     out = {
@@ -192,6 +237,8 @@ def boxes_from_glyphs(glyphs: dict, page_flush: dict[int, int]) -> dict:
     for out_col, src in BOX_STYLE_MAP.items():
         out[out_col] = gl[src][starts].copy()
     # stale-style inheritance: rare; patch forward from the previous box
+    # (an inherit box is never its document's first box — split is forced
+    # at doc boundaries — so i-1 is always a same-document box)
     if inherit.any():
         inh_mask = inherit[starts]
         for i in np.nonzero(inh_mask)[0]:
@@ -199,7 +246,7 @@ def boxes_from_glyphs(glyphs: dict, page_flush: dict[int, int]) -> dict:
                 continue
             for out_col in BOX_STYLE_MAP:
                 out[out_col][i] = out[out_col][i - 1]
-    return out
+    return out, box_doc
 
 
 def _empty_boxes() -> dict:
