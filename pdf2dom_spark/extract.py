@@ -25,8 +25,8 @@ import numpy as np
 import pandas as pd
 
 from . import graphics, textpipe
-from .interp import (DocInterp, doc_cid2_fonts, doc_cmaps,
-                     doc_tokens, doc_vmetrics, doc_widths)
+from .interp import (DocInterp, _concat_glyphs_many, doc_cid2_fonts,
+                     doc_cmaps, doc_tokens, doc_vmetrics, doc_widths)
 from .schema import SPAN_FLAT_COLUMNS, STYLE_FIELDS
 
 
@@ -93,7 +93,8 @@ def extract_doc_parts(doc_id: str, spans: list[dict],
         widths=doc_widths(spans),
         vmetrics=doc_vmetrics(spans),
     )
-    glyphs, events, font_table, end_key, page_flush = interp.run(tokens)
+    glyph_chunks, events, font_table, end_key, page_flush = interp.run(
+        tokens, concat=False)
 
     records: list[dict] = []
     namer = graphics.ImageNamer()
@@ -204,7 +205,7 @@ def extract_doc_parts(doc_id: str, spans: list[dict],
                         text=sp.get("text"), media_ref="title"))
                 break
 
-    return records, glyphs, page_flush
+    return records, glyph_chunks, page_flush
 
 
 def finalize_docs(parts: list[tuple[list, dict, dict]]
@@ -226,8 +227,9 @@ def finalize_docs(parts: list[tuple[list, dict, dict]]
     Returns (columns dict incl. ``order``, per-doc span counts)."""
     ndocs = len(parts)
     ne = np.fromiter((len(r) for r, _g, _f in parts), np.int64, ndocs)
-    boxes, box_doc = textpipe.boxes_from_glyphs_batched(
-        [g for _r, g, _f in parts], [f for _r, _g, f in parts])
+    frame, gdoc = _concat_glyphs_many([g for _r, g, _f in parts])
+    boxes, box_doc = textpipe.boxes_core(
+        frame, gdoc, [f for _r, _g, f in parts])
     n_ev = int(ne.sum())
     n_bx = len(box_doc)
     nb = np.bincount(box_doc, minlength=ndocs) if n_bx \

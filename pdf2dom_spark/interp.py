@@ -484,7 +484,7 @@ class DocInterp:
 
         return adv
 
-    def run(self, tokens: list[tuple[str, list]]):
+    def run(self, tokens: list[tuple[str, list]], concat: bool = True):
         g = _GState()
         stack: list[_GState] = []
         tm = ident()
@@ -1140,7 +1140,10 @@ class DocInterp:
         end_key = ntok * KEY_STRIDE
         if flush_page is not None:
             page_flush[flush_page] = end_key
-        glyphs = _concat_glyphs(glyph_chunks)
+        # concat=False hands the raw show chunks to the caller so the
+        # glyph-frame build can run ONCE per Arrow batch
+        # (_concat_glyphs_many) instead of once per document
+        glyphs = _concat_glyphs(glyph_chunks) if concat else glyph_chunks
         return glyphs, events, self.font_table, end_key, page_flush
 
     def _prescan_fonts(self, tokens: list, start: int) -> None:
@@ -1189,13 +1192,33 @@ _SCALAR_OBJ = {
 
 
 def _concat_glyphs(chunks: list[tuple]) -> dict:
-    """Batched finalize of the show records: one segmented prefix sum over
-    ALL advances, then positions dev = cum*A + B, widths adv*m00, keys
-    base + within-show index — a handful of whole-document vector ops
-    instead of per-show small-array work."""
+    """One document's show records -> glyph frame (see
+    ``_concat_glyphs_many``; single-doc wrapper so the paths share code)."""
+    out, _gdoc = _concat_glyphs_many([chunks])
+    return out
+
+
+def _concat_glyphs_many(chunk_lists: list[list[tuple]]
+                        ) -> tuple[dict, np.ndarray]:
+    """Batched finalize of MANY documents' show records: one segmented
+    prefix sum over ALL advances, then positions dev = cum*A + B, widths
+    adv*m00, keys base + within-show index — a handful of whole-BATCH
+    vector ops instead of per-show (or even per-document) small-array
+    work. Returns (global glyph frame, per-glyph document index).
+
+    Cross-document safety: the page-segmented prefix sum also breaks at
+    document boundaries (two adjacent documents can share a page number),
+    and the style-identity dict is global — ids stay equality-faithful
+    within any single document, which is the only scope the chunker
+    compares them in."""
+    ndocs = len(chunk_lists)
+    nch_per = np.fromiter((len(cl) for cl in chunk_lists), np.int64, ndocs)
+    chunks = [ch for cl in chunk_lists for ch in cl]
     if not chunks:
-        return {c: np.array([]) for c in GLYPH_COLS}
+        return ({c: np.array([]) for c in GLYPH_COLS},
+                np.empty(0, dtype=np.int64))
     nch = len(chunks)
+    chunk_doc = np.repeat(np.arange(ndocs, dtype=np.int64), nch_per)
     lens = np.fromiter((len(ch[_K_ADV]) for ch in chunks), dtype=np.int64,
                        count=nch)
     n = int(lens.sum())
@@ -1212,7 +1235,8 @@ def _concat_glyphs(chunks: list[tuple]) -> dict:
     pg = np.fromiter((ch[_K_PAGE] for ch in chunks), dtype=np.int64,
                      count=nch)
     page_chunk_starts = np.flatnonzero(
-        np.concatenate(([True], pg[1:] != pg[:-1])))
+        np.concatenate(([True], (pg[1:] != pg[:-1])
+                        | (chunk_doc[1:] != chunk_doc[:-1]))))
     gps = starts[page_chunk_starts]            # glyph index per page start
     cs = np.empty(n)
     pb = np.append(gps, n)
@@ -1273,7 +1297,7 @@ def _concat_glyphs(chunks: list[tuple]) -> dict:
     out["is_ws"] = is_ws
     out["is_dia"] = is_dia
     out["rtl"] = rtl
-    return out
+    return out, np.repeat(chunk_doc, lens)
 
 
 _FORM_DEPTH_MAX = 8

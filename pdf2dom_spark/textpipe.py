@@ -125,12 +125,20 @@ def boxes_from_glyphs_batched(glyph_frames: list[dict],
                        len(frames))
     if len(frames) == 1:
         gl0 = frames[0]
-        any_dia = bool(gl0["is_dia"].any())
     else:
         gl0 = {k: np.concatenate([g[k] for g in frames])
                for k in frames[0]}
-        any_dia = bool(gl0["is_dia"].any())
     gdoc0 = np.repeat(np.array(keep_idx, dtype=np.int64), lens)
+    return boxes_core(gl0, gdoc0, flushes)
+
+
+def boxes_core(gl0: dict, gdoc0: np.ndarray,
+               flushes: list[dict]) -> tuple[dict, np.ndarray]:
+    """Chunking core over an already-global glyph frame + per-glyph doc
+    index (the shape ``interp._concat_glyphs_many`` produces directly)."""
+    if len(gl0["key"]) == 0:
+        return _empty_boxes(), np.empty(0, dtype=np.int64)
+    any_dia = bool(gl0["is_dia"].any())
 
     gl, gdoc = merge_diacritics(gl0, gdoc0)
     n = len(gl["key"])
