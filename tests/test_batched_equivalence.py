@@ -124,6 +124,23 @@ def test_multipage_docs_batch():
     _assert_batch_equals_single(["p1", "p2", "p3"], spans)
 
 
+def test_random_stream_batches_match_singles():
+    """Hypothesis-driven: random content-stream documents (the same
+    strategy as test_properties) batched in groups of 2-5 must equal
+    their per-document extractions."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from test_properties import _doc
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(_doc(), min_size=2, max_size=5))
+    def check(docs):
+        spans = {f"r{i}": d for i, d in enumerate(docs)}
+        _assert_batch_equals_single(sorted(spans), spans)
+
+    check()
+
+
 @pytest.mark.parametrize("mode", ["oracle", "rich", "rich_lite", "rot_text",
                                   "forms", "enc"])
 def test_corpus_modes_batch_of_20(mode):
