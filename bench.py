@@ -221,6 +221,14 @@ def scaling_evidence() -> dict:
                 "spans": results[only]["spans"], "efficiency": None}
     n, n4 = ordered[0], ordered[1]
     eff = (results[n4]["docs_per_sec"] / results[n]["docs_per_sec"]) / (n4 / n)
+    # per-level calibration probes (from the WINNING pass of each level):
+    # an efficiency ratio is only as trustworthy as the slower level's CPU
+    # state — a throttled N level inflates it (even past 1.0), a throttled
+    # 4N level deflates it. Surfacing the probes makes a poisoned scaling
+    # draw machine-detectable, like the headline passes already are.
+    all_probes = [p for c in ordered for p in results[c].get("probe_sec", [])]
+    probe_ratio = (round(max(all_probes) / min(all_probes), 2)
+                   if all_probes else None)
     out = {
         "cores_n": n, "cores_4n": n4,
         "docs_per_sec_n": results[n]["docs_per_sec"],
@@ -228,6 +236,10 @@ def scaling_evidence() -> dict:
         "sec_n": results[n]["sec"], "sec_4n": results[n4]["sec"],
         "docs": results[n4]["docs"], "spans": results[n4]["spans"],
         "efficiency": round(eff, 3),
+        "probes_by_level": {str(c): results[c].get("probe_sec")
+                            for c in ordered},
+        "probe_ratio": probe_ratio,
+        "throttled": bool(probe_ratio and probe_ratio > 1.5),
     }
     if len(ordered) > 2:
         n16 = ordered[2]
@@ -355,9 +367,14 @@ def write_baseline_md(queries: dict, scaling: dict | None, total: float,
                 "",
             ]
     if scaling:
+        sc_tag = ""
+        if scaling.get("probe_ratio") is not None:
+            sc_tag = (f" Per-level calibration probe ratio "
+                      f"{scaling['probe_ratio']} — draw "
+                      f"{'THROTTLED (efficiency untrustworthy either way)' if scaling.get('throttled') else 'clean'}.")
         lines += [
             "## Scaling evidence (north rule: N vs 4N, sandbox substitute "
-            "local[N] vs local[4N])",
+            "local[N] vs local[4N])" + sc_tag,
             "",
             "| cores | wall sec | docs/sec |",
             "| --- | --- | --- |",
