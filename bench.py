@@ -421,8 +421,10 @@ def write_baseline_md(queries: dict, scaling: dict | None, total: float,
             "Reference context: radkovo/Pdf2Dom publishes no benchmarks and "
             "converts one document per single-threaded JVM invocation "
             "(PDFToHTML.java:41-98); this engine's single-core kernel rate "
-            "is ~550 docs/sec on the rich synthetic corpus (round-2 batched "
-            "finalize) and parallelizes to the figures above.",
+            "is ~700 docs/sec on the rich synthetic corpus and ~1100-1300 "
+            "on the oracle corpus (round-5b cross-document batched "
+            "finalize, measured from idle) and parallelizes to the "
+            "figures above.",
             "",
         ]
     with open(path, "w") as f:
