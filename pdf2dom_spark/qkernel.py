@@ -821,12 +821,20 @@ def extract_spans_paged_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Routing re-tuned at sf1 (VERDICT r4 "Next" #4, BENCH/PAGED_SF1.md):
 # the r4 threshold of 400 chars routed 46% of corpus BYTES through the
-# ~2.2x split machinery (max doc length is only 577 — this corpus has no
+# split machinery (max doc length is only 577 — this corpus has no
 # true monsters), giving 2.05x unsplit at sf1. Threshold 500 (top ~9% of
 # docs / 15.5% of bytes) + pages_per_group=2 measured 1.18x unsplit at
-# sf1 on clean calibration probes — the production contract (only the
-# tail pays) holds when the tail IS a tail. The everything-splits stress
-# shape stays gated separately (extract_spans_paged_oracle).
+# sf1 — the production contract (only the tail pays) holds when the
+# tail IS a tail. Re-tuned AGAIN after the round-5b batched kernel
+# (thr 500 -> 530, top ~3% of docs / 6% of bytes): the 1.5-2x faster
+# unsplit kernel raised the split machinery's RELATIVE cost to ~3x, so
+# the break-even doc size moved up with it — the threshold is a
+# deployment knob that tracks kernel speed. What remains above 1.0x is
+# BRANCH-FIXED Spark overhead, not byte cost (BENCH/paged_sf1.py: a
+# threshold routing ZERO docs still pays ~1.3s for the extra stages),
+# and it amortizes with scale: 1.32x at 10x replication, 1.025x at 40x
+# (clean probes both). The everything-splits stress shape stays gated
+# separately (extract_spans_paged_oracle).
 
 @_reg("extract_spans_paged_tail", _ORACLE_SPANS_SQL)
 def extract_spans_paged_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -837,11 +845,11 @@ def extract_spans_paged_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     cfg = ExtractConfig()
     small = build_docs_df(spark, sf_dir, mode="oracle", num_partitions=p,
-                          where="length(text) < 500")
+                          where="length(text) < 530")
     big_groups = build_groups_df(spark, sf_dir, mode="oracle",
                                  pages_per_group=2, min_bytes=0,
                                  num_partitions=p,
-                                 where="length(text) >= 500")
+                                 where="length(text) >= 530")
     small_flat = extract_spans(small, cfg, num_partitions=p, nested=False,
                                presalted=True)
     # the tail branch holds ~20% of the corpus: partition it proportionally
