@@ -427,6 +427,13 @@ def write_baseline_md(queries: dict, scaling: dict | None, total: float,
             "finalize, measured from idle) and parallelizes to the "
             "figures above.",
             "",
+            "Launch surface: the production submission shape itself is "
+            "exercised for real — tests/test_spark_submit.py runs a "
+            "subprocess `spark-submit --py-files pdf2dom_spark.zip job.py` "
+            "from outside the repo (the package importable only from the "
+            "shipped zip) and asserts the output span multiset is "
+            "identical to the in-process run.",
+            "",
         ]
     with open(path, "w") as f:
         f.write("\n".join(lines))
