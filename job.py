@@ -88,8 +88,22 @@ def main(argv=None):
     from pdf2dom_spark.extract import ExtractConfig
     from pdf2dom_spark.pipeline import run_checkpointed
 
+    # malloc tuning before the JVM forks (workers inherit the env); on a
+    # real cluster executors are separate JVMs, so also ship it via
+    # spark.executorEnv below — see pdf2dom_spark/memtune.py
+    import os as _os
+
+    from pdf2dom_spark import memtune
+    _os.environ.update({k: v for k, v in memtune.tuned_env().items()
+                        if k.startswith("MALLOC_")})
+    memtune.tune_malloc()
+
     pre_existing = SparkSession.getActiveSession() is not None
     spark = (SparkSession.builder.appName("pdf2dom-spark")
+             .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_",
+                     str(memtune.THRESHOLD_BYTES))
+             .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_",
+                     str(memtune.THRESHOLD_BYTES))
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
              .getOrCreate())

@@ -24,7 +24,7 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 
-from . import graphics, textpipe
+from . import graphics, memtune, textpipe
 from .interp import (DocInterp, _concat_glyphs_many, doc_cid2_fonts,
                      doc_cmaps, doc_tokens, doc_vmetrics, doc_widths)
 from .schema import SPAN_FLAT_COLUMNS, STYLE_FIELDS
@@ -319,6 +319,7 @@ def docs_frame_to_spans(pdf: pd.DataFrame,
     over the scalar ``part_id`` (TaskContext partition index): lineage must
     be stable across runs/schedulers for checkpoint-resume.
     """
+    memtune.tune_malloc()  # once per worker: see memtune.py
     parts = pdf["part_id"].tolist() if "part_id" in pdf.columns else None
     doc_parts_list: list = []
     parts_list: list[tuple[list, dict]] = []
@@ -342,6 +343,7 @@ def parts_to_flat(parts_list: list[tuple[list, dict]], doc_ids: list[str],
     """Per-document parts -> (ONE flat pandas frame with the SPAN_FLAT
     schema dtypes, per-doc span counts). Shared by the batch kernel and
     the page-split group kernel."""
+    memtune.tune_malloc()  # once per worker: see memtune.py
     if not parts_list:
         return (pd.DataFrame({c: [] for c in SPAN_FLAT_COLUMNS}),
                 np.empty(0, dtype=np.int64))
@@ -368,6 +370,8 @@ def docs_to_arrow_spans(doc_ids, spans_col, parts, cfg: ExtractConfig):
     """Columnar core for the mapInArrow path: python lists in ->
     pyarrow arrays out (skips pandas block consolidation entirely)."""
     import pyarrow as pa
+
+    memtune.tune_malloc()  # once per worker: see memtune.py
 
     parts_list = [extract_doc_parts(str(doc_id), spans, cfg)
                   for doc_id, spans in zip(doc_ids, spans_col)]

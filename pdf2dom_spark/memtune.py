@@ -1,0 +1,74 @@
+"""Per-process glibc malloc tuning for the Arrow batch kernels.
+
+Why this exists (measured on the round-5 sandbox, BENCH/BASELINE.md
+"Measured memory-stall evidence"): numpy serves every array larger than
+glibc's M_MMAP_THRESHOLD (128 KB default) with a fresh mmap and returns
+it with munmap on free. Each Arrow batch therefore allocates and
+RELEASES tens of MB of pages back to the OS, and every next batch
+re-faults them in. On shared / ballooned hypervisors a first-touch
+fault storm intermittently costs 100-1000x the normal page-fault price
+(measured: touching 100 MB of fresh pages swung 30 ms <-> 28 s with a
+CLEAN single-thread CPU probe throughout — the stall is in the memory
+subsystem, not the CPU), which shows up as multi-second noise on
+queries whose arithmetic costs milliseconds.
+
+Raising M_MMAP_THRESHOLD and M_TRIM_THRESHOLD makes glibc serve the
+kernel's large arrays from the process heap and KEEP freed blocks for
+reuse instead of round-tripping them through the OS: each long-lived
+worker pays first-touch once, not once per batch. The cost is a higher
+steady-state RSS per worker (the high-water heap stays mapped — tens
+of MB per worker at the default 2000-doc Arrow batches), which is the
+right trade for a long-lived executor on either this box or a real
+cluster.
+
+Runtime mallopt(2) via ctypes is used instead of MALLOC_*_ env vars so
+the tune also lands in Python workers whose environment the harness
+does not control (e.g. the correctness driver creates the
+SparkSession). Env vars are still set by bench.py / job.py so forked
+workers start tuned from their first allocation.
+"""
+
+from __future__ import annotations
+
+_done = False
+
+# glibc mallopt param numbers (glibc malloc.h; stable ABI)
+_M_TRIM_THRESHOLD = -1
+_M_MMAP_THRESHOLD = -3
+
+THRESHOLD_BYTES = 1 << 30  # 1 GiB: effectively "never mmap, never trim"
+_THRESHOLD_BYTES = THRESHOLD_BYTES  # back-compat alias
+
+
+def tune_malloc() -> bool:
+    """Idempotent, best-effort. Returns True if mallopt was applied.
+
+    Safe no-op on non-glibc platforms (musl stubs mallopt, macOS has
+    none) — the kernels behave identically either way, only the
+    allocation pattern changes.
+    """
+    global _done
+    if _done:
+        return True
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL(None, use_errno=True)
+        ok = (libc.mallopt(_M_MMAP_THRESHOLD, _THRESHOLD_BYTES) == 1
+              and libc.mallopt(_M_TRIM_THRESHOLD, _THRESHOLD_BYTES) == 1)
+    except Exception:
+        ok = False
+    _done = True  # don't retry per batch either way
+    return ok
+
+
+def tuned_env(env: dict | None = None) -> dict:
+    """Copy of ``env`` (default os.environ) with the malloc thresholds
+    set, for launching subprocesses (spark-submit, scaling runners)
+    whose workers should start tuned from their very first allocation."""
+    import os
+
+    out = dict(os.environ if env is None else env)
+    out.setdefault("MALLOC_MMAP_THRESHOLD_", str(_THRESHOLD_BYTES))
+    out.setdefault("MALLOC_TRIM_THRESHOLD_", str(_THRESHOLD_BYTES))
+    return out

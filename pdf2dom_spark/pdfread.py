@@ -1647,6 +1647,9 @@ def pdf_docs_df(spark, path_glob: str, password: bytes = b"",
 
     def parse_batch(it):
         import pandas as pd
+
+        from .memtune import tune_malloc
+        tune_malloc()  # once per worker: file payloads are large allocs
         for pdf_batch in it:
             ids, spans = [], []
             for path, content in zip(pdf_batch["path"], pdf_batch["content"]):
