@@ -369,26 +369,45 @@ def parts_to_flat(parts_list: list[tuple[list, dict]], doc_ids: list[str],
 def docs_to_arrow_spans(doc_ids, spans_col, parts, cfg: ExtractConfig):
     """Columnar core for the mapInArrow path: python lists in ->
     pyarrow arrays out (skips pandas block consolidation entirely)."""
-    import pyarrow as pa
-
     memtune.tune_malloc()  # once per worker: see memtune.py
 
     parts_list = [extract_doc_parts(str(doc_id), spans, cfg)
                   for doc_id, spans in zip(doc_ids, spans_col)]
-    cols, counts = finalize_docs(parts_list)
+    return parts_to_arrow(parts_list, doc_ids, parts)
+
+
+def parts_to_arrow(parts_list: list, doc_ids, parts,
+                   extra: list[tuple] | None = None):
+    """Per-document parts -> ONE pyarrow RecordBatch with the SPAN_FLAT
+    schema (plus ``extra`` trailing columns: (name, pa.type, per-doc
+    values) repeated by span count). ``parts=None`` emits a null part_id
+    column — the contract of the fused synthesize-inside-the-query
+    kernels, whose pandas path never carried a partition id either."""
+    import pyarrow as pa
+
+    memtune.tune_malloc()  # once per worker: see memtune.py
+    cols, counts = finalize_docs(parts_list) if parts_list else ({}, None)
 
     n = len(cols["order"]) if parts_list else 0
+    schema = _arrow_schema()
+    if extra:
+        schema = pa.schema(
+            list(schema) + [pa.field(name, typ) for name, typ, _v in extra])
     if n == 0:
-        schema = _arrow_schema()
         return pa.RecordBatch.from_arrays(
             [pa.array([], type=f.type) for f in schema], schema=schema)
 
     did = np.repeat(np.array([str(d) for d in doc_ids], dtype=object), counts)
-    pid = np.repeat(np.asarray(parts, dtype=np.int64), counts)
+    if parts is None:
+        pid_arr = pa.nulls(n, pa.int32())
+    else:
+        pid_arr = pa.array(
+            np.repeat(np.asarray(parts, dtype=np.int64), counts),
+            type=pa.int32())
     arrays = {
         "doc_id": pa.array(did, type=pa.string()),
         "order": pa.array(cols["order"], type=pa.int32()),
-        "part_id": pa.array(pid, type=pa.int32()),
+        "part_id": pid_arr,
     }
     for c in _REC_COLS:
         if c == "key":
@@ -402,7 +421,9 @@ def docs_to_arrow_spans(doc_ids, spans_col, parts, cfg: ExtractConfig):
                                      type=pa.float32(), from_pandas=True)
         else:
             arrays[c] = pa.array(merged, type=pa.string(), from_pandas=True)
-    schema = _arrow_schema()
+    for name, typ, vals in (extra or []):
+        arrays[name] = pa.array(
+            np.repeat(np.asarray(vals), counts), type=typ)
     return pa.RecordBatch.from_arrays(
         [arrays[f.name] for f in schema], schema=schema)
 

@@ -1246,20 +1246,25 @@ def _concat_glyphs_many(chunk_lists: list[list[tuple]]
             np.cumsum(adv[a:b - 1], out=cs[a + 1:b])
     cum = cs - np.repeat(cs[starts], lens)
 
-    def rep(slot: int, dtype=np.float64) -> np.ndarray:
-        return np.repeat(
-            np.fromiter((ch[slot] for ch in chunks), dtype=dtype, count=nch),
-            lens)
+    # ONE 2-D row-repeat for all 12 per-chunk float scalars instead of 12
+    # per-column np.repeat passes (same values, one memory sweep)
+    _f64_slots = (_K_AX, _K_BX, _K_AY, _K_BY, _K_M00,
+                  *_SCALAR_F64.values())
+    sc = np.array([[ch[sl] for sl in _f64_slots] for ch in chunks],
+                  dtype=np.float64)
+    scr = np.repeat(sc, lens, axis=0)
 
     out: dict = {}
-    out["x"] = cum * rep(_K_AX) + rep(_K_BX)
-    out["y"] = cum * rep(_K_AY) + rep(_K_BY)
-    out["width"] = adv * rep(_K_M00)
+    out["x"] = cum * scr[:, 0] + scr[:, 1]
+    out["y"] = cum * scr[:, 2] + scr[:, 3]
+    out["width"] = adv * scr[:, 4]
     within = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
-    out["key"] = rep(_K_KEY, np.int64) + within
-    out["page_no"] = rep(_K_PAGE, np.int32)
-    for c, slot in _SCALAR_F64.items():
-        out[c] = rep(slot)
+    out["key"] = np.repeat(
+        np.fromiter((ch[_K_KEY] for ch in chunks), dtype=np.int64,
+                    count=nch), lens) + within
+    out["page_no"] = np.repeat(pg.astype(np.int32), lens)
+    for i, c in enumerate(_SCALAR_F64):
+        out[c] = scr[:, 5 + i]
     for c, slot in _SCALAR_OBJ.items():
         out[c] = np.repeat(
             np.array([ch[slot] for ch in chunks], dtype=object), lens)

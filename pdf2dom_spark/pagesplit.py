@@ -323,35 +323,37 @@ def extract_groups(groups: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
     out_schema = T.StructType(
         SPAN_FLAT_SCHEMA.fields + [T.StructField("grp", T.IntegerType())])
 
-    def extract_group(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # columnar batch path (mirrors extract.docs_frame_to_spans): one
+    def extract_group(batches):
+        # columnar batch path (mirrors extract.docs_to_arrow_spans): one
         # extract_doc_parts call per page-group row, ONE batched finalize +
-        # frame assembly per Arrow batch — the earlier per-row iloc +
-        # one-row-frame path paid ~5x pandas overhead on group-heavy corpora
-        from pdf2dom_spark.extract import extract_doc_parts, parts_to_flat
+        # direct RecordBatch assembly per Arrow batch (r6: the pandas frame
+        # + per-column to_numeric coercion was 2x the arrow build)
+        import pyarrow as pa
 
-        for pdf in batches:
+        from pdf2dom_spark.extract import extract_doc_parts, parts_to_arrow
+
+        for b in batches:
+            names = b.schema.names
+            col = {n: b.column(names.index(n)).to_pylist()
+                   for n in ("doc_id", "spans", "part_id", "page_offset",
+                             "font_seed", "emit_fonts", "grp")}
             parts_list, doc_ids, doc_parts, grps = [], [], [], []
             for did, spans, pid, po, seed, emit, grp in zip(
-                    pdf["doc_id"], pdf["spans"], pdf["part_id"],
-                    pdf["page_offset"], pdf["font_seed"],
-                    pdf["emit_fonts"], pdf["grp"]):
-                if isinstance(spans, np.ndarray):
-                    spans = list(spans)
+                    col["doc_id"], col["spans"], col["part_id"],
+                    col["page_offset"], col["font_seed"],
+                    col["emit_fonts"], col["grp"]):
                 parts_list.append(extract_doc_parts(
                     str(did), spans, cfg, page_offset=int(po),
                     font_seed=list(seed), emit_fonts=bool(emit)))
                 doc_ids.append(str(did))
                 doc_parts.append(int(pid))
                 grps.append(int(grp))
-            if not parts_list:
-                yield pd.DataFrame({f.name: [] for f in out_schema.fields})
-                continue
-            flat, counts = parts_to_flat(parts_list, doc_ids, doc_parts)
-            flat["grp"] = np.repeat(np.array(grps, dtype=np.int32), counts)
-            yield flat
+            yield parts_to_arrow(
+                parts_list, doc_ids, doc_parts,
+                extra=[("grp", pa.int32(),
+                        np.asarray(grps, dtype=np.int32))])
 
-    big_spans = salted.mapInPandas(extract_group, out_schema)
+    big_spans = salted.mapInArrow(extract_group, out_schema)
     # per-document renumber over the split subset only (an exchange +
     # sort of just those docs' spans; sub-threshold docs never enter it)
     win = Window.partitionBy("doc_id").orderBy("grp", "order")

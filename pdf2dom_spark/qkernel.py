@@ -929,10 +929,16 @@ SELECT doc_id, CAST(box_id AS INT) AS box_id,
 FROM i GROUP BY doc_id, box_id
 """)
 def chunk_islands_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
-        F.length("text") > 0)
+    # repartition the COMPACT docs by doc_id before exploding: the window
+    # functions and the (doc_id, box_id) aggregate all reuse that
+    # partitioning, so the exploded word rows never hit an exchange
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where(F.length("text") > 0)
+            .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+            .repartition(p, "doc_id"))
     w = docs.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
+        "doc_id",
         F.posexplode(F.split("text", " ")).alias("widx", "word"))
     g = w.select(
         "doc_id", "word", "widx",
@@ -1215,9 +1221,7 @@ def raster_fill_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_reg("extract_spans_realfile", _ORACLE_SPANS_SQL)
 def extract_spans_realfile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
-    from .extract import docs_frame_to_spans
+    from .extract import extract_doc_parts, parts_to_arrow
     from .pdfread import pdf_to_spans
     from .pdfwrite import oracle_pdf_bytes
 
@@ -1227,16 +1231,19 @@ def extract_spans_realfile(spark: SparkSession, sf_dir: str) -> DataFrame:
            .repartition(p, F.xxhash64("doc_id")))
 
     def kernel(batches):
-        for pdf in batches:
-            rows = {"doc_id": [], "spans": []}
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                did = str(doc_id)
-                file_bytes = oracle_pdf_bytes(did, text)
-                rows["doc_id"].append(did)
-                rows["spans"].append(pdf_to_spans(file_bytes))
-            yield docs_frame_to_spans(pd.DataFrame(rows), ExtractConfig())
+        cfg = ExtractConfig()
+        for b in batches:
+            names = b.schema.names
+            doc_ids = [str(d) for d in
+                       b.column(names.index("doc_id")).to_pylist()]
+            texts = b.column(names.index("text")).to_pylist()
+            parts_list = [
+                extract_doc_parts(did, pdf_to_spans(
+                    oracle_pdf_bytes(did, text)), cfg)
+                for did, text in zip(doc_ids, texts)]
+            yield parts_to_arrow(parts_list, doc_ids, None)
 
-    flat = src.mapInPandas(kernel, SPAN_FLAT_SCHEMA)
+    flat = src.mapInArrow(kernel, SPAN_FLAT_SCHEMA)
     return flat.select(
         "doc_id",
         F.col("order").cast("int").alias("ord"),

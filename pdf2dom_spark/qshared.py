@@ -21,13 +21,14 @@ def _extract_flat(spark: SparkSession, sf_dir: str,
     (pmod into p values would leave ~1/e of tasks empty — Poisson
     occupancy), then ONE fused Python kernel that synthesizes the span
     stream and extracts it in the same worker call. Fusing matters: two
-    chained mapInPandas nodes run in one stage but pay a full Arrow
-    round-trip of the nested spans payload between them (worker -> JVM ->
-    worker) — measured 34% of the sf0.1 query wall time."""
-    import pandas as pd
-
+    chained Python nodes run in one stage but pay a full Arrow round-trip
+    of the nested spans payload between them (worker -> JVM -> worker) —
+    measured 34% of the sf0.1 query wall time. The kernel is mapInArrow
+    end-to-end (r6): building the output RecordBatch directly from the
+    finalize arrays skips pandas frame construction + per-column
+    to_numeric coercion — measured 2x on the output half of the kernel."""
     from .corpus import stream_fn
-    from .extract import docs_frame_to_spans
+    from .extract import extract_doc_parts, parts_to_arrow
 
     p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     kcfg = cfg or ExtractConfig()
@@ -37,15 +38,16 @@ def _extract_flat(spark: SparkSession, sf_dir: str,
            .repartition(p, F.xxhash64("doc_id")))
 
     def kernel(batches):
-        for pdf in batches:
-            rows = {"doc_id": [], "spans": []}
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                did = str(doc_id)
-                rows["doc_id"].append(did)
-                rows["spans"].append(sgen(did, text))
-            yield docs_frame_to_spans(pd.DataFrame(rows), kcfg)
+        for b in batches:
+            names = b.schema.names
+            doc_ids = [str(d) for d in
+                       b.column(names.index("doc_id")).to_pylist()]
+            texts = b.column(names.index("text")).to_pylist()
+            parts_list = [extract_doc_parts(did, sgen(did, text), kcfg)
+                          for did, text in zip(doc_ids, texts)]
+            yield parts_to_arrow(parts_list, doc_ids, None)
 
-    return src.mapInPandas(kernel, SPAN_FLAT_SCHEMA)
+    return src.mapInArrow(kernel, SPAN_FLAT_SCHEMA)
 
 
 def _doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -502,19 +502,23 @@ def connected_components(edges: DataFrame) -> DataFrame:
     for _ in range(CC_MAX_ROUNDS):
         nb = (sym.join(labels.withColumnRenamed("n", "m"), "m")
               .groupBy("n").agg(F.min("lbl").alias("nb_lbl")))
+        # carry the pre-round label as ``old`` through the round so the
+        # convergence check below is a narrow scan of the checkpointed
+        # blocks — the former re-join against the previous labels frame
+        # cost one extra exchange per round (r6)
         new = (labels.join(nb, "n", "left")
-               .select("n", F.least("lbl", "nb_lbl").alias("lbl")))
+               .select("n", F.col("lbl").alias("old"),
+                       F.least("lbl", "nb_lbl").alias("lbl")))
         # pointer halving: also adopt label(label(u)) — every label IS a
         # node id in the same component, so one self-join per round doubles
         # the pointer-jump distance and convergence is O(log diameter)
         # instead of O(diameter) (plain propagation dies on long chains)
         par = new.select(F.col("n").alias("p"), F.col("lbl").alias("plbl"))
         new = (new.join(par, new["lbl"] == par["p"], "left")
-               .select("n", F.least("lbl", "plbl").alias("lbl")))
+               .select("n", "old", F.least("lbl", "plbl").alias("lbl")))
         new = new.localCheckpoint(eager=True)
-        changed = (new.join(labels.withColumnRenamed("lbl", "old"), "n")
-                   .where(F.col("lbl") != F.col("old")).count())
-        labels = new
+        changed = new.where(F.col("lbl") != F.col("old")).count()
+        labels = new.select("n", "lbl")
         if changed == 0:
             return labels.select(F.col("n").alias("node"),
                                  F.col("lbl").alias("cluster_id"))
@@ -963,14 +967,25 @@ FROM ranked WHERE rk <= 3
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    # Shuffle the COMPACT (doc_id, text) rows by doc_id BEFORE exploding:
+    # HashPartitioning(doc_id) satisfies the (doc_id, w) grouping's
+    # clustering AND the final per-doc window, so the only other exchange
+    # left is the small tf->df aggregate — the exploded word rows
+    # (~7x the doc bytes) never cross the wire (guide §2.3/2.4).
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     e = (_docs(spark, sf_dir)
          .where(F.length("text") > 0)
-         .select(F.col("doc_id").cast("long").alias("doc_id"),
-                 F.explode(F.split("text", " ")).alias("w"))
+         .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+         .repartition(p, "doc_id")
+         .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
          .where(F.col("w") != ""))
-    tf = e.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    # df and N derive from the (already-distinct) tf pairs — one exploded
-    # scan feeds all three aggregates instead of three
+    # persist the tf pairs: the plan references them three times (probe
+    # side, df aggregate, N aggregate) and Spark does not reuse the
+    # subtree — without the persist the explode+aggregate ran 3x (16
+    # Exchanges in the r6-before plan). Same persist-then-release pattern
+    # as dedup_minhash_lsh.
+    tf = (e.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+          .persist())
     df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n = tf.agg(F.countDistinct("doc_id").alias("n"))
     scored = (tf.join(F.broadcast(df), "w")
@@ -981,9 +996,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("score")))
     win = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("term").asc())
-    return (scored.withColumn("rk", F.row_number().over(win).cast("int"))
-            .where(F.col("rk") <= 3)
-            .select("doc_id", "term", "score", "rk"))
+    out = (scored.withColumn("rk", F.row_number().over(win).cast("int"))
+           .where(F.col("rk") <= 3)
+           .select("doc_id", "term", "score", "rk"))
+    # materialize the small top-3 result eagerly so the tf cache can be
+    # released now (see dedup_minhash_lsh for the leak rationale)
+    out = out.localCheckpoint(eager=True)
+    tf.unpersist(blocking=False)
+    return out
 
 
 # ---------------------------------------------------------------------------

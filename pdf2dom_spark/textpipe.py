@@ -73,26 +73,29 @@ def merge_diacritics(gl: dict, gdoc: np.ndarray) -> tuple[dict, np.ndarray]:
             return gl, gdoc
         return {k: v[keep] for k, v in gl.items()}, gdoc[keep]
     # restrict to diacritics + non-whitespace glyphs (ws rows are inert:
-    # they neither merge nor clear the pending diacritic)
-    sel = is_dia | ~is_ws
-    sub = {k: v[sel] for k, v in gl.items()}
+    # they neither merge nor clear the pending diacritic). Only the four
+    # columns the merge decision reads are gathered on this sub-selection;
+    # the surviving rows ((is_dia | ~is_ws) & ~is_dia == ~is_ws & ~is_dia)
+    # are then selected from the ORIGINAL frame in one pass.
+    sel = np.nonzero(is_dia | ~is_ws)[0]
+    d = is_dia[sel]
+    x, w = gl["x"][sel], gl["width"][sel]
     sdoc = gdoc[sel]
-    d = sub["is_dia"]
     prev_dia = np.empty_like(d)
     prev_dia[0] = False
     prev_dia[1:] = d[:-1]
-    x, w = sub["x"], sub["width"]
     centers = x + w / 2
     contains = np.zeros(len(d), dtype=bool)
     contains[1:] = ((centers[:-1] >= x[1:]) & (centers[:-1] <= x[1:] + w[1:])
                     & (sdoc[1:] == sdoc[:-1]))
     merge = prev_dia & ~d & contains
     if merge.any():
-        uni = sub["unicode"]
-        for i in np.nonzero(merge)[0]:
-            uni[i] = uni[i] + uni[i - 1]
-    keep = ~d
-    return {k: v[keep] for k, v in sub.items()}, sdoc[keep]
+        uni = gl["unicode"]
+        for i in np.nonzero(merge)[0].tolist():
+            j = sel[i]
+            uni[j] = uni[j] + uni[sel[i - 1]]
+    keep = ~is_ws & ~is_dia
+    return {k: v[keep] for k, v in gl.items()}, gdoc[keep]
 
 
 def boxes_from_glyphs(glyphs: dict, page_flush: dict[int, int]) -> dict:

@@ -239,12 +239,33 @@ def _tokenize_full(fragment: str) -> list[tuple[str, list]]:
     return ops
 
 
+# Memo for short fragments: real corpora repeat graphics/state fragments
+# heavily ("Q", "q ... cm" placements, per-page rect ops drawn from small
+# literal sets — measured 50%+ of fragment tokenize calls are repeats).
+# Safe because token lists are read-only downstream (the interpreter and
+# doc_tokens only iterate/read operands); bounded like _HEX_CACHE.
+_MEMO_MAX_LEN = 256
+_MEMO_MAX_ENTRIES = 32768
+_memo: dict[str, list] = {}
+
+
 def tokenize(fragment: str) -> list[tuple[str, list]]:
     """Scan one content-stream fragment into (operator, operands) pairs.
 
     Operands accumulate until an operator token flushes them
     (mirrors PDFBox's operand-stack dispatch into processOperator).
     """
+    if len(fragment) <= _MEMO_MAX_LEN:
+        hit = _memo.get(fragment)
+        if hit is None:
+            hit = _tokenize_uncached(fragment)
+            if len(_memo) < _MEMO_MAX_ENTRIES:
+                _memo[fragment] = hit
+        return hit
+    return _tokenize_uncached(fragment)
+
+
+def _tokenize_uncached(fragment: str) -> list[tuple[str, list]]:
     if _NEEDS_FULL_RE.search(fragment) is not None:
         return _tokenize_full(fragment)
     ops: list[tuple[str, list]] = []
