@@ -208,7 +208,8 @@ def extract_doc_parts(doc_id: str, spans: list[dict],
     return records, glyph_chunks, page_flush
 
 
-def finalize_docs(parts: list[tuple[list, dict, dict]]
+def finalize_docs(parts: list[tuple[list, dict, dict]],
+                  columns: set[str] | None = None
                   ) -> tuple[dict, np.ndarray]:
     """Batched finalize: chunk every document's glyphs into text boxes
     (one batched gaps-and-islands pass, textpipe.boxes_from_glyphs_batched)
@@ -252,8 +253,8 @@ def finalize_docs(parts: list[tuple[list, dict, dict]]
 
     out: dict[str, np.ndarray] = {}
     for c in _REC_COLS:
-        if c == "key":
-            continue
+        if c == "key" or (columns is not None and c not in columns):
+            continue  # pruned output column: skip the concat+gather too
         j = _REC_IDX[c]
         colv = rec_cols[j]
         if c in _NUM_REC_COLS:
@@ -377,19 +378,31 @@ def docs_to_arrow_spans(doc_ids, spans_col, parts, cfg: ExtractConfig):
 
 
 def parts_to_arrow(parts_list: list, doc_ids, parts,
-                   extra: list[tuple] | None = None):
+                   extra: list[tuple] | None = None,
+                   columns: list[str] | None = None):
     """Per-document parts -> ONE pyarrow RecordBatch with the SPAN_FLAT
     schema (plus ``extra`` trailing columns: (name, pa.type, per-doc
     values) repeated by span count). ``parts=None`` emits a null part_id
     column — the contract of the fused synthesize-inside-the-query
-    kernels, whose pandas path never carried a partition id either."""
+    kernels, whose pandas path never carried a partition id either.
+
+    ``columns`` restricts the OUTPUT to a subset of the flat schema (in
+    schema order): column pruning cannot cross an opaque Python map, so a
+    query that projects 6 of the 22 flat columns would otherwise pay
+    Arrow build + IPC + JVM deserialization for all 22 (guide §4.2). The
+    kernel still computes everything (finalize is shared); only the
+    per-column array builds and the boundary bytes are skipped."""
     import pyarrow as pa
 
     memtune.tune_malloc()  # once per worker: see memtune.py
-    cols, counts = finalize_docs(parts_list) if parts_list else ({}, None)
+    want = None if columns is None else set(columns)
+    cols, counts = (finalize_docs(parts_list, columns=want)
+                    if parts_list else ({}, None))
 
     n = len(cols["order"]) if parts_list else 0
     schema = _arrow_schema()
+    if want is not None:
+        schema = pa.schema([f for f in schema if f.name in want])
     if extra:
         schema = pa.schema(
             list(schema) + [pa.field(name, typ) for name, typ, _v in extra])
@@ -397,20 +410,22 @@ def parts_to_arrow(parts_list: list, doc_ids, parts,
         return pa.RecordBatch.from_arrays(
             [pa.array([], type=f.type) for f in schema], schema=schema)
 
-    did = np.repeat(np.array([str(d) for d in doc_ids], dtype=object), counts)
-    if parts is None:
-        pid_arr = pa.nulls(n, pa.int32())
-    else:
-        pid_arr = pa.array(
-            np.repeat(np.asarray(parts, dtype=np.int64), counts),
-            type=pa.int32())
-    arrays = {
-        "doc_id": pa.array(did, type=pa.string()),
-        "order": pa.array(cols["order"], type=pa.int32()),
-        "part_id": pid_arr,
-    }
+    arrays = {}
+    if want is None or "doc_id" in want:
+        did = np.repeat(np.array([str(d) for d in doc_ids], dtype=object),
+                        counts)
+        arrays["doc_id"] = pa.array(did, type=pa.string())
+    if want is None or "order" in want:
+        arrays["order"] = pa.array(cols["order"], type=pa.int32())
+    if want is None or "part_id" in want:
+        if parts is None:
+            arrays["part_id"] = pa.nulls(n, pa.int32())
+        else:
+            arrays["part_id"] = pa.array(
+                np.repeat(np.asarray(parts, dtype=np.int64), counts),
+                type=pa.int32())
     for c in _REC_COLS:
-        if c == "key":
+        if c == "key" or (want is not None and c not in want):
             continue
         merged = cols[c]
         if c in _NUM_REC_COLS:

@@ -70,6 +70,22 @@ for _u in range(8):
         _A[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
 del _u, _c, _x
 
+# einsum contraction paths cached per (expr, operand shapes): the planner
+# (np.einsum_path) cost ~as much as the 8x8 contractions themselves on
+# small images; caching the SAME path optimize=True would pick keeps the
+# numerics bit-identical while planning once per shape
+_EINSUM_PATHS: dict = {}
+
+
+def _einsum(expr: str, *ops: np.ndarray) -> np.ndarray:
+    key = (expr, tuple(o.shape for o in ops))
+    path = _EINSUM_PATHS.get(key)
+    if path is None:
+        path = np.einsum_path(expr, *ops, optimize=True)[0]
+        if len(_EINSUM_PATHS) < 4096:
+            _EINSUM_PATHS[key] = path
+    return np.einsum(expr, *ops, optimize=path)
+
 
 class _HuffTable:
     """Canonical Huffman decode table with an 8-bit fast path: codes of
@@ -315,7 +331,7 @@ def decode_baseline(data: bytes) -> np.ndarray:
         st = coefs[cid]
         by, bx = st.shape[0], st.shape[1]
         c = st.reshape(by, bx, 8, 8) * q  # dequantize (natural order)
-        px = np.einsum("ux,mnuv,vy->mnxy", _A, c, _A, optimize=True)
+        px = _einsum("ux,mnuv,vy->mnxy", _A, c, _A)
         out_planes[cid] = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
 
     if len(comps) == 1:
@@ -626,8 +642,7 @@ def encode_baseline(img: np.ndarray, quant: int = 1,
         if w < bw * 8:
             padded[:, w:] = padded[:, w - 1:w]
         blocks = (padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3))
-        coef = np.einsum("ux,mnxy,vy->mnuv", _A, blocks, _A,
-                         optimize=True)
+        coef = _einsum("ux,mnxy,vy->mnuv", _A, blocks, _A)
         qc = np.round(coef / qtab).astype(np.int64)
         all_blocks.append([qc[i, j] for i in range(bh)
                            for j in range(bw)])
@@ -1000,8 +1015,7 @@ def encode_progressive(img: np.ndarray, quant: int = 1,
         if w < bw * 8:
             padded[:, w:] = padded[:, w - 1:w]
         blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
-        coef = np.einsum("ux,mnxy,vy->mnuv", _A, blocks, _A,
-                         optimize=True)
+        coef = _einsum("ux,mnxy,vy->mnuv", _A, blocks, _A)
         qc = np.round(coef / qtab).astype(np.int64)
         stores[ci + 1] = qc.reshape(bh, bw, 64)
 
@@ -1122,8 +1136,7 @@ def encode_subsampled(img: np.ndarray, quant: int = 1,
     def qblocks(p):
         by, bx = p.shape[0] // 8, p.shape[1] // 8
         blocks = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
-        coef = np.einsum("ux,mnxy,vy->mnuv", _A, blocks, _A,
-                         optimize=True)
+        coef = _einsum("ux,mnxy,vy->mnuv", _A, blocks, _A)
         return np.round(coef / qtab).astype(np.int64)
 
     ypad = pad(yy)

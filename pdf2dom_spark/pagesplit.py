@@ -424,11 +424,11 @@ def extract_spans_paged(docs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
     if small is None:
         return big_spans
 
-    from .extract import make_extract_batch
+    from .extract import make_extract_arrow
     small_salted = (small.withColumn(
         "part_id",
         F.pmod(F.xxhash64(F.col("doc_id")), F.lit(p)).cast("int"))
         .repartition(p, F.xxhash64("doc_id")))
-    small_spans = small_salted.mapInPandas(
-        make_extract_batch(cfg, nested=False), SPAN_FLAT_SCHEMA)
+    small_spans = small_salted.mapInArrow(
+        make_extract_arrow(cfg), SPAN_FLAT_SCHEMA)
     return small_spans.unionByName(big_spans)

@@ -207,8 +207,9 @@ def run_checkpointed(
         # leaves ~1/e of the extraction tasks empty — same Poisson-occupancy
         # fix as extract_spans above); part_id stays the deterministic COLUMN
         pending = pending.repartition(num_partitions, F.xxhash64("doc_id"))
-        spans = pending.mapInPandas(make_extract_batch(cfg, nested=False),
-                                    SPAN_FLAT_SCHEMA)
+        from .extract import make_extract_arrow
+        spans = pending.mapInArrow(make_extract_arrow(cfg),
+                                   SPAN_FLAT_SCHEMA)
     if fail_parts:
         # simulate a mid-job crash: these partitions produce no output and
         # no lineage row this run
@@ -346,10 +347,10 @@ def upsert_docs(
         return {"run_id": run_id, "parts_touched": 0, "docs_updated": 0}
     updated_ids = salted.select("doc_id").distinct()
 
+    from .extract import make_extract_arrow
     fresh = (salted.repartition(
         min(num_partitions, max(len(affected), 1)), F.xxhash64("doc_id"))
-        .mapInPandas(make_extract_batch(cfg, nested=False),
-                     SPAN_FLAT_SCHEMA))
+        .mapInArrow(make_extract_arrow(cfg), SPAN_FLAT_SCHEMA))
     existing = (tables.read_table(spark, spans_dir)
                 .where(F.col("part_id").isin(affected)))
     kept = existing.join(F.broadcast(updated_ids), "doc_id", "left_anti")

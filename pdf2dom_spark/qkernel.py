@@ -10,9 +10,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .corpus import build_docs_df
 from .extract import ExtractConfig
-from .qshared import _doc_ids, _extract_flat, make_reg
+from .qshared import (ORACLE_COLS, RICH_LITE_COLS, _doc_ids,
+                      _extract_flat, make_reg)
 from .schema import SPAN_FLAT_SCHEMA
 
 REGISTRY: dict = {}
@@ -132,7 +132,7 @@ SELECT * FROM rects UNION ALL SELECT * FROM imgs UNION ALL SELECT * FROM fonts
 
 @_reg("extract_spans_oracle", _ORACLE_SPANS_SQL)
 def extract_spans_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    flat = _extract_flat(spark, sf_dir, mode="oracle")
+    flat = _extract_flat(spark, sf_dir, mode="oracle", columns=ORACLE_COLS)
     return flat.select(
         "doc_id",
         F.col("order").cast("int").alias("ord"),
@@ -167,7 +167,7 @@ FROM f
 """)
 def extract_spans_nographics(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = _extract_flat(
-        spark, sf_dir, mode="oracle",
+        spark, sf_dir, mode="oracle", columns=ORACLE_COLS,
         cfg=ExtractConfig(disable_graphics=True, disable_images=True))
     return _oracle_proj(flat)
 
@@ -186,7 +186,7 @@ FROM ({_ORACLE_SPANS_SQL})
 """)
 def extract_spans_ignore_images(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
-    flat = _extract_flat(spark, sf_dir, mode="oracle",
+    flat = _extract_flat(spark, sf_dir, mode="oracle", columns=ORACLE_COLS,
                          cfg=ExtractConfig(image_handler="ignore"))
     return _oracle_proj(flat)
 
@@ -486,7 +486,8 @@ UNION ALL SELECT * FROM fonts
 
 @_reg("extract_spans_rich_lite", _RICH_LITE_SQL)
 def extract_spans_rich_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    flat = _extract_flat(spark, sf_dir, mode="rich_lite")
+    flat = _extract_flat(spark, sf_dir, mode="rich_lite",
+                         columns=RICH_LITE_COLS)
     return flat.select(
         "doc_id",
         F.col("order").cast("int").alias("ord"),
@@ -627,7 +628,8 @@ def _oracle_proj(flat: DataFrame) -> DataFrame:
 
 @_reg("extract_spans_rot_text", _ROT_TEXT_SQL)
 def extract_spans_rot_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _oracle_proj(_extract_flat(spark, sf_dir, mode="rot_text"))
+    return _oracle_proj(_extract_flat(spark, sf_dir, mode="rot_text",
+                                      columns=ORACLE_COLS))
 
 
 # 1a-forms. FULL kernel vs closed-form SQL on the form-XObject corpus
@@ -714,7 +716,8 @@ UNION ALL SELECT * FROM body UNION ALL SELECT * FROM fonts
 
 @_reg("extract_spans_forms", _FORMS_SQL)
 def extract_spans_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _oracle_proj(_extract_flat(spark, sf_dir, mode="forms"))
+    return _oracle_proj(_extract_flat(spark, sf_dir, mode="forms",
+                                      columns=ORACLE_COLS))
 
 
 # 1a-enc. FULL kernel vs closed-form SQL on the font-encoding corpus: a
@@ -791,7 +794,8 @@ UNION ALL SELECT * FROM fonts
 
 @_reg("extract_spans_encoded", _ENC_SQL)
 def extract_spans_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _oracle_proj(_extract_flat(spark, sf_dir, mode="enc"))
+    return _oracle_proj(_extract_flat(spark, sf_dir, mode="enc",
+                                      columns=ORACLE_COLS))
 
 
 # 1a-paged. The page-split (monster-doc) path against the SAME closed-form
@@ -840,18 +844,20 @@ def extract_spans_paged_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
 def extract_spans_paged_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .corpus import build_groups_df
     from .pagesplit import extract_groups
-    from .pipeline import extract_spans
 
     p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     cfg = ExtractConfig()
-    small = build_docs_df(spark, sf_dir, mode="oracle", num_partitions=p,
-                          where="length(text) < 530")
+    # sub-threshold branch: the FUSED synthesize+extract kernel (one
+    # Python stage, like the unsplit gate) — the former build_docs_df ->
+    # extract_spans chain paid a full Arrow round-trip of the nested
+    # spans payload between two Python stages on ~97% of the corpus (r6)
+    small_flat = _extract_flat(spark, sf_dir, cfg=cfg, mode="oracle",
+                               where="length(text) < 530",
+                               columns=ORACLE_COLS)
     big_groups = build_groups_df(spark, sf_dir, mode="oracle",
                                  pages_per_group=2, min_bytes=0,
                                  num_partitions=p,
                                  where="length(text) >= 530")
-    small_flat = extract_spans(small, cfg, num_partitions=p, nested=False,
-                               presalted=True)
     # the tail branch holds ~20% of the corpus: partition it proportionally
     # (production sizing targets bytes/partition, not a global constant)
     big_flat = extract_groups(big_groups, cfg, num_partitions=max(8, p // 4))
@@ -880,7 +886,7 @@ FROM w GROUP BY doc_id
 def extract_page_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = _extract_flat(spark, sf_dir,
                          cfg=ExtractConfig(start_page=1, end_page=1),
-                         mode="oracle")
+                         mode="oracle", columns=["doc_id", "kind"])
     return flat.groupBy("doc_id").agg(
         F.sum(F.when(F.col("kind") == "text", 1).otherwise(0)).alias("n_text"),
         F.sum(F.when(F.col("kind") == "page", 1).otherwise(0)).alias("n_page"),
@@ -1241,9 +1247,14 @@ def extract_spans_realfile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 extract_doc_parts(did, pdf_to_spans(
                     oracle_pdf_bytes(did, text)), cfg)
                 for did, text in zip(doc_ids, texts)]
-            yield parts_to_arrow(parts_list, doc_ids, None)
+            yield parts_to_arrow(parts_list, doc_ids, None,
+                                 columns=ORACLE_COLS)
 
-    flat = src.mapInArrow(kernel, SPAN_FLAT_SCHEMA)
+    import pyspark.sql.types as T
+    _want = set(ORACLE_COLS)
+    flat = src.mapInArrow(
+        kernel, T.StructType(
+            [f for f in SPAN_FLAT_SCHEMA.fields if f.name in _want]))
     return flat.select(
         "doc_id",
         F.col("order").cast("int").alias("ord"),

@@ -14,9 +14,24 @@ from .extract import ExtractConfig
 from .schema import SPAN_FLAT_SCHEMA
 
 
+# the flat columns the closed-form oracle projections read — queries that
+# only need these can have the kernel prune its OUTPUT boundary to them
+ORACLE_COLS = [
+    "doc_id", "order", "kind", "text", "media_ref", "page_no",
+    "style_left", "style_top", "style_width", "style_height",
+    "style_line_height", "style_font_size", "style_color",
+    "style_font_family",
+]
+RICH_LITE_COLS = ORACLE_COLS + [
+    "style_stroke_color", "style_word_spacing", "style_letter_spacing",
+]
+
+
 def _extract_flat(spark: SparkSession, sf_dir: str,
                   cfg: ExtractConfig | None = None,
-                  mode: str = "oracle") -> DataFrame:
+                  mode: str = "oracle",
+                  where: str | None = None,
+                  columns: list[str] | None = None) -> DataFrame:
     """ONE shuffle of the SMALL (doc_id, text) rows on the raw 64-bit hash
     (pmod into p values would leave ~1/e of tasks empty — Poisson
     occupancy), then ONE fused Python kernel that synthesizes the span
@@ -33,9 +48,21 @@ def _extract_flat(spark: SparkSession, sf_dir: str,
     p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     kcfg = cfg or ExtractConfig()
     sgen = stream_fn(mode)
-    src = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-           .select("doc_id", "text")
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if where:
+        # routing predicate over the RAW source columns — pushed to the
+        # parquet scan (the paged-tail deployment shape)
+        src = src.where(where)
+    src = (src.select("doc_id", "text")
            .repartition(p, F.xxhash64("doc_id")))
+
+    if columns is None:
+        out_schema = SPAN_FLAT_SCHEMA
+    else:
+        from pyspark.sql import types as T
+        want = set(columns)
+        out_schema = T.StructType(
+            [f for f in SPAN_FLAT_SCHEMA.fields if f.name in want])
 
     def kernel(batches):
         for b in batches:
@@ -45,9 +72,9 @@ def _extract_flat(spark: SparkSession, sf_dir: str,
             texts = b.column(names.index("text")).to_pylist()
             parts_list = [extract_doc_parts(did, sgen(did, text), kcfg)
                           for did, text in zip(doc_ids, texts)]
-            yield parts_to_arrow(parts_list, doc_ids, None)
+            yield parts_to_arrow(parts_list, doc_ids, None, columns=columns)
 
-    return src.mapInArrow(kernel, SPAN_FLAT_SCHEMA)
+    return src.mapInArrow(kernel, out_schema)
 
 
 def _doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:

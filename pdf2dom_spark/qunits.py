@@ -489,7 +489,8 @@ SELECT doc_id,
 FROM pages GROUP BY doc_id
 """)
 def rich_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
-    flat = _extract_flat(spark, sf_dir, mode="rich")
+    flat = _extract_flat(spark, sf_dir, mode="rich",
+                         columns=["doc_id", "kind"])
     return flat.groupBy(F.col("doc_id").cast("long").alias("doc_id")).agg(
         *[F.sum((F.col("kind") == k).cast("long")).alias(f"n_{k}")
           for k in ("page", "meta", "rect", "line", "image")])
@@ -566,7 +567,9 @@ def render_doc_skeleton(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_reg("extract_spans_rich", None)
 def extract_spans_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    flat = _extract_flat(spark, sf_dir, mode="rich")
+    flat = _extract_flat(spark, sf_dir, mode="rich",
+                         columns=["doc_id", "order", "kind", "text",
+                                  "media_ref", "page_no"])
     return flat.select(
         "doc_id", F.col("order").cast("int").alias("ord"), "kind", "text",
         "media_ref", F.col("page_no").cast("int").alias("page_no"))
@@ -621,7 +624,8 @@ FROM s
 
 @_reg("corpus_pipeline_e2e", _E2E_SQL)
 def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    flat = _extract_flat(spark, sf_dir, mode="oracle")
+    flat = _extract_flat(spark, sf_dir, mode="oracle",
+                         columns=["doc_id", "order", "kind", "text"])
     reb = (flat.where(F.col("kind") == "text")
            .groupBy("doc_id")
            .agg(F.array_sort(F.collect_list(

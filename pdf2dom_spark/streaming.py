@@ -44,8 +44,8 @@ def extract_spans_stream(spark: SparkSession, docs_dir: str,
     from .pipeline import with_part_id
     salted = with_part_id(stream, num_partitions).repartition(
         num_partitions, F.xxhash64("doc_id"))
-    spans = salted.mapInPandas(make_extract_batch(cfg, nested=False),
-                               SPAN_FLAT_SCHEMA)
+    from .extract import make_extract_arrow
+    spans = salted.mapInArrow(make_extract_arrow(cfg), SPAN_FLAT_SCHEMA)
     return (spans.writeStream
             .format("parquet")
             .option("path", out_dir)
@@ -204,8 +204,9 @@ def _lineage_batch_writer(spark: SparkSession, out_dir: str,
             return
         salted = with_part_id(batch_df, num_partitions).repartition(
             num_partitions, F.xxhash64("doc_id"))
-        spans = (salted.mapInPandas(make_extract_batch(cfg, nested=False),
-                                    SPAN_FLAT_SCHEMA)
+        from .extract import make_extract_arrow
+        spans = (salted.mapInArrow(make_extract_arrow(cfg),
+                                   SPAN_FLAT_SCHEMA)
                  .withColumn("batch_id", F.lit(bid)))
         tables.write_partitioned(spans, spans_dir, ["batch_id", "part_id"],
                                  spark)

@@ -343,7 +343,9 @@ def test_paged_fused_split_is_single_python_stage(spark):
                              num_partitions=8)
     flat = extract_groups(groups, ExtractConfig(), num_partitions=8)
     plan = _plan(flat)
-    assert plan.count("MapInPandas") == 2
+    # gen+split is MapInPandas; the extract back half moved to MapInArrow
+    # (r6: direct RecordBatch assembly) — still exactly TWO Python stages
+    assert plan.count("MapInPandas") + plan.count("MapInArrow") == 2
     assert "Window" in plan
     # no Exchange between the scan and the fused gen+split kernel beyond
     # the deliberate source repartition; the group exchange keys on
@@ -450,7 +452,8 @@ def test_extract_spans_realfile_single_shuffle(spark):
     q = all_queries()["extract_spans_realfile"](spark, SF_SMOKE)
     plan = _plan(q)
     assert plan.count("Exchange") == 1, plan
-    assert plan.count("MapInPandas") == 1, plan
+    # the fused write+parse+extract kernel moved to MapInArrow (r6)
+    assert plan.count("MapInPandas") + plan.count("MapInArrow") == 1, plan
 
 
 def test_media_kernels_spread_before_python(spark):
