@@ -166,24 +166,26 @@ def _png_dims(doc_id: int) -> tuple[int, int]:
     return 8 + doc_id % 9, 8 + (doc_id * 3) % 9  # (w, h)
 
 
-def png_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real PNG payloads: gray gradient pix(y,x) = (3y + 7x + doc_id) % 256."""
+def _png_payload(doc_id: int) -> bytes:
     import numpy as np
     from .raster import encode_png_rgba
 
+    w, h = _png_dims(doc_id)
+    y, x = np.mgrid[0:h, 0:w]
+    v = ((3 * y + 7 * x + doc_id) % 256).astype(np.uint8)
+    img = np.dstack([v, v, v, np.full_like(v, 255)])
+    return encode_png_rgba(img)
+
+
+def png_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG payloads: gray gradient pix(y,x) = (3y + 7x + doc_id) % 256."""
     d = _salted(spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("long").alias("doc_id")))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
-                w, h = _png_dims(doc_id)
-                y, x = np.mgrid[0:h, 0:w]
-                v = ((3 * y + 7 * x + doc_id) % 256).astype(np.uint8)
-                img = np.dstack([v, v, v, np.full_like(v, 255)])
-                rows.append((doc_id, encode_png_rgba(img)))
+            rows = [(int(doc_id), _png_payload(int(doc_id)))
+                    for doc_id in pdf["doc_id"]]
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     return d.mapInPandas(gen, T.StructType([
@@ -192,26 +194,39 @@ def png_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]))
 
 
-def _decode_kernel(transform):
-    """Arrow kernel: decode each PNG payload, apply ``transform(img,
-    doc_id) -> img`` (numpy), emit dims + position-weighted checksum."""
+def _fused_doc_query(spark: SparkSession, sf_dir: str, row_fn, schema):
+    """ONE Python stage per media gate (r6): generate the payload and
+    process it in the same worker call — the former media_table ->
+    process chain was two chained Python stages paying a payload Arrow
+    round-trip (worker -> JVM -> worker) per doc for byte-identical
+    results (the codec encode/decode still runs inside row_fn)."""
+    d = _salted(spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id")))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in schema.fields]
+        for pdf in batches:
+            rows = [row_fn(int(doc_id)) for doc_id in pdf["doc_id"]]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return d.mapInPandas(kernel, schema)
+
+
+def _decode_row(transform):
+    """Per-doc fused row: generate the PNG payload, decode it back through
+    the real codec, apply ``transform(img, doc_id) -> img`` (numpy), emit
+    dims + position-weighted checksum."""
     import numpy as np
     from .raster import decode_png_rgba
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                img = decode_png_rgba(bytes(payload))
-                img = transform(img, int(doc_id))
-                h, w = img.shape[:2]
-                v = img[..., 0].astype(np.int64)
-                weights = np.arange(h * w, dtype=np.int64).reshape(h, w)
-                rows.append((int(doc_id), w, h,
-                             int(v.sum()),
-                             int((v * weights).sum() % _PNG_MOD)))
-            yield pd.DataFrame(rows, columns=[
-                "doc_id", "width", "height", "pix_sum", "weighted"])
+    def row_fn(doc_id: int):
+        img = decode_png_rgba(_png_payload(doc_id))
+        img = transform(img, doc_id)
+        h, w = img.shape[:2]
+        v = img[..., 0].astype(np.int64)
+        weights = np.arange(h * w, dtype=np.int64).reshape(h, w)
+        return (doc_id, w, h, int(v.sum()),
+                int((v * weights).sum() % _PNG_MOD))
 
     schema = T.StructType([
         T.StructField("doc_id", T.LongType(), False),
@@ -220,7 +235,7 @@ def _decode_kernel(transform):
         T.StructField("pix_sum", T.LongType(), False),
         T.StructField("weighted", T.LongType(), False),
     ])
-    return kernel, schema
+    return row_fn, schema
 
 
 _SQL_PIX = "((3 * {y} + 7 * {x} + doc_id) % 256)"
@@ -251,8 +266,8 @@ SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
 FROM m
 """)
 def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    kernel, schema = _decode_kernel(lambda img, _d: img)
-    return png_media_table(spark, sf_dir).mapInPandas(kernel, schema)
+    row_fn, schema = _decode_row(lambda img, _d: img)
+    return _fused_doc_query(spark, sf_dir, row_fn, schema)
 
 
 # np.rot90(img, k): k=1 -> R[y,x] = img[x, w-1-y] (dims w x h);
@@ -295,8 +310,8 @@ def mm_png_rot90(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round-trip through the codec so encode+decode are exercised too
         return decode_png_rgba(encode_png_rgba(np.ascontiguousarray(out)))
 
-    kernel, schema = _decode_kernel(rot)
-    return png_media_table(spark, sf_dir).mapInPandas(kernel, schema)
+    row_fn, schema = _decode_row(rot)
+    return _fused_doc_query(spark, sf_dir, row_fn, schema)
 
 
 @_reg("mm_png_resize_nn", f"""
@@ -332,8 +347,8 @@ def mm_png_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         xs = (np.arange(ow) * w) // ow
         return img[ys[:, None], xs[None, :]]
 
-    kernel, schema = _decode_kernel(resize)
-    return png_media_table(spark, sf_dir).mapInPandas(kernel, schema)
+    row_fn, schema = _decode_row(resize)
+    return _fused_doc_query(spark, sf_dir, row_fn, schema)
 
 
 # Feature extraction over the REAL decoded pixels (completing the task's
@@ -359,20 +374,13 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     from .raster import decode_png_rgba
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                v = decode_png_rgba(bytes(payload))[..., 0].astype(np.int64)
-                h, w = v.shape
-                rows.append((
-                    int(doc_id),
-                    int(v.sum()) * 100 // (w * h),
-                    int((v >= 128).sum()),
-                    int(np.abs(np.diff(v, axis=1)).sum()),
-                ))
-            yield pd.DataFrame(rows, columns=[
-                "doc_id", "mean_x100", "n_bright", "grad_energy"])
+    def row_fn(doc_id: int):
+        v = decode_png_rgba(_png_payload(doc_id))[..., 0].astype(np.int64)
+        h, w = v.shape
+        return (doc_id,
+                int(v.sum()) * 100 // (w * h),
+                int((v >= 128).sum()),
+                int(np.abs(np.diff(v, axis=1)).sum()))
 
     schema = T.StructType([
         T.StructField("doc_id", T.LongType(), False),
@@ -380,7 +388,7 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("n_bright", T.LongType(), False),
         T.StructField("grad_energy", T.LongType(), False),
     ])
-    return png_media_table(spark, sf_dir).mapInPandas(kernel, schema)
+    return _fused_doc_query(spark, sf_dir, row_fn, schema)
 
 
 # Audio modality with REAL byte plumbing: deterministic int16 PCM payloads
@@ -393,22 +401,24 @@ _AU_WIN = 16
 _AU_SAMPLE = "(((doc_id * 31 + {i} * 17) % 256) - 128)"
 
 
-def audio_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real PCM payloads: s[i] = ((doc_id*31 + i*17) % 256) - 128, int16 LE."""
+def _audio_payload(doc_id: int) -> bytes:
     import numpy as np
 
+    n = 64 + doc_id % 64
+    i = np.arange(n, dtype=np.int64)
+    s = (((doc_id * 31 + i * 17) % 256) - 128).astype("<i2")
+    return s.tobytes()
+
+
+def audio_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PCM payloads: s[i] = ((doc_id*31 + i*17) % 256) - 128, int16 LE."""
     d = _salted(spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("long").alias("doc_id")))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
-                n = 64 + doc_id % 64
-                i = np.arange(n, dtype=np.int64)
-                s = (((doc_id * 31 + i * 17) % 256) - 128).astype("<i2")
-                rows.append((doc_id, s.tobytes()))
+            rows = [(int(doc_id), _audio_payload(int(doc_id)))
+                    for doc_id in pdf["doc_id"]]
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     return d.mapInPandas(gen, T.StructType([
@@ -443,19 +453,13 @@ FROM w
 def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                s = np.frombuffer(bytes(payload), dtype="<i2").astype(np.int64)
-                n = len(s)
-                nw = n // _AU_WIN
-                win = (s[:nw * _AU_WIN] ** 2).reshape(nw, _AU_WIN).sum(axis=1)
-                rows.append((int(doc_id), n, nw,
-                             int(win.sum()), int(win.max())))
-            yield pd.DataFrame(rows, columns=[
-                "doc_id", "n_samples", "n_windows", "total_sq",
-                "max_window_sq"])
+    def row_fn(doc_id: int):
+        s = np.frombuffer(_audio_payload(doc_id), dtype="<i2").astype(
+            np.int64)
+        n = len(s)
+        nw = n // _AU_WIN
+        win = (s[:nw * _AU_WIN] ** 2).reshape(nw, _AU_WIN).sum(axis=1)
+        return (doc_id, n, nw, int(win.sum()), int(win.max()))
 
     schema = T.StructType([
         T.StructField("doc_id", T.LongType(), False),
@@ -464,7 +468,7 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("total_sq", T.LongType(), False),
         T.StructField("max_window_sq", T.LongType(), False),
     ])
-    return audio_media_table(spark, sf_dir).mapInPandas(kernel, schema)
+    return _fused_doc_query(spark, sf_dir, row_fn, schema)
 
 
 # Video modality with REAL byte plumbing (the triad's last member): a raw
@@ -477,9 +481,18 @@ _VID_EVERY = 3
 _VID_PIX = "((3 * {y} + 7 * {x} + doc_id + 11 * {f}) % 256)"
 
 
-def video_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _video_payload(doc_id: int) -> tuple[int, bytes]:
     import numpy as np
 
+    nf = 4 + doc_id % 9
+    f = np.arange(nf)[:, None, None]
+    y = np.arange(_VID_H)[None, :, None]
+    x = np.arange(_VID_W)[None, None, :]
+    vid = ((3 * y + 7 * x + doc_id + 11 * f) % 256).astype(np.uint8)
+    return nf, vid.tobytes()
+
+
+def video_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _salted(spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("long").alias("doc_id")))
 
@@ -487,14 +500,8 @@ def video_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
-                nf = 4 + doc_id % 9
-                f = np.arange(nf)[:, None, None]
-                y = np.arange(_VID_H)[None, :, None]
-                x = np.arange(_VID_W)[None, None, :]
-                vid = ((3 * y + 7 * x + doc_id + 11 * f) % 256).astype(
-                    np.uint8)
-                rows.append((doc_id, nf, vid.tobytes()))
+                nf, payload = _video_payload(int(doc_id))
+                rows.append((int(doc_id), nf, payload))
             yield pd.DataFrame(rows, columns=["doc_id", "n_frames",
                                               "payload"])
 
@@ -532,19 +539,13 @@ def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = 1 + np.arange(_VID_H * _VID_W, dtype=np.int64).reshape(
         _VID_H, _VID_W)
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, nf, payload in zip(pdf["doc_id"], pdf["n_frames"],
-                                           pdf["payload"]):
-                nf = int(nf)
-                vid = np.frombuffer(bytes(payload), dtype=np.uint8).reshape(
-                    nf, _VID_H, _VID_W).astype(np.int64)
-                sampled = vid[::_VID_EVERY]
-                rows.append((int(doc_id), nf, sampled.shape[0],
-                             int((sampled * weights[None]).sum())))
-            yield pd.DataFrame(rows, columns=[
-                "doc_id", "n_frames", "n_sampled", "sampled_checksum"])
+    def row_fn(doc_id: int):
+        nf, payload = _video_payload(doc_id)
+        vid = np.frombuffer(payload, dtype=np.uint8).reshape(
+            nf, _VID_H, _VID_W).astype(np.int64)
+        sampled = vid[::_VID_EVERY]
+        return (doc_id, nf, sampled.shape[0],
+                int((sampled * weights[None]).sum()))
 
     schema = T.StructType([
         T.StructField("doc_id", T.LongType(), False),
@@ -552,7 +553,7 @@ def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("n_sampled", T.IntegerType(), False),
         T.StructField("sampled_checksum", T.LongType(), False),
     ])
-    return video_media_table(spark, sf_dir).mapInPandas(kernel, schema)
+    return _fused_doc_query(spark, sf_dir, row_fn, schema)
 
 
 # --- portable hex parsing for the oracle ------------------------------------

@@ -303,7 +303,8 @@ def split_doc(doc_id: str, spans: list[dict], pages_per_group: int,
 
 
 def extract_groups(groups: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
-                   num_partitions: int | None = None) -> DataFrame:
+                   num_partitions: int | None = None,
+                   columns: list[str] | None = None) -> DataFrame:
     """GROUP_SCHEMA rows -> flat spans with the per-document global
     ``order`` restored.
 
@@ -311,17 +312,27 @@ def extract_groups(groups: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
     rows — is either ``extract_spans_paged``'s split kernel (arbitrary
     DOC_SCHEMA input) or a source-fused splitter like
     ``corpus.build_groups_df`` (synthesis/scan and split in ONE Python
-    stage, the shape a production scan->split pipeline has)."""
+    stage, the shape a production scan->split pipeline has).
+
+    ``columns`` prunes the kernel OUTPUT (and therefore the renumber
+    exchange + sort) to a subset of the flat schema — the gate queries
+    project 14 of the 22 columns, and pruning cannot cross the opaque
+    Python stage (guide §4.2). ``doc_id``/``order`` are always kept
+    (the renumber needs them)."""
     spark = groups.sparkSession
     p = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if columns is not None:
+        columns = list(dict.fromkeys(["doc_id", "order", *columns]))
+    out_fields = (SPAN_FLAT_SCHEMA.fields if columns is None else
+                  [f for f in SPAN_FLAT_SCHEMA.fields if f.name in columns])
     salted = groups.withColumn(
         "part_id",
         F.pmod(F.xxhash64(F.col("doc_id")), F.lit(p)).cast("int"),
     ).repartition(p, F.xxhash64("doc_id", "grp"))
 
     out_schema = T.StructType(
-        SPAN_FLAT_SCHEMA.fields + [T.StructField("grp", T.IntegerType())])
+        out_fields + [T.StructField("grp", T.IntegerType())])
 
     def extract_group(batches):
         # columnar batch path (mirrors extract.docs_to_arrow_spans): one
@@ -349,7 +360,7 @@ def extract_groups(groups: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
                 doc_parts.append(int(pid))
                 grps.append(int(grp))
             yield parts_to_arrow(
-                parts_list, doc_ids, doc_parts,
+                parts_list, doc_ids, doc_parts, columns=columns,
                 extra=[("grp", pa.int32(),
                         np.asarray(grps, dtype=np.int32))])
 
@@ -359,7 +370,7 @@ def extract_groups(groups: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
     win = Window.partitionBy("doc_id").orderBy("grp", "order")
     big_spans = (big_spans.withColumn(
         "order", (F.row_number().over(win) - 1).cast("int")).drop("grp"))
-    return big_spans.select(*[f.name for f in SPAN_FLAT_SCHEMA.fields])
+    return big_spans.select(*[f.name for f in out_fields])
 
 
 def extract_spans_paged(docs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,

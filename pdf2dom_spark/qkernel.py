@@ -813,7 +813,8 @@ def extract_spans_paged_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (pagesplit.extract_spans_paged) stays bit-equal via tests/test_pagesplit
     groups = build_groups_df(spark, sf_dir, mode="oracle", pages_per_group=2,
                              min_bytes=0, num_partitions=p)
-    flat = extract_groups(groups, ExtractConfig(), num_partitions=p)
+    flat = extract_groups(groups, ExtractConfig(), num_partitions=p,
+                          columns=ORACLE_COLS)
     return _oracle_proj(flat)
 
 
@@ -860,7 +861,8 @@ def extract_spans_paged_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  where="length(text) >= 530")
     # the tail branch holds ~20% of the corpus: partition it proportionally
     # (production sizing targets bytes/partition, not a global constant)
-    big_flat = extract_groups(big_groups, cfg, num_partitions=max(8, p // 4))
+    big_flat = extract_groups(big_groups, cfg, num_partitions=max(8, p // 4),
+                              columns=ORACLE_COLS)
     return _oracle_proj(small_flat.unionByName(
         big_flat.select(small_flat.columns)))
 
