@@ -30,13 +30,20 @@ workers start tuned from their first allocation.
 
 from __future__ import annotations
 
-_done = False
+import os as _os
+
+_result: bool | None = None
 
 # glibc mallopt param numbers (glibc malloc.h; stable ABI)
 _M_TRIM_THRESHOLD = -1
 _M_MMAP_THRESHOLD = -3
 
-THRESHOLD_BYTES = 1 << 30  # 1 GiB: effectively "never mmap, never trim"
+# 1 GiB default: effectively "never mmap, never trim". Env-overridable
+# (ADVICE r5): memory-capped deployments (YARN/k8s containers with many
+# workers per executor) can lower the retained-RSS ceiling without a
+# code change.
+THRESHOLD_BYTES = int(_os.environ.get("PDF2DOM_MALLOC_THRESHOLD",
+                                      str(1 << 30)))
 _THRESHOLD_BYTES = THRESHOLD_BYTES  # back-compat alias
 
 
@@ -45,11 +52,13 @@ def tune_malloc() -> bool:
 
     Safe no-op on non-glibc platforms (musl stubs mallopt, macOS has
     none) — the kernels behave identically either way, only the
-    allocation pattern changes.
+    allocation pattern changes. The ACTUAL first-attempt outcome is
+    cached and returned on later calls (ADVICE r5: caching a hardcoded
+    True made the return value untrustworthy after a failed attempt).
     """
-    global _done
-    if _done:
-        return True
+    global _result
+    if _result is not None:
+        return _result
     try:
         import ctypes
 
@@ -58,7 +67,7 @@ def tune_malloc() -> bool:
               and libc.mallopt(_M_TRIM_THRESHOLD, _THRESHOLD_BYTES) == 1)
     except Exception:
         ok = False
-    _done = True  # don't retry per batch either way
+    _result = ok  # don't retry per batch either way
     return ok
 
 

@@ -55,5 +55,8 @@ print(len(addrs))
                          capture_output=True, text=True,
                          cwd=os.path.dirname(os.path.dirname(__file__)))
     assert out.returncode == 0, out.stderr
-    # heap reuse: all four allocations landed on one address
-    assert out.stdout.strip() == "1", out.stdout
+    # heap reuse: the four allocations reuse freed heap blocks instead of
+    # fresh mmaps. <=2 distinct addresses tolerates one glibc bin/tcache
+    # split (ADVICE r5: exact single-address reuse flaked across glibc
+    # policies); 4 distinct addresses would mean mmap-per-allocation.
+    assert int(out.stdout.strip()) <= 2, out.stdout

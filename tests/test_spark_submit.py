@@ -37,6 +37,8 @@ def _build_zip(path: str) -> None:
 
 @pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT),
                     reason="no spark-submit binary on PATH")
+@pytest.mark.skipif(not os.path.isdir("/root/testdata/sf0.001"),
+                    reason="sandbox corpus not present (ADVICE r5)")
 def test_spark_submit_py_files_end_to_end(spark, tmp_path):
     zip_path = str(tmp_path / "pdf2dom_spark.zip")
     _build_zip(zip_path)
