@@ -807,7 +807,9 @@ def extract_spans_paged_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .corpus import build_groups_df
     from .pagesplit import extract_groups
 
-    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # page-groups are uniform by construction: single-wave task count
+    p = min(int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+            spark.sparkContext.defaultParallelism)
     # synthesis+split fused into one Python stage (corpus.build_groups_df):
     # the production scan->split shape — the generic DOC_SCHEMA entry point
     # (pagesplit.extract_spans_paged) stays bit-equal via tests/test_pagesplit
@@ -846,7 +848,9 @@ def extract_spans_paged_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .corpus import build_groups_df
     from .pagesplit import extract_groups
 
-    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # both branches carry uniform-size work: single-wave task count
+    p = min(int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+            spark.sparkContext.defaultParallelism)
     cfg = ExtractConfig()
     # sub-threshold branch: the FUSED synthesize+extract kernel (one
     # Python stage, like the unsplit gate) — the former build_docs_df ->
@@ -1233,7 +1237,10 @@ def extract_spans_realfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pdfread import pdf_to_spans
     from .pdfwrite import oracle_pdf_bytes
 
-    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # uniform per-doc work (oracle corpus): single-wave task count, like
+    # _extract_flat's non-rich modes
+    p = min(int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+            spark.sparkContext.defaultParallelism)
     src = (spark.read.parquet(f"{sf_dir}/documents.parquet")
            .select("doc_id", "text")
            .repartition(p, F.xxhash64("doc_id")))

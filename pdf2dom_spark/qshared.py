@@ -46,6 +46,14 @@ def _extract_flat(spark: SparkSession, sf_dir: str,
     from .extract import extract_doc_parts, parts_to_arrow
 
     p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if mode != "rich":
+        # uniform-size corpora: one task per core schedules in a single
+        # wave (measured -0.4s/query at sf1 vs the 2x over-partitioned
+        # default). The "rich" mode keeps the 2x over-partitioning — its
+        # deterministic skew tail (SKEW_MOD giants) needs the smoothing.
+        # defaultParallelism is the cluster's total cores, so the choice
+        # stays scale-adaptive rather than a local[32] constant.
+        p = min(p, spark.sparkContext.defaultParallelism)
     kcfg = cfg or ExtractConfig()
     sgen = stream_fn(mode)
     src = spark.read.parquet(f"{sf_dir}/documents.parquet")
