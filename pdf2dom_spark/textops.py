@@ -495,10 +495,12 @@ def connected_components(edges: DataFrame) -> DataFrame:
     sym = edges.select(F.col("u").alias("n"), F.col("v").alias("m")).unionAll(
         edges.select(F.col("v").alias("n"), F.col("u").alias("m")))
     sym = sym.localCheckpoint(eager=True)  # reused every round
-    # round 0 folded into init: label(n) = min(n, neighbors)
+    # round 0 folded into init: label(n) = min(n, neighbors). Lazy
+    # checkpoint: round 1's convergence count is the job that materializes
+    # it (one fewer job than an eager checkpoint, same truncation).
     labels = sym.groupBy("n").agg(
         F.least(F.min("m"), F.col("n")).alias("lbl"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=False)
     for _ in range(CC_MAX_ROUNDS):
         nb = (sym.join(labels.withColumnRenamed("n", "m"), "m")
               .groupBy("n").agg(F.min("lbl").alias("nb_lbl")))
@@ -509,19 +511,29 @@ def connected_components(edges: DataFrame) -> DataFrame:
         new = (labels.join(nb, "n", "left")
                .select("n", F.col("lbl").alias("old"),
                        F.least("lbl", "nb_lbl").alias("lbl")))
+        # lazy checkpoint + count in ONE job: the count() action is what
+        # materializes the checkpoint, so each round runs one Spark job
+        # where the eager-checkpoint-then-count form ran two (r6b)
+        new = new.localCheckpoint(eager=False)
+        changed = new.where(F.col("lbl") != F.col("old")).count()
+        if changed == 0:
+            # converged: the neighbor-min pass is a fixed point, i.e. for
+            # every edge (u, v) lbl(u) == lbl(v) — labels are constant per
+            # component, so the pointer-halving self-join below would be a
+            # provable no-op; skip it on this final verification round
+            return new.select(F.col("n").alias("node"),
+                              F.col("lbl").alias("cluster_id"))
         # pointer halving: also adopt label(label(u)) — every label IS a
         # node id in the same component, so one self-join per round doubles
         # the pointer-jump distance and convergence is O(log diameter)
-        # instead of O(diameter) (plain propagation dies on long chains)
+        # instead of O(diameter) (plain propagation dies on long chains).
+        # Labels only ever decrease toward the unique component minimum,
+        # so applying it only on rounds that moved cannot change the fixed
+        # point the loop terminates on.
         par = new.select(F.col("n").alias("p"), F.col("lbl").alias("plbl"))
-        new = (new.join(par, new["lbl"] == par["p"], "left")
-               .select("n", "old", F.least("lbl", "plbl").alias("lbl")))
-        new = new.localCheckpoint(eager=True)
-        changed = new.where(F.col("lbl") != F.col("old")).count()
-        labels = new.select("n", "lbl")
-        if changed == 0:
-            return labels.select(F.col("n").alias("node"),
-                                 F.col("lbl").alias("cluster_id"))
+        labels = (new.join(par, new["lbl"] == par["p"], "left")
+                  .select("n", F.least("lbl", "plbl").alias("lbl")))
+        labels = labels.localCheckpoint(eager=False)
     raise ValueError(
         f"connected_components did not converge in {CC_MAX_ROUNDS} rounds "
         "(graph diameter too large for min-label propagation; use a "

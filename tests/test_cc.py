@@ -52,6 +52,21 @@ def test_cc_nonconvergence_raises(spark, monkeypatch):
         textops.connected_components(edges)
 
 
+def test_cc_converged_at_init_verifies_in_one_round(spark, monkeypatch):
+    """Graphs whose init labels (min of self+neighbors) are already the
+    component minima — every near-dup clique where the min doc neighbors
+    all members — must pass the convergence check in round 1 (the r6b
+    early exit that skips the pointer-halving self-join)."""
+    from pdf2dom_spark import textops
+
+    monkeypatch.setattr(textops, "CC_MAX_ROUNDS", 1)
+    edges = _edges(spark, [(1, 2), (1, 3), (2, 3),  # clique, min central
+                           (50, 51)])               # isolated pair
+    got = {(r.node, r.cluster_id)
+           for r in textops.connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (50, 50), (51, 50)}
+
+
 def test_dedup_cluster_covers_lsh_pairs(spark):
     """Every doc in an LSH near-dup pair lands in a cluster; cluster ids are
     component minima; exactly one keeper per cluster."""
