@@ -35,12 +35,9 @@ Rules, with the reference's exact constants:
 
 from __future__ import annotations
 
-import unicodedata
-
 import numpy as np
 
 from . import fonts as fontmod
-from .interp import _RTL_BIDI as _RTL  # single source for the RTL class set
 
 # The 8-field style identity (BoxStyle.java:366-405: xscale, word/letter
 # spacing, color, strokeColor, fontFamily, fontWeight, fontStyle) is
@@ -195,27 +192,35 @@ def boxes_core(gl0: dict, gdoc0: np.ndarray,
     bottom = np.where(descent != 0, baseline - descent, baseline - bbox_desc)
     line_height = bottom - top
 
-    # ordered concat + RTL reverse by first buffered char
+    # ordered concat + RTL reverse by first buffered char. The per-glyph
+    # ``rtl`` column IS ``bidirectional(first char) in _RTL_BIDI`` for every
+    # glyph (diacritic merges append the mark to the base, never prepend,
+    # so a merged glyph's first char keeps the base flag) — the per-box
+    # unicodedata call collapses to one precomputed lookup.
     uni = gl["unicode"]
     texts = np.empty(nb, dtype=object)
     bounds = np.append(starts, n)
-    bidirectional = unicodedata.bidirectional
+    rtl_first = rtl[starts]
     if not any_dia:
         # fast path: every glyph is one char, so one global join + O(1)
         # string slices per box (beats per-box object-array joins)
         all_text = "".join(uni.tolist())
         for i in range(nb):
             t = all_text[bounds[i]:bounds[i + 1]]
-            if t and bidirectional(t[0]) in _RTL:
-                t = t[::-1]
-            texts[i] = t
+            texts[i] = t[::-1] if rtl_first[i] else t
     else:
-        # merged diacritics produce multi-char glyphs: join per box
+        # merged diacritics make some glyphs multi-char: slice ONE global
+        # join at per-glyph CHAR offsets instead of joining per box
+        ulist = uni.tolist()
+        clens = np.fromiter((len(u) for u in ulist), dtype=np.int64,
+                            count=n)
+        coffs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(clens, out=coffs[1:])
+        all_text = "".join(ulist)
+        cb = coffs[bounds]
         for i in range(nb):
-            t = "".join(uni[bounds[i]:bounds[i + 1]])
-            if t and bidirectional(t[0]) in _RTL:
-                t = t[::-1]
-            texts[i] = t
+            t = all_text[cb[i]:cb[i + 1]]
+            texts[i] = t[::-1] if rtl_first[i] else t
 
     # emission key: next box's start glyph if on the same page (of the
     # same document), else this page's end-of-stream flush
