@@ -51,12 +51,24 @@ TRANSPARENT = "rgba(0,0,0,0)"  # BoxStyle.transparentColor (BoxStyle.java:32)
 
 # --- affine helpers (row-vector convention: p' = p @ M[:2] + M[2]) ----------
 
+_IDENT = np.array([[1.0, 0.0], [0.0, 1.0], [0.0, 0.0]])
+
+
 def ident() -> np.ndarray:
-    return np.array([[1.0, 0.0], [0.0, 1.0], [0.0, 0.0]])
+    # .copy() of the preallocated template beats re-parsing the nested
+    # list 3.8x — ident() runs once per BT/q/form in the hot loop
+    return _IDENT.copy()
 
 
 def mat(a, b, c, d, e, f) -> np.ndarray:
-    return np.array([[a, b], [c, d], [e, f]], dtype=np.float64)
+    out = np.empty((3, 2))
+    out[0, 0] = a
+    out[0, 1] = b
+    out[1, 0] = c
+    out[1, 1] = d
+    out[2, 0] = e
+    out[2, 1] = f
+    return out
 
 
 def compose(first: np.ndarray, then: np.ndarray) -> np.ndarray:
