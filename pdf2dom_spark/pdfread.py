@@ -127,7 +127,12 @@ _NUM_RE = re.compile(rb"[-+]?(?:\d+\.\d*|\.\d+|\d+)")
 _NAME_ESC_RE = re.compile(rb"#([0-9A-Fa-f]{2})")
 
 
+_NAME_BODY_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
+
+
 def _skip_ws(b: bytes, i: int) -> int:
+    # byte loop, NOT a regex: the dominant call skips 0-2 bytes, where
+    # the `in` checks beat re.match's fixed overhead 2x (measured)
     n = len(b)
     while i < n:
         c = b[i]
@@ -142,12 +147,12 @@ def _skip_ws(b: bytes, i: int) -> int:
 
 
 def _parse_name(b: bytes, i: int) -> tuple[Name, int]:
-    j = i + 1
-    n = len(b)
-    while j < n and b[j] not in _WS and b[j] not in _DELIM:
-        j += 1
-    raw = _NAME_ESC_RE.sub(lambda m: bytes([int(m.group(1), 16)]), b[i + 1:j])
-    return Name(raw.decode("latin-1")), j
+    m = _NAME_BODY_RE.match(b, i + 1)
+    raw = m.group(0)
+    if b"#" in raw:
+        raw = _NAME_ESC_RE.sub(
+            lambda mm: bytes([int(mm.group(1), 16)]), raw)
+    return Name(raw.decode("latin-1")), m.end()
 
 
 def _parse_literal(b: bytes, i: int) -> tuple[bytes, int]:
