@@ -1162,18 +1162,20 @@ class DocInterp:
         """updateFontTable at page start (PDFBoxTree.java:200-210,353-366):
         the page's font resources are modeled as the fonts referenced by Tf
         on that page, in first-use order."""
-        j = start
-        while j < len(tokens) and tokens[j][0] != "PG":
-            op, args = tokens[j]
+        n = len(tokens)
+        for j in range(start, n):
+            op = tokens[j][0]
+            if op == "PG":
+                break
             # the SAME Tf acceptance rule as the run-loop handler and
             # pagesplit._TF_RE: a name plus a numeric size — otherwise a
             # damaged Tf would register a font the split path's seed scan
             # cannot see, desynchronizing split vs unsplit font tables
-            if (op == "Tf" and len(args) >= 2
-                    and type(args[0]) is PdfName
-                    and type(args[1]) is float):
-                self.font_table.add_entry(str(args[0]))
-            j += 1
+            if op == "Tf":
+                args = tokens[j][1]
+                if (len(args) >= 2 and type(args[0]) is PdfName
+                        and type(args[1]) is float):
+                    self.font_table.add_entry(str(args[0]))
 
 
 def _to_rectangle(path: list[tuple]) -> list[float] | None:
