@@ -1396,6 +1396,10 @@ def doc_tokens(spans: list[dict]) -> list[tuple[str, list]]:
             h = _dim(1)
             name = meta[2] if len(meta) > 2 else "Untitled"
             toks.append(("DoMedia", [sp.get("media_ref") or "", w, h, name]))
-        else:
+        elif forms:
             expand(tokenize(sp.get("text") or ""), frozenset(), 0)
+        else:
+            # no form definitions: expand() would append every token
+            # unchanged — one C-level extend instead of the per-token loop
+            toks.extend(tokenize(sp.get("text") or ""))
     return toks
